@@ -1,0 +1,35 @@
+"""Extraction thresholds, in one place.
+
+SURVEY.md §7 ("golden rebinding risk") requires every classification /
+boilerplate threshold to live in a single config dataclass so that when
+the reference corpus materializes the thresholds can be re-fit without
+touching pipeline code.  Spec: BASELINE.json:6 (line-density +
+bounding-box heuristics; text-density / link-ratio DOM scoring).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class ExtractConfig:
+    # ---- HTML boilerplate scoring (Boilerpipe-family shallow features,
+    # Kohlschütter et al., WSDM 2010 — [public]) ----
+    html_max_link_ratio: float = 1.0 / 3.0  # drop block if link chars / chars > this
+    html_min_words: int = 8                 # drop block shorter than this ...
+    html_heading_min_words: int = 3         # ... unless it is a heading with >= this
+
+    # ---- PDF layout classification (line-density + bbox heuristics) ----
+    page_height: float = 792.0              # US-letter default MediaBox
+    header_footer_band: float = 0.10        # top/bottom 10% of page
+    block_gap: float = 20.0                 # y-gap (pt) that starts a new block
+    table_min_lines: int = 2                # a table block has >= this many lines
+    table_col_gap_frac: float = 0.6         # ... and >= this fraction of columnar lines
+    tj_space_kern: float = -100.0           # TJ adjustment below this inserts a space
+
+    # ---- skew handling (E2) ----
+    salt_buckets: int = 64                  # stable bucket count for lineage/restart
+
+
+DEFAULT = ExtractConfig()

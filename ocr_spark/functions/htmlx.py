@@ -1,0 +1,156 @@
+"""HTML DOM tokenizer + shallow-feature boilerplate scoring.
+
+Spec: BASELINE.json:6 — "tokenizes ... HTML DOM fragments in batches"
+and "strips boilerplate with text-density/link-ratio DOM scoring".
+Algorithm family: Boilerpipe / Readability shallow text features
+(Kohlschütter, Fankhauser, Nejdl, WSDM 2010 — [public]).  Reference
+code: REF:unavailable (SURVEY.md §0).
+
+Deterministic block model (the contract both the Spark pipeline and the
+independent test oracle implement):
+  - block-level tags: p div li h1-h6 td th pre blockquote article section
+  - subtrees under nav/header/footer/aside/script/style/noscript are
+    boilerplate wholesale (never emitted)
+  - text binds to the innermost open block; ``<a>`` text also counts
+    toward the block's link-char total
+  - ``<img src=...>`` emits a media item at its position in the block
+    stream, media_ref = the src attribute
+  - keep a block iff  link_ratio <= html_max_link_ratio AND
+    words >= html_min_words,  OR tag in h1..h6 AND
+    words >= html_heading_min_words
+  - emitted text is whitespace-collapsed
+
+Pure Python / stdlib html.parser — vectorized over Arrow batches in
+mapInPandas; no Spark imports here.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from html.parser import HTMLParser
+
+from ocr_spark.config import DEFAULT, ExtractConfig
+
+BLOCK_TAGS = {
+    "p", "div", "li", "h1", "h2", "h3", "h4", "h5", "h6",
+    "td", "th", "pre", "blockquote", "article", "section",
+}
+SKIP_TAGS = {"nav", "header", "footer", "aside", "script", "style", "noscript"}
+HEADING_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
+
+_WS = re.compile(r"\s+")
+
+
+@dataclass
+class HtmlItem:
+    kind: str              # 'text' | 'media'
+    tag: str               # block tag ('' for media)
+    text: str | None
+    media_ref: str | None
+    words: int
+    link_ratio: float
+    label: str             # 'content' | 'boilerplate' | 'media'
+
+
+class _BlockParser(HTMLParser):
+    """Streaming block extractor; document order = block-open order."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.items: list[tuple[int, str, str | None]] = []  # (seq, type, payload)
+        self._seq = 0
+        self._skip = 0
+        self._blocks: list[dict] = []   # stack of open blocks
+        self._link = 0                  # <a> nesting depth
+
+    # -- helpers --
+    def _open_block(self, tag: str) -> None:
+        self._blocks.append({"tag": tag, "chars": [], "link_chars": 0, "seq": self._seq})
+        self._seq += 1
+
+    def _close_block(self) -> None:
+        if not self._blocks:
+            return
+        b = self._blocks.pop()
+        text = _WS.sub(" ", "".join(b["chars"])).strip()
+        n_chars = len(text)
+        link_ratio = (b["link_chars"] / n_chars) if n_chars else 0.0
+        self.items.append((b["seq"], "block", (b["tag"], text, link_ratio)))
+
+    # -- HTMLParser hooks --
+    def handle_starttag(self, tag, attrs):
+        if tag in SKIP_TAGS:
+            self._skip += 1
+            return
+        if self._skip:
+            return
+        if tag == "a":
+            self._link += 1
+        if tag == "img":
+            src = dict(attrs).get("src") or ""
+            self.items.append((self._seq, "media", src))
+            self._seq += 1
+        if tag in BLOCK_TAGS:
+            self._open_block(tag)
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+        if tag not in SKIP_TAGS and tag not in ("img",):
+            self.handle_endtag(tag)
+
+    def handle_endtag(self, tag):
+        if tag in SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+            return
+        if self._skip:
+            return
+        if tag == "a":
+            self._link = max(0, self._link - 1)
+        if tag in BLOCK_TAGS and self._blocks:
+            # close innermost matching block (tolerate mild nesting slop)
+            if self._blocks[-1]["tag"] == tag:
+                self._close_block()
+
+    def handle_data(self, data):
+        if self._skip or not self._blocks:
+            return
+        b = self._blocks[-1]
+        b["chars"].append(data)
+        if self._link:
+            b["link_chars"] += len(_WS.sub(" ", data).strip())
+
+    def close(self):
+        super().close()
+        while self._blocks:
+            self._close_block()
+
+
+def tokenize_html(fragment: str, cfg: ExtractConfig = DEFAULT) -> list[HtmlItem]:
+    """E4+E5+E6 for one HTML payload → ordered classified items."""
+    p = _BlockParser()
+    try:
+        p.feed(fragment)
+        p.close()
+    except Exception:
+        pass
+    out: list[HtmlItem] = []
+    for _seq, typ, payload in sorted(p.items, key=lambda t: t[0]):
+        if typ == "media":
+            out.append(HtmlItem("media", "", None, payload or None, 0, 0.0, "media"))
+            continue
+        tag, text, link_ratio = payload
+        words = len(text.split()) if text else 0
+        keep = (link_ratio <= cfg.html_max_link_ratio and words >= cfg.html_min_words) or (
+            tag in HEADING_TAGS and words >= cfg.html_heading_min_words
+        )
+        out.append(HtmlItem(
+            "text", tag, text or None, None, words, link_ratio,
+            "content" if keep else "boilerplate",
+        ))
+    return out
+
+
+def extract_html_items(fragment: str, cfg: ExtractConfig = DEFAULT) -> list[HtmlItem]:
+    """Only the surviving (content/media) items, in document order."""
+    return [it for it in tokenize_html(fragment, cfg) if it.label != "boilerplate"]

@@ -1,0 +1,305 @@
+"""Minimal deterministic PDF writer + content-stream text tokenizer.
+
+Spec: BASELINE.json:6 — "tokenizes raw PDF byte-streams ... in batches,
+applies layout-region classification (text-block vs figure vs table vs
+boilerplate) via line-density and bounding-box heuristics".  Reference
+code: REF:unavailable (SURVEY.md §0) — semantics are scoped to the
+documented subset below, which our own corpus generator emits.
+
+Supported PDF subset (documented per SURVEY.md §7 "hard parts"):
+  - uncompressed content streams (``stream ... endstream``)
+  - text objects ``BT ... ET`` with operators:
+      ``Tf`` (font size), ``Td``/``TD`` (translate; TD also sets leading),
+      ``TL`` (leading), ``T*`` (next line), ``Tm`` (set matrix — e,f used),
+      ``Tj`` (show string), ``TJ`` (show array; kern < tj_space_kern
+      inserts one space), ``'`` (T* + Tj)
+  - string escapes: ``\\``, ``\(``, ``\)``, ``\n``, ``\r``, ``\t``, octal
+  - path ops ``x y w h re`` followed by ``f``/``S``/``B`` outside BT..ET
+    are figure regions (drawings)
+
+Everything here is pure Python over bytes/str — it runs vectorized over
+Arrow batches inside mapInPandas (no Spark imports in this module).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from ocr_spark.config import DEFAULT, ExtractConfig
+
+# ---------------------------------------------------------------------------
+# tokenizer
+# ---------------------------------------------------------------------------
+
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+
+# one token: PDF string, array, number, or operator name
+_TOK_RE = re.compile(
+    r"""\((?:\\.|[^\\()])*\)   # literal string (with escapes)
+      | \[ | \]
+      | /[A-Za-z0-9]+
+      | [-+]?\d*\.?\d+
+      | [A-Za-z'*"]+
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+_ESC = {"\\": "\\", "(": "(", ")": ")", "n": "\n", "r": "\r", "t": "\t"}
+
+
+def _unescape(s: str) -> str:
+    out, i, n = [], 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            nxt = s[i + 1]
+            if nxt in _ESC:
+                out.append(_ESC[nxt])
+                i += 2
+                continue
+            if nxt.isdigit():  # octal, up to 3 digits
+                j = i + 1
+                while j < min(i + 4, n) and s[j].isdigit():
+                    j += 1
+                out.append(chr(int(s[i + 1 : j], 8)))
+                i = j
+                continue
+            i += 1  # lone backslash: skip
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+@dataclass
+class TextRun:
+    x: float
+    y: float
+    text: str
+    size: float
+
+
+@dataclass
+class PdfLine:
+    y: float
+    x0: float
+    x1: float
+    text: str
+    size: float
+
+
+@dataclass
+class PdfBlock:
+    kind: str                      # 'text-block' | 'table' | 'boilerplate' | 'figure'
+    lines: list[PdfLine] = field(default_factory=list)
+    bbox: tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
+
+    @property
+    def text(self) -> str:
+        return "\n".join(ln.text for ln in self.lines)
+
+
+def tokenize_pdf(data: bytes, cfg: ExtractConfig = DEFAULT) -> tuple[list[TextRun], list[tuple[float, float, float, float]]]:
+    """Parse content streams → positioned text runs + figure rects."""
+    runs: list[TextRun] = []
+    figures: list[tuple[float, float, float, float]] = []
+    for m in _STREAM_RE.finditer(data):
+        try:
+            content = m.group(1).decode("latin-1")
+        except Exception:
+            continue
+        _parse_content(content, runs, figures, cfg)
+    return runs, figures
+
+
+def _parse_content(content, runs, figures, cfg):
+    toks = _TOK_RE.findall(content)
+    x = y = 0.0
+    size = 12.0
+    leading = 14.0
+    in_text = False
+    stack: list = []  # operand stack (numbers / strings / arrays)
+    arr: list | None = None
+    for t in toks:
+        if t == "[":
+            arr = []
+            continue
+        if t == "]":
+            stack.append(arr if arr is not None else [])
+            arr = None
+            continue
+        if t.startswith("("):
+            s = _unescape(t[1:-1])
+            if arr is not None:
+                arr.append(s)
+            else:
+                stack.append(s)
+            continue
+        if t.startswith("/"):
+            continue  # names (font ids) — ignored
+        if re.fullmatch(r"[-+]?\d*\.?\d+", t):
+            v = float(t)
+            if arr is not None:
+                arr.append(v)
+            else:
+                stack.append(v)
+            continue
+        # operator
+        if t == "BT":
+            in_text, x, y = True, 0.0, 0.0
+        elif t == "ET":
+            in_text = False
+        elif t == "Tf" and len(stack) >= 1:
+            size = float(stack[-1])
+        elif t == "TL" and stack:
+            leading = float(stack[-1])
+        elif t in ("Td", "TD") and len(stack) >= 2:
+            tx, ty = float(stack[-2]), float(stack[-1])
+            x, y = x + tx, y + ty
+            if t == "TD":
+                leading = -ty if ty else leading
+        elif t == "Tm" and len(stack) >= 6:
+            x, y = float(stack[-2]), float(stack[-1])
+        elif t == "T*":
+            y -= leading
+        elif t == "Tj" and stack and isinstance(stack[-1], str):
+            if in_text and stack[-1]:
+                runs.append(TextRun(x, y, stack[-1], size))
+        elif t == "'" and stack and isinstance(stack[-1], str):
+            y -= leading
+            if in_text and stack[-1]:
+                runs.append(TextRun(x, y, stack[-1], size))
+        elif t == "TJ" and stack and isinstance(stack[-1], list):
+            parts: list[str] = []
+            for el in stack[-1]:
+                if isinstance(el, str):
+                    parts.append(el)
+                elif isinstance(el, float) and el < cfg.tj_space_kern:
+                    parts.append(" ")
+            txt = "".join(parts)
+            if in_text and txt:
+                runs.append(TextRun(x, y, txt, size))
+        elif t == "re" and len(stack) >= 4:
+            rx, ry, rw, rh = (float(v) for v in stack[-4:])
+            if not in_text:
+                figures.append((rx, ry, rw, rh))
+        if t not in ("[", "]"):
+            stack = stack[-8:]  # bound the stack; operands are consumed loosely
+    return runs, figures
+
+
+def group_lines(runs: list[TextRun]) -> list[PdfLine]:
+    """Group runs by y (exact match within 0.5pt) → lines; x-ordered text."""
+    lines: list[PdfLine] = []
+    by_y: dict[float, list[TextRun]] = {}
+    for r in runs:
+        key = round(r.y * 2) / 2
+        by_y.setdefault(key, []).append(r)
+    for key in sorted(by_y, reverse=True):  # top of page first
+        rs = sorted(by_y[key], key=lambda r: r.x)
+        text = " ".join(r.text for r in rs)
+        width = sum(0.5 * r.size * len(r.text) for r in rs)
+        lines.append(PdfLine(key, rs[0].x, rs[0].x + width, text, rs[0].size))
+    return lines
+
+
+def group_blocks(lines: list[PdfLine], figures, cfg: ExtractConfig = DEFAULT) -> list[PdfBlock]:
+    """Lines (top→bottom) → blocks split on y-gap; classify each block."""
+    blocks: list[PdfBlock] = []
+    cur: list[PdfLine] = []
+    prev_y = None
+    for ln in lines:
+        if prev_y is not None and (prev_y - ln.y) > cfg.block_gap:
+            blocks.append(_finish_block(cur, cfg))
+            cur = []
+        cur.append(ln)
+        prev_y = ln.y
+    if cur:
+        blocks.append(_finish_block(cur, cfg))
+    for rx, ry, rw, rh in figures:
+        blocks.append(PdfBlock("figure", [], (rx, ry, rx + rw, ry + rh)))
+    # document order: top of page first (descending top-y); figures by their top
+    blocks.sort(key=lambda b: -b.bbox[3])
+    return blocks
+
+
+def _finish_block(lines: list[PdfLine], cfg: ExtractConfig) -> PdfBlock:
+    x0 = min(ln.x0 for ln in lines)
+    x1 = max(ln.x1 for ln in lines)
+    y0 = min(ln.y for ln in lines)
+    y1 = max(ln.y for ln in lines) + lines[0].size
+    kind = _classify_text_block(lines, (x0, y0, x1, y1), cfg)
+    return PdfBlock(kind, lines, (x0, y0, x1, y1))
+
+
+def _classify_text_block(lines, bbox, cfg: ExtractConfig) -> str:
+    # boilerplate: a single short line in the top/bottom page band (header/footer)
+    top_band = cfg.page_height * (1.0 - cfg.header_footer_band)
+    bot_band = cfg.page_height * cfg.header_footer_band
+    if len(lines) == 1 and (lines[0].y >= top_band or lines[0].y <= bot_band):
+        return "boilerplate"
+    # table: enough lines and most lines columnar (>= 2 runs of 2+ spaces)
+    if len(lines) >= cfg.table_min_lines:
+        columnar = sum(1 for ln in lines if len(re.findall(r"\s{2,}", ln.text)) >= 2)
+        if columnar / len(lines) >= cfg.table_col_gap_frac:
+            return "table"
+    return "text-block"
+
+
+def extract_pdf_blocks(data: bytes, cfg: ExtractConfig = DEFAULT) -> list[PdfBlock]:
+    """Full E3+E5 for one PDF payload: tokenize → lines → classified blocks."""
+    runs, figures = tokenize_pdf(data, cfg)
+    return group_blocks(group_lines(runs), figures, cfg)
+
+
+# ---------------------------------------------------------------------------
+# writer (corpus generator side) — emits exactly the subset above
+# ---------------------------------------------------------------------------
+
+def _esc(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def write_pdf(blocks: list[dict]) -> bytes:
+    """Serialize blocks → a minimal well-formed single-page PDF.
+
+    Each block dict: {"kind": "text"|"table"|"header"|"footer"|"figure",
+    "lines": [str, ...], "x": float, "y": float}  (y = top line baseline).
+    """
+    parts = ["BT /F1 12 Tf 14 TL\n"]
+    figs = []
+    for b in blocks:
+        if b["kind"] == "figure":
+            figs.append(b)
+            continue
+        x, y = b["x"], b["y"]
+        parts.append(f"1 0 0 1 {x:g} {y:g} Tm\n")
+        for i, line in enumerate(b["lines"]):
+            if i > 0:
+                parts.append("T* ")
+            parts.append(f"({_esc(line)}) Tj\n")
+    parts.append("ET\n")
+    for b in figs:
+        parts.append(f"{b['x']:g} {b['y']:g} {b.get('w', 100):g} {b.get('h', 80):g} re f\n")
+    content = "".join(parts)
+    objs = [
+        "<< /Type /Catalog /Pages 2 0 R >>",
+        "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>",
+        f"<< /Length {len(content)} >>\nstream\n{content}\nendstream",
+    ]
+    out = ["%PDF-1.4\n"]
+    offsets = []
+    pos = len(out[0])
+    for i, o in enumerate(objs, start=1):
+        s = f"{i} 0 obj\n{o}\nendobj\n"
+        offsets.append(pos)
+        out.append(s)
+        pos += len(s)
+    xref_pos = pos
+    xref = ["xref\n0 5\n0000000000 65535 f \n"]
+    xref += [f"{off:010d} 00000 n \n" for off in offsets]
+    out.append("".join(xref))
+    out.append(f"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n{xref_pos}\n%%EOF\n")
+    return "".join(out).encode("latin-1")

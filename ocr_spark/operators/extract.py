@@ -1,0 +1,58 @@
+"""E3–E7 fused Arrow-batched extraction stage.
+
+Spec: BASELINE.json:6 — "a vectorized pandas/Arrow UDF stage that
+tokenizes raw PDF byte-streams and HTML DOM fragments in batches,
+applies layout-region classification ..., strips boilerplate ..., and
+re-stitches interleaved text + media spans preserving offset order";
+BASELINE.json:15 — "no per-row Python" (i.e. no row-at-a-time udf();
+everything crosses the JVM↔Python boundary as Arrow batches exactly
+once).  Reference code: REF:unavailable (SURVEY.md §0).
+
+Physical shape (SURVEY.md §4 "fuse E3–E6 into one mapInPandas"): because
+a document's spans are packed in-row (array<struct>), extraction AND
+restitch are per-row-local — the whole E3→E7 chain is ONE mapInPandas
+with no shuffle.  The only optional Exchange is the E2 salted
+repartition upstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ocr_spark.config import DEFAULT, ExtractConfig
+from ocr_spark.functions.extract_core import extract_doc
+from ocr_spark.sources.corpus import EXTRACTED_SCHEMA_DDL
+
+
+def extract_stage(docs: DataFrame, cfg: ExtractConfig = DEFAULT) -> DataFrame:
+    """(doc_id, spans[kind,text,media_ref,offset]) →
+    (doc_id, spans[kind,text,media_ref,order])."""
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                res = extract_doc(doc_id, list(spans), cfg)
+                out.append([
+                    (o["kind"], o["text"], o["media_ref"], o["order"]) for o in res
+                ])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "spans": out})
+
+    # select only the two needed columns so column pruning reaches the scan
+    return docs.select("doc_id", "spans").mapInPandas(fn, schema=EXTRACTED_SCHEMA_DDL)
+
+
+def explode_extracted(extracted: DataFrame) -> DataFrame:
+    """Long-form view (doc_id, span_idx, kind, text, media_ref, order)
+    for SQL-oracle checking (SURVEY.md §1.2) — built-ins only."""
+    from pyspark.sql import functions as F
+
+    e = extracted.select("doc_id", F.posexplode("spans").alias("span_idx", "s"))
+    return e.select(
+        "doc_id", "span_idx",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.order").alias("span_order"),
+    )

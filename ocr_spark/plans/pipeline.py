@@ -1,0 +1,132 @@
+"""E1→E11 end-to-end extraction job with lineage + idempotent restart.
+
+Spec: BASELINE.json:6 — "... writes extracted spans back to Iceberg with
+per-partition lineage rows (partition id, doc counts, checksum,
+watermark) enabling idempotent checkpoint restart of failed partitions
+only."  Reference code: REF:unavailable (SURVEY.md §0).
+
+Unit of commit = salt bucket (stable pure function of doc_id — physical
+partition ids would not survive a parallelism change; see
+operators/skew.py).  Work proceeds in waves of buckets; each wave is
+written to its own run directory and committed to the manifest
+atomically, so a crash loses at most the in-flight wave and a restart
+anti-joins pending buckets against committed lineage (E10) and
+reprocesses only those.
+
+Physical plan per wave (SURVEY.md §3/EP1):
+  BatchScan(parquet, pruned to doc_id+spans)
+    → Filter(bucket ∈ wave ∧ bucket ∉ committed)      [partition pruning]
+    → Exchange(hash(_salt))                            [E2 — the ONLY shuffle]
+    → MapInPandas(E3–E7 fused, Arrow batches)
+    → WriteFiles(partitionBy bucket)
+Lineage aggregates are computed from the files actually written (so the
+checksum covers the sink, not the plan), then the manifest swap commits.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ocr_spark.config import DEFAULT, ExtractConfig
+from ocr_spark.operators.extract import extract_stage
+from ocr_spark.operators.skew import salted_repartition, with_bucket
+from ocr_spark.sources.formats import ParquetManifestTable, open_table
+
+
+def _wave_lineage(spark: SparkSession, wave_dir: str, run_id: str,
+                  watermark: str) -> list[dict]:
+    df = spark.read.option("basePath", wave_dir).parquet(wave_dir)
+    rows = (
+        df.groupBy("bucket")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.sum(F.size("spans")).alias("span_count"),
+            # order-insensitive per-bucket checksum over canonical doc payloads
+            F.expr("bit_xor(xxhash64(doc_id, to_json(spans)))").alias("checksum"),
+        )
+        .collect()
+    )
+    return [
+        {
+            "bucket": int(r["bucket"]),
+            "run_id": run_id,
+            "path": f"{wave_dir}/bucket={int(r['bucket'])}",
+            "doc_count": int(r["doc_count"]),
+            "span_count": int(r["span_count"]),
+            "checksum": format(r["checksum"] & (2**64 - 1), "016x"),
+            "watermark": watermark,
+        }
+        for r in rows
+    ]
+
+
+def run_extract(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_table: str,
+    cfg: ExtractConfig = DEFAULT,
+    num_partitions: int | None = None,
+    run_id: str | None = None,
+    wave_size: int | None = None,
+    fail_after_waves: int | None = None,  # test hook for restart tests
+) -> dict:
+    """Run the full pipeline; returns E11 metrics.
+
+    Restart semantics: calling run_extract again with the same out_table
+    processes only buckets absent from the committed manifest.
+    """
+    t0 = time.time()
+    tbl = open_table(out_table)
+    assert isinstance(tbl, ParquetManifestTable) or wave_size is None
+    run_id = run_id or uuid.uuid4().hex[:12]
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+    watermark = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+
+    committed = tbl.committed_buckets()
+    pending = sorted(set(range(cfg.salt_buckets)) - committed)
+    wave_size = wave_size or len(pending) or 1
+    waves = [pending[i : i + wave_size] for i in range(0, len(pending), wave_size)]
+
+    docs = with_bucket(docs.select("doc_id", "spans"), cfg)
+    total_docs = total_spans = 0
+    for w_idx, wave in enumerate(waves):
+        if fail_after_waves is not None and w_idx >= fail_after_waves:
+            raise RuntimeError(f"injected failure before wave {w_idx}")
+        wave_docs = docs.filter(F.col("bucket").isin([int(b) for b in wave]))
+        balanced = salted_repartition(wave_docs.select("doc_id", "spans"), num_partitions)
+        extracted = with_bucket(extract_stage(balanced, cfg), cfg)
+        wave_dir = tbl.write_wave(extracted, run_id)          # E8
+        # run_dir accumulates across waves of this run — keep this wave only
+        entries = [
+            e for e in _wave_lineage(spark, wave_dir, run_id, watermark)
+            if e["bucket"] in set(wave)
+        ]  # E9
+        tbl.commit(entries)                                   # atomic commit
+        total_docs += sum(e["doc_count"] for e in entries)
+        total_spans += sum(e["span_count"] for e in entries)
+
+    elapsed = time.time() - t0
+    return {  # E11 metrics — BASELINE.json:2 (docs/sec, spans/sec)
+        "run_id": run_id,
+        "docs": total_docs,
+        "spans": total_spans,
+        "elapsed_sec": round(elapsed, 3),
+        "docs_per_sec": round(total_docs / elapsed, 2) if elapsed else None,
+        "spans_per_sec": round(total_spans / elapsed, 2) if elapsed else None,
+        "waves": len(waves),
+        "skipped_buckets": len(committed),
+    }
+
+
+def extract_dataframe(docs: DataFrame, cfg: ExtractConfig = DEFAULT,
+                      num_partitions: int | None = None) -> DataFrame:
+    """Sink-less variant (EP2 flagship query): E1→E7 only."""
+    balanced = (
+        salted_repartition(docs.select("doc_id", "spans"), num_partitions)
+        if num_partitions
+        else docs.select("doc_id", "spans")
+    )
+    return extract_stage(balanced, cfg)

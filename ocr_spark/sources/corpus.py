@@ -1,0 +1,161 @@
+"""Deterministic synthetic interleaved-document corpus (FIXTURES.md §B).
+
+The reference's sample PDF/image corpus is unavailable (SURVEY.md §0),
+so tests/bench synthesize the input table mandated by
+BASELINE.json:15 input_hint:
+  (doc_id:string, spans:array<struct<kind,text,media_ref,offset:int32>>)
+
+Every payload is a pure function of (seed, doc index) — no RNG state
+crosses documents, so generation distributes embarrassingly via
+spark.range(n) → mapInPandas, and the same docs can be rebuilt in a
+plain pandas loop for the test oracle.  Span-count distribution is
+lognormal with injected mega-docs (~50× median) to exercise salted
+repartitioning (E2, BASELINE.json:6 "skew from mega-PDFs").
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from ocr_spark.functions.pdfx import write_pdf
+
+_VOCAB = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel",
+    "india", "juliet", "kilo", "lima", "mike", "november", "oscar", "papa",
+    "quebec", "romeo", "sierra", "tango", "uniform", "victor", "whiskey",
+    "xray", "yankee", "zulu", "data", "spark", "engine", "extract", "span",
+    "layout", "document", "stream", "vector", "batch", "arrow", "column",
+]
+
+SPAN_SCHEMA_DDL = (
+    "doc_id string, spans array<struct<"
+    "kind:string, text:string, media_ref:string, offset:int>>"
+)
+EXTRACTED_SCHEMA_DDL = (
+    "doc_id string, spans array<struct<"
+    "kind:string, text:string, media_ref:string, order:int>>"
+)
+
+
+def _rng(seed: int, *key) -> random.Random:
+    h = hashlib.blake2b(
+        ("|".join([str(seed), *map(str, key)])).encode(), digest_size=8
+    ).digest()
+    return random.Random(int.from_bytes(h, "big"))
+
+
+def _words(rng: random.Random, n: int) -> str:
+    return " ".join(rng.choice(_VOCAB) for _ in range(n))
+
+
+def _html_payload(rng: random.Random, doc_id: str) -> str:
+    nav = "".join(f'<li><a href="/x{i}">link {i}</a></li>' for i in range(5))
+    paras = []
+    for p in range(rng.randint(1, 4)):
+        if rng.random() < 0.25:  # link-farm paragraph → boilerplate
+            paras.append(
+                "<p>" + " ".join(
+                    f'<a href="/p{j}">{_words(rng, 2)}</a>' for j in range(4)
+                ) + "</p>"
+            )
+        else:
+            paras.append(f"<p>{_words(rng, rng.randint(10, 40))}</p>")
+    img = (
+        f'<img src="img://{doc_id}/{rng.randint(0, 999)}.png"/>'
+        if rng.random() < 0.4 else ""
+    )
+    short = f"<p>{_words(rng, rng.randint(1, 5))}</p>" if rng.random() < 0.5 else ""
+    return (
+        f"<html><head><title>t</title></head><body>"
+        f"<nav><ul>{nav}</ul></nav>"
+        f"<h1>{_words(rng, 4)}</h1>"
+        f"<div class='content'>{paras and ''.join(paras)}{img}{short}</div>"
+        f"<footer><p>copyright {_words(rng, 3)}</p></footer>"
+        f"</body></html>"
+    )
+
+
+def _pdf_payload(rng: random.Random) -> str:
+    blocks = [
+        {"kind": "header", "x": 72, "y": 760, "lines": [f"Page header {_words(rng, 2)}"]},
+    ]
+    y = 700
+    for _ in range(rng.randint(1, 3)):
+        n_lines = rng.randint(2, 6)
+        blocks.append({
+            "kind": "text", "x": 72, "y": y,
+            "lines": [_words(rng, rng.randint(4, 9)) for _ in range(n_lines)],
+        })
+        y -= 14 * n_lines + 40
+    if rng.random() < 0.35:
+        blocks.append({
+            "kind": "table", "x": 72, "y": y,
+            "lines": [
+                f"{_words(rng, 1):<12}  {rng.randint(0, 99):>6}  {rng.randint(0, 99):>6}"
+                for _ in range(3)
+            ],
+        })
+        y -= 14 * 3 + 40
+    if rng.random() < 0.3:
+        blocks.append({"kind": "figure", "x": 100, "y": max(y - 90, 60), "w": 120, "h": 80})
+    blocks.append({"kind": "footer", "x": 72, "y": 30, "lines": ["p. 1"]})
+    return write_pdf(blocks).decode("latin-1")
+
+
+def make_doc(i: int, seed: int = 42, mega_every: int = 1000) -> dict:
+    """Pure function (seed, i) → one interleaved document row."""
+    doc_id = f"doc{i:08d}"
+    rng = _rng(seed, "doc", i)
+    n = 1 + min(int(rng.lognormvariate(0.8, 0.7)), 40)
+    if mega_every and i % mega_every == 0 and i > 0:
+        n *= 50  # mega-doc tail → skew for E2
+    spans, offset = [], 0
+    for j in range(n):
+        offset += rng.randint(1, 1000)
+        srng = _rng(seed, "span", i, j)
+        r = srng.random()
+        if r < 0.45:
+            sp = {"kind": "text", "text": _words(srng, srng.randint(5, 30)),
+                  "media_ref": None, "offset": offset}
+        elif r < 0.70:
+            sp = {"kind": "html", "text": _html_payload(srng, doc_id),
+                  "media_ref": None, "offset": offset}
+        elif r < 0.85:
+            sp = {"kind": "pdf_bytes", "text": _pdf_payload(srng),
+                  "media_ref": None, "offset": offset}
+        else:
+            sp = {"kind": "media", "text": None,
+                  "media_ref": f"s3://corpus/{doc_id}/m{j}.jpg", "offset": offset}
+        spans.append(sp)
+    return {"doc_id": doc_id, "spans": spans}
+
+
+def make_docs(n_docs: int, seed: int = 42, mega_every: int = 1000) -> list[dict]:
+    """Driver-side generation for small test fixtures (pure Python)."""
+    return [make_doc(i, seed, mega_every) for i in range(n_docs)]
+
+
+def generate_interleaved(spark, n_docs: int, seed: int = 42,
+                         partitions: int | None = None, mega_every: int = 1000):
+    """Distributed generation: spark.range → mapInPandas (scales to any n).
+
+    No driver-side materialization; each task builds its id-range of docs.
+    """
+    import pandas as pd
+
+    rng_df = spark.range(0, n_docs, 1, partitions or spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [make_doc(int(i), seed, mega_every) for i in pdf["id"]]
+            yield pd.DataFrame({
+                "doc_id": [r["doc_id"] for r in rows],
+                "spans": [
+                    [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                     for s in r["spans"]]
+                    for r in rows
+                ],
+            })
+
+    return rng_df.mapInPandas(gen, schema=SPAN_SCHEMA_DDL)

@@ -1,0 +1,107 @@
+"""Table-format shim: Iceberg in production, Parquet+manifest in-sandbox.
+
+Spec: BASELINE.json:6/:14 — read/write Iceberg tables with per-partition
+lineage enabling idempotent restart.  The sandbox has no Iceberg runtime
+jar and no network (SURVEY.md §0/§4.4), so the same pipeline code runs
+against either of two implementations of one small interface:
+
+  * ``IcebergTable``     — ``spark.read.format("iceberg")`` / ``writeTo``;
+    selected when the Iceberg catalog is configured (production path).
+  * ``ParquetManifestTable`` — a Parquet directory plus an atomically
+    swapped JSON manifest that provides the snapshot semantics lineage
+    needs: a (bucket, run) only exists for readers once its manifest
+    entry is committed, so partially-written runs are invisible and
+    restart is idempotent.
+
+Manifest layout:
+  <root>/data/run=<run_id>/bucket=<k>/part-*.parquet
+  <root>/_manifest.json   {"entries": [{bucket, run_id, path,
+                            doc_count, span_count, checksum, watermark}]}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ParquetManifestTable:
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.manifest_path = os.path.join(root, "_manifest.json")
+
+    # -- manifest ----------------------------------------------------------
+    def _load(self) -> dict:
+        if not os.path.exists(self.manifest_path):
+            return {"entries": []}
+        with open(self.manifest_path) as f:
+            return json.load(f)
+
+    def _store(self, m: dict) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self.manifest_path)  # atomic swap = commit point
+
+    def committed_buckets(self) -> set[int]:
+        return {e["bucket"] for e in self._load()["entries"]}
+
+    def lineage(self) -> list[dict]:
+        """E9 lineage rows (partition id = salt bucket, doc/span counts,
+        checksum, watermark, run_id) — BASELINE.json:6."""
+        return list(self._load()["entries"])
+
+    def run_dir(self, run_id: str) -> str:
+        return os.path.join(self.data_dir, f"run={run_id}")
+
+    def commit(self, entries: list[dict]) -> None:
+        """Append bucket entries; skip buckets already committed
+        (idempotent — a retried wave cannot double-commit)."""
+        m = self._load()
+        have = {e["bucket"] for e in m["entries"]}
+        m["entries"].extend(e for e in entries if e["bucket"] not in have)
+        self._store(m)
+
+    # -- I/O ----------------------------------------------------------------
+    def write_wave(self, df: DataFrame, run_id: str) -> str:
+        out = self.run_dir(run_id)
+        df.write.mode("append").partitionBy("bucket").parquet(out)
+        return out
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Union of committed (bucket, run) paths only — uncommitted files
+        are invisible (snapshot isolation)."""
+        entries = self._load()["entries"]
+        if not entries:
+            raise FileNotFoundError(f"no committed data in {self.root}")
+        paths = [e["path"] for e in entries]
+        return spark.read.option("basePath", self.data_dir).parquet(*paths)
+
+
+class IcebergTable:
+    """Production path (requires iceberg-spark-runtime on the classpath +
+    a configured catalog; unavailable in-sandbox — SURVEY.md §4.4)."""
+
+    def __init__(self, identifier: str) -> None:
+        self.identifier = identifier
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.format("iceberg").load(self.identifier)
+
+    def write_wave(self, df: DataFrame, run_id: str) -> str:
+        df.writeTo(self.identifier).append()
+        return self.identifier
+
+    def committed_buckets(self) -> set[int]:  # via snapshot summary in prod
+        raise NotImplementedError("requires a live Iceberg catalog")
+
+
+def open_table(root_or_identifier: str):
+    if root_or_identifier.startswith("iceberg:"):
+        return IcebergTable(root_or_identifier[len("iceberg:"):])
+    return ParquetManifestTable(root_or_identifier)

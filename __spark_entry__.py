@@ -3,8 +3,10 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Implementation lives in the ocr_spark package; this module only
+re-exports the registry (SURVEY.md §2 operator inventory).
 """
 
 from __future__ import annotations
@@ -15,24 +17,29 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: full E1→E7 extraction of
+    the deterministic synthetic interleaved corpus → exploded span table
+    (doc_id, span_idx, kind, text, media_ref, span_order)."""
+    from ocr_spark.operators.extract import explode_extracted, extract_stage
+    from ocr_spark.sources.corpus import generate_interleaved
+
+    docs = generate_interleaved(spark, 200, seed=42, partitions=8, mega_every=100)
+    return explode_extracted(extract_stage(docs))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from ocr_spark.plans import registry
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    registry.load_all()
+    return dict(registry.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin for every SQL-expressible query;
+    rows-only ops (approx sketches, seeded LSH, Python payload parsing)
+    intentionally have no entry."""
+    from ocr_spark.plans import registry
+
+    registry.load_all()
+    return dict(registry.ORACLES)

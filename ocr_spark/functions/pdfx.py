@@ -1,4 +1,4 @@
-"""Minimal deterministic PDF writer + content-stream text tokenizer.
+r"""Minimal deterministic PDF writer + content-stream text tokenizer.
 
 Spec: BASELINE.json:6 — "tokenizes raw PDF byte-streams ... in batches,
 applies layout-region classification (text-block vs figure vs table vs

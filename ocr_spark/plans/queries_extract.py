@@ -1,0 +1,122 @@
+"""Extraction-pipeline + multimodal query entries for the driver harness.
+
+The full E1→E7 pipeline runs over the deterministic synthetic interleaved
+corpus (Python payload generation → not ANSI-SQL-expressible → rows-only
+driver check; the real correctness gate for these is the span-sequence
+golden/property suite in tests/).  The restitch ORDERING semantic itself
+(E7 — dense order induced by offset sort) is additionally exposed as an
+oracle-checked query over the flat documents table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.extract import explode_extracted, extract_stage
+from ocr_spark.plans.registry import q, t
+from ocr_spark.sources.corpus import generate_interleaved
+
+
+@q("extract_pipeline")  # Python payload parsing → rows-only (tests/ hold goldens)
+def extract_pipeline(spark, sf):
+    """Flagship: synthesize 300 interleaved docs (deterministic seed),
+    run the fused E3–E7 extraction, return the exploded span table."""
+    docs = generate_interleaved(spark, 300, seed=42, partitions=8, mega_every=100)
+    return explode_extracted(extract_stage(docs)).orderBy("doc_id", "span_order")
+
+
+@q(
+    "extract_restitch_order",
+    oracle="""
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(trim(text), ' '), 1) - 1 AS INT)
+             AS span_order,
+           unnest(string_split(trim(text), ' ')) AS token
+    FROM documents WHERE doc_id < 20
+    """,
+)
+def extract_restitch_order(spark, sf):
+    # E7's ordering contract, SQL-checkable: dense 0..n-1 order induced by
+    # position — posexplode over the tokenized flat corpus
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 20)
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), " ")).alias("span_order", "token"),
+    )
+
+
+@q(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_md5,
+           CASE WHEN octet_length(encode(text)) > 1500 THEN 'large'
+                WHEN octet_length(encode(text)) > 800 THEN 'medium'
+                ELSE 'small' END AS size_class
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark, sf):
+    # multimodal plumbing, JVM-side: opaque binary payload column + typed
+    # metadata (the decode itself is the stubbed pandas-UDF path below)
+    d = t(spark, sf, "documents")
+    payload = F.encode("text", "UTF-8")
+    nb = F.octet_length(payload)
+    return d.select(
+        "doc_id",
+        nb.alias("n_bytes"),
+        F.md5("text").alias("content_md5"),
+        F.when(nb > 1500, "large").when(nb > 800, "medium").otherwise("small").alias("size_class"),
+    )
+
+
+@q("multimodal_decode_stub")  # fake decoder → rows-only by design
+def multimodal_decode_stub(spark, sf):
+    """Image/audio decode plumbing with the codec stubbed (no image/audio
+    libs in this container — task spec allows a deterministic fake).  The
+    Spark-side contract is real: binary column in, typed metadata struct
+    out, Arrow-batched via mapInPandas with an explicit schema.
+    """
+
+    def decode_batch(batches):
+        for pdf in batches:
+            metas = []
+            for blob in pdf["payload"]:
+                b = bytes(blob)
+                # deterministic fake of an image-header parse:
+                # real impl would call PIL/libvips here (NotImplementedError
+                # path documented); dims derive from a stable digest
+                h = hashlib.blake2b(b, digest_size=4).digest()
+                metas.append((len(b), 16 + h[0] % 64, 16 + h[1] % 64, "fake/v1"))
+            out = pd.DataFrame(metas, columns=["n_bytes", "width", "height", "codec"])
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out
+
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return d.mapInPandas(
+        decode_batch,
+        schema="doc_id long, n_bytes int, width int, height int, codec string",
+    )
+
+
+@q(
+    "extract_media_passthrough",
+    oracle="""
+    SELECT source AS media_ref_prefix, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source
+    """,
+)
+def extract_media_passthrough(spark, sf):
+    # media-span bookkeeping analogue over the flat corpus: group by the
+    # opaque ref prefix (source), count + payload mass
+    d = t(spark, sf, "documents")
+    return d.groupBy(F.col("source").alias("media_ref_prefix")).agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )

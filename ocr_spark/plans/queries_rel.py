@@ -1,0 +1,933 @@
+"""Relational operator surface (SURVEY.md §2.2) as oracle-checked queries.
+
+Each entry: idiomatic PySpark DataFrame construction (Catalyst supplies
+pushdown / join selection / partial aggregation) + an equivalent DuckDB
+ANSI-SQL oracle.  Conventions for cross-engine value-hash parity:
+  - every computed column aliased identically on both sides
+  - double aggregates rounded in-query (both engines then emit the
+    nearest double to the same decimal)
+  - integer sums cast to BIGINT in DuckDB (its SUM(int) yields DECIMAL)
+  - timestamps compared as formatted strings (Spark session tz = UTC)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Window as W, functions as F
+
+from ocr_spark.plans.registry import q, t
+
+
+def _sum_fixed(col, k: int):
+    """Order-independent exact sum of a fixed-point column: the testdata
+    money columns carry ≤ k decimal digits, so summing integer 10^k-ths
+    (exact int64 arithmetic) then dividing yields a double that is
+    bit-identical regardless of aggregation order / engine — float sums
+    would diverge between Spark's partial aggregation and DuckDB, and
+    post-hoc rounding has half-boundary hazards."""
+    scale = 10 ** k
+    return (F.sum(F.round(col * scale).cast("long")) / F.lit(float(scale))).cast("double")
+
+
+def _sum_fixed_sql(expr: str, k: int) -> str:
+    scale = 10 ** k
+    return f"(CAST(SUM(CAST(ROUND(({expr}) * {scale}) AS BIGINT)) AS DOUBLE) / {scale}.0)"
+
+
+# ---------------------------------------------------------------------------
+# scans / projection / filters
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "scan_filter_prune",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity > 45.0
+    """,
+)
+def scan_filter_prune(spark, sf):
+    # filter + 3-column projection both reach the parquet scan (PushedFilters)
+    return (
+        t(spark, sf, "lineitem")
+        .filter((F.col("l_shipdate") < "1996-01-01") & (F.col("l_quantity") > 45.0))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@q(
+    "project_alias",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged,
+           l_extendedprice * l_discount AS discount_amt
+    FROM lineitem
+    """,
+)
+def project_alias(spark, sf):
+    # scalar arithmetic: NO rounding — identical IEEE op order on both
+    # engines yields bit-identical doubles (rounding would INTRODUCE
+    # divergence: Spark rounds the shortest decimal repr, DuckDB the
+    # exact binary value — they disagree on half-boundaries)
+    li = t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias("charged"),
+        (F.col("l_extendedprice") * F.col("l_discount")).alias("discount_amt"),
+    )
+
+
+@q(
+    "filter_predicates",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+    WHERE o_orderstatus IN ('O', 'F')
+      AND o_totalprice BETWEEN 1000 AND 200000
+      AND o_orderpriority LIKE '%HIGH%'
+      AND o_custkey IS NOT NULL
+    """,
+)
+def filter_predicates(spark, sf):
+    o = t(spark, sf, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_totalprice").between(1000, 200000)
+        & F.col("o_orderpriority").like("%HIGH%")
+        & F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_orderstatus", "o_orderpriority")
+
+
+@q(
+    "conditional_case",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 150000 THEN 'big'
+                WHEN o_totalprice >= 50000 THEN 'mid'
+                ELSE 'small' END AS bucket,
+           CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS is_open
+    FROM orders
+    """,
+)
+def conditional_case(spark, sf):
+    o = t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 150000, "big")
+        .when(F.col("o_totalprice") >= 50000, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+        F.when(F.col("o_orderstatus") == "O", 1).otherwise(0).alias("is_open"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregation
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_sum_fixed_sql('l_quantity', 0)} AS sum_qty,
+           {_sum_fixed_sql('l_extendedprice', 2)} AS sum_base_price,
+           {_sum_fixed_sql('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+           {_sum_fixed_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+           {_sum_fixed_sql('l_quantity', 0)} / COUNT(*) AS avg_qty,
+           {_sum_fixed_sql('l_extendedprice', 2)} / COUNT(*) AS avg_price,
+           {_sum_fixed_sql('l_discount', 2)} / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark, sf):
+    li = t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "2000-09-02")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    n = F.count("*")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _sum_fixed(F.col("l_quantity"), 0).alias("sum_qty"),
+        _sum_fixed(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+        _sum_fixed(disc, 4).alias("sum_disc_price"),
+        _sum_fixed(disc * (1 + F.col("l_tax")), 6).alias("sum_charge"),
+        (_sum_fixed(F.col("l_quantity"), 0) / n).alias("avg_qty"),
+        (_sum_fixed(F.col("l_extendedprice"), 2) / n).alias("avg_price"),
+        (_sum_fixed(F.col("l_discount"), 2) / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@q(
+    "agg_basic",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+           (CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE)) / COUNT(*) AS avg_qty,
+           MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_basic(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum("l_orderkey").alias("sum_key"),
+        (_sum_fixed(F.col("l_quantity"), 0) / F.count("*")).alias("avg_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.count("*").alias("n"),
+    )
+
+
+@q(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_cust,
+           COUNT(DISTINCT o_orderpriority) AS n_prio
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_count_distinct(spark, sf):
+    o = t(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+    )
+
+
+@q("agg_approx_count_distinct")  # approximate → rows-only check by design
+def agg_approx_count_distinct(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_median_price"),
+    )
+
+
+@q(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        _sum_fixed(F.col("l_quantity"), 0).alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+@q(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           (CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark, sf):
+    o = t(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), _sum_fixed(F.col("o_totalprice"), 2).alias("total")
+    )
+
+
+@q(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+    FROM customer GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """,
+)
+def agg_grouping_sets(spark, sf):
+    c = t(spark, sf, "customer")
+    c.createOrReplaceTempView("customer")
+    return spark.sql(
+        "SELECT c_mktsegment, c_nationkey, COUNT(*) AS n FROM customer "
+        "GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())"
+    )
+
+
+@q(
+    "agg_collect_ordered",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS prios
+    FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_collect_ordered(spark, sf):
+    # the E7 building block: collect_list + array_sort (SURVEY.md §2.2)
+    o = t(spark, sf, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(F.array_sort(F.collect_list("o_orderpriority")), ",").alias("prios")
+    )
+
+
+@q(
+    "agg_vectorized_udaf",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS w_avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_vectorized_udaf(spark, sf):
+    # custom aggregate as a GROUPED_AGG pandas UDF (Arrow-batched, no
+    # per-row Python — BASELINE.json:15)
+    @F.pandas_udf("double")
+    def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(weighted_avg("l_extendedprice", "l_quantity"), 4).alias("w_avg_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "join_inner",
+    oracle="""
+    SELECT o.o_orderstatus, COUNT(*) AS n,
+           (CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0)
+             AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def join_inner(spark, sf):
+    li, o = t(spark, sf, "lineitem"), t(spark, sf, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), _sum_fixed(F.col("l_extendedprice"), 2).alias("revenue"))
+    )
+
+
+@q(
+    "join_broadcast",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation, COUNT(*) AS n_cust,
+           (CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0)
+             AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_broadcast(spark, sf):
+    # two explicit broadcast joins — no shuffle for the dims at any scale
+    c = t(spark, sf, "customer")
+    n = F.broadcast(t(spark, sf, "nation"))
+    r = F.broadcast(t(spark, sf, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_cust"), _sum_fixed(F.col("c_acctbal"), 2).alias("total_bal"))
+    )
+
+
+@q(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders,
+           COALESCE(CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                     / 100.0, 0.0) AS spend
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left_outer(spark, sf):
+    c, o = t(spark, sf, "customer"), t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(_sum_fixed(F.col("o_totalprice"), 2), F.lit(0.0)).alias("spend"),
+        )
+    )
+
+
+@q(
+    "join_full_outer",
+    oracle="""
+    WITH cs AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+         ss AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT COALESCE(cs.nk, ss.nk) AS nationkey,
+           COALESCE(cs.n_cust, 0) AS n_cust, COALESCE(ss.n_supp, 0) AS n_supp
+    FROM cs FULL OUTER JOIN ss ON cs.nk = ss.nk
+    """,
+)
+def join_full_outer(spark, sf):
+    cs = t(spark, sf, "customer").groupBy(F.col("c_nationkey").alias("nk")).agg(F.count("*").alias("n_cust"))
+    ss = t(spark, sf, "supplier").groupBy(F.col("s_nationkey").alias("nk")).agg(F.count("*").alias("n_supp"))
+    j = cs.join(ss, cs.nk == ss.nk, "full")
+    return j.select(
+        F.coalesce(cs.nk, ss.nk).alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@q(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """,
+)
+def join_semi(spark, sf):
+    c, o = t(spark, sf, "customer"), t(spark, sf, "orders")
+    big = o.filter(F.col("o_totalprice") > 100000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@q(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark, sf):
+    c, o = t(spark, sf, "customer"), t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@q(
+    "join_theta",
+    oracle="""
+    SELECT a.n_name AS nation_a, b.n_name AS nation_b
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
+)
+def join_theta(spark, sf):
+    a = t(spark, sf, "nation").alias("a")
+    b = t(spark, sf, "nation").alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+    ).select(F.col("a.n_name").alias("nation_a"), F.col("b.n_name").alias("nation_b"))
+
+
+@q(
+    "join_range",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, p.p_partkey
+    FROM lineitem l JOIN part p
+      ON l.l_partkey = p.p_partkey
+     AND l.l_quantity BETWEEN p.p_size - 2 AND p.p_size + 2
+    """,
+)
+def join_range(spark, sf):
+    li, p = t(spark, sf, "lineitem"), t(spark, sf, "part")
+    return li.join(
+        F.broadcast(p),
+        (li.l_partkey == p.p_partkey)
+        & li.l_quantity.between(p.p_size - 2, p.p_size + 2),
+    ).select("l_orderkey", "l_linenumber", "p_partkey")
+
+
+@q(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def join_asof(spark, sf):
+    # as-of join composed from built-ins: one pass over the unioned event
+    # stream with a per-user running "last view ts" window — no BNLJ, no
+    # shuffle beyond the window's hash partitioning (scales linearly).
+    ev = t(spark, sf, "events").filter(F.col("event_type").isin("view", "purchase"))
+    # inclusive >= semantics: a view at exactly p.ts qualifies — the frame
+    # extends to the current row (a purchase row contributes null, so
+    # including itself is harmless); ts ties across events are broken by
+    # event_id, matching an exact-ts view only if it sorts first
+    w_incl = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    last_view_incl = F.last(
+        F.when(F.col("event_type") == "view", F.col("ts")), ignorenulls=True
+    ).over(w_incl)
+    return (
+        ev.withColumn("last_view", last_view_incl)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("last_view", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_view_ts"),
+        )
+    )
+
+
+@q(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, s.s_suppkey FROM region r CROSS JOIN supplier s
+    """,
+)
+def join_cross(spark, sf):
+    r, s = t(spark, sf, "region"), t(spark, sf, "supplier")
+    return r.crossJoin(s).select("r_name", "s_suppkey")
+
+
+# ---------------------------------------------------------------------------
+# windows / sort / top-k
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "window_rank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rk,
+           DENSE_RANK() OVER w AS drk, NTILE(4) OVER w AS tile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def window_rank(spark, sf):
+    c = t(spark, sf, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+        F.ntile(4).over(w).alias("tile"),
+    )
+
+
+@q(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           LAG(event_type) OVER w AS prev_type,
+           LEAD(event_type) OVER w AS next_type,
+           FIRST_VALUE(event_type) OVER w AS first_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead(spark, sf):
+    e = t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.first("event_type").over(w).alias("first_type"),
+    )
+
+
+@q(
+    "window_frame_moving",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+             / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+             AS run_sum
+    FROM events
+    """,
+)
+def window_frame_moving(spark, sf):
+    e = t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.round(F.col("value") * 100).cast("long")
+    frame3 = w.rowsBetween(-2, W.currentRow)
+    frame_all = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        ((F.sum(cents).over(frame3) / F.lit(100.0)) / F.count("*").over(frame3)).alias("mov_avg"),
+        (F.sum(cents).over(frame_all) / F.lit(100.0)).cast("double").alias("run_sum"),
+    )
+
+
+@q(
+    "window_range_frame",
+    oracle="""
+    SELECT p_partkey, p_size,
+           COUNT(*) OVER (ORDER BY p_size RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+             AS n_similar_size
+    FROM part
+    """,
+)
+def window_range_frame(spark, sf):
+    p = t(spark, sf, "part")
+    w = W.orderBy("p_size").rangeBetween(-2, 2)
+    return p.select("p_partkey", "p_size", F.count("*").over(w).alias("n_similar_size"))
+
+
+@q(
+    "topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark, sf):
+    o = t(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 3)
+
+
+@q(
+    "sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def sort_limit_topk(spark, sf):
+    # Spark plans TakeOrderedAndProject — no global sort materialization
+    o = t(spark, sf, "orders")
+    return o.orderBy(F.desc("o_totalprice"), "o_orderkey").limit(20).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "set_union",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_union(spark, sf):
+    c = t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+@q(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_intersect(spark, sf):
+    c = t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@q(
+    "set_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_except(spark, sf):
+    c = t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)  # EXCEPT (set semantics; exceptAll is the multiset op)
+
+
+@q(
+    "distinct_rows",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def distinct_rows(spark, sf):
+    return t(spark, sf, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+# ---------------------------------------------------------------------------
+# scalar function families
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS up, LOWER(c_mktsegment) AS lo,
+           SUBSTRING(c_name, 1, 8) AS sub,
+           TRIM(CONCAT(c_name, ' ')) AS trimmed,
+           CONCAT_WS('|', c_mktsegment, c_name) AS joined,
+           LENGTH(c_name) AS len,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           REPLACE(c_name, 'Customer', 'Cust') AS repl
+    FROM customer
+    """,
+)
+def string_funcs(spark, sf):
+    c = t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lower("c_mktsegment").alias("lo"),
+        F.substring("c_name", 1, 8).alias("sub"),
+        F.trim(F.concat(F.col("c_name"), F.lit(" "))).alias("trimmed"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("joined"),
+        F.length("c_name").alias("len"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("digits"),
+        F.expr("replace(c_name, 'Customer', 'Cust')").alias("repl"),
+    )
+
+
+@q(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due
+    FROM orders
+    """,
+)
+def date_funcs(spark, sf):
+    o = t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").alias("due"),
+    )
+
+
+@q(
+    "math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 1) AS r1,
+           ABS(l_discount - 0.05) AS absdiff,
+           ROUND(POW(l_quantity, 2), 4) AS sq,
+           ROUND(LN(l_extendedprice), 6) AS logp,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS flo,
+           CAST(CEIL(l_quantity) AS BIGINT) AS cei,
+           CAST(l_quantity AS INT) % 7 AS m7
+    FROM lineitem
+    """,
+)
+def math_funcs(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("absdiff"),
+        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("sq"),
+        F.round(F.log("l_extendedprice"), 6).alias("logp"),
+        F.floor("l_quantity").alias("flo"),
+        F.ceil("l_quantity").alias("cei"),
+        (F.col("l_quantity").cast("int") % 7).alias("m7"),
+    )
+
+
+@q(
+    "json_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k,
+           CASE WHEN CAST(json_extract(props, '$.k') AS INT) > 50
+                THEN 'hi' ELSE 'lo' END AS k_band
+    FROM events
+    """,
+)
+def json_funcs(spark, sf):
+    e = t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.select(
+        "event_id",
+        k.alias("k"),
+        F.when(k > 50, "hi").otherwise("lo").alias("k_band"),
+    )
+
+
+@q(
+    "map_funcs",
+    oracle="""
+    SELECT event_type, k_key, ROUND(k_avg, 4) AS k_avg
+    FROM (SELECT event_type, 'k' AS k_key,
+                 AVG(CAST(json_extract(props, '$.k') AS INT)) AS k_avg
+          FROM events GROUP BY event_type)
+    """,
+)
+def map_funcs(spark, sf):
+    # build a map column (create_map), then unpack via map_keys/map_values —
+    # output is flat so the oracle stays engine-neutral
+    e = t(spark, sf, "events")
+    agg = e.groupBy("event_type").agg(
+        F.avg(F.get_json_object("props", "$.k").cast("int")).alias("k_avg_raw")
+    )
+    m = agg.select("event_type", F.create_map(F.lit("k"), F.col("k_avg_raw")).alias("m"))
+    return m.select(
+        "event_type",
+        F.map_keys("m").getItem(0).alias("k_key"),
+        F.round(F.map_values("m").getItem(0), 4).alias("k_avg"),
+    )
+
+
+@q(
+    "pivot_wide",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS st_O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS st_F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS st_P
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def pivot_wide(spark, sf):
+    c, o = t(spark, sf, "customer"), t(spark, sf, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey)
+    p = j.groupBy("c_mktsegment").pivot("o_orderstatus", ["O", "F", "P"]).count()
+    return p.select(
+        "c_mktsegment",
+        F.coalesce("O", F.lit(0)).alias("st_O"),
+        F.coalesce("F", F.lit(0)).alias("st_F"),
+        F.coalesce("P", F.lit(0)).alias("st_P"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# event-time windows (batch-checkable; streaming variants in streaming/)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "events_tumbling_window",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S')
+             AS win_start,
+           event_type, COUNT(*) AS n,
+           (CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark, sf):
+    e = t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), _sum_fixed(F.col("value"), 2).alias("total"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+@q(
+    "events_sliding_window",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '10 minutes', ts) AS w0, ts, value FROM events
+    ), assigned AS (
+      SELECT w0 AS win_start, value FROM b
+      UNION ALL
+      SELECT time_bucket(INTERVAL '10 minutes', ts, INTERVAL '5 minutes') AS win_start,
+             value
+      FROM b
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           COUNT(*) AS n,
+           (CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS total
+    FROM assigned GROUP BY 1
+    """,
+)
+def events_sliding_window(spark, sf):
+    e = t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), _sum_fixed(F.col("value"), 2).alias("total"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n",
+            "total",
+        )
+    )
+
+
+@q(
+    "events_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           (CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0)
+             AS session_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark, sf):
+    # batch sessionization: lag + cumulative sum of gap markers
+    e = t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap (a seconds cast would truncate and disagree
+    # with the oracle's INTERVAL comparison on sub-second boundaries)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))  # parquet ts is NTZ
+    gap = ts_us - F.lag(ts_us).over(w)
+    marked = e.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"), _sum_fixed(F.col("value"), 2).alias("session_value")
+    )

@@ -1,0 +1,380 @@
+"""Text-analysis + deduplication operators over the ``documents`` table.
+
+Training-data pipeline surface (task spec): exact dedup, MinHash+LSH,
+SimHash, n-gram Jaccard, language-ID, quality scoring, token counting,
+fingerprinting.  All hot paths are built-in pyspark.sql.functions
+(JVM-side, codegen) — Python appears only in the SimHash sketch, as an
+Arrow-vectorized pandas UDF.
+
+Dedup queries run over ``documents_dup`` — the documents table unioned
+with a doc_id-shifted copy of itself (deterministic, SQL-expressible on
+both engines) so duplicate pairs exist to find.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ocr_spark.plans.registry import q, t
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_STOP_SQL = "('the', 'a', 'of', 'and', 'to', 'in')"
+
+DUP_SHIFT = 1_000_000  # doc_id offset of the duplicated copy
+
+# shared SQL fragment: duplicated corpus (DuckDB side)
+_DUP_CTE = f"""
+    dup AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + {DUP_SHIFT} AS doc_id, text, source FROM documents
+    )
+"""
+
+# shared SQL fragment: distinct word-3-gram set per doc (DuckDB side)
+_GRAMS_CTE = f"""
+    WITH {_DUP_CTE},
+    toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS ws FROM dup
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(ws) - 2, 0)),
+               i -> array_to_string(ws[i:i+2], ' ')
+             )) AS gset
+      FROM toks
+    )
+"""
+
+
+def _dup_docs(spark, sf):
+    d = t(spark, sf, "documents").select("doc_id", "text", "source")
+    return d.unionByName(
+        d.select((F.col("doc_id") + DUP_SHIFT).alias("doc_id"), "text", "source")
+    )
+
+
+def _grams_df(spark, sf):
+    """doc_id + distinct word-3-gram set (array<string>) — built-ins only."""
+    d = _dup_docs(spark, sf)
+    # guard: sequence(0, n) with n < 0 would DESCEND in Spark — emit an
+    # empty gram set for docs with < 3 tokens instead
+    return d.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN size(split(trim(text), ' ')) >= 3 THEN "
+            "array_distinct(transform(sequence(0, size(split(trim(text), ' ')) - 3),"
+            " i -> array_join(slice(split(trim(text), ' '), i + 1, 3), ' ')))"
+            " ELSE array() END"
+        ).alias("gset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# token counting / language id / quality / fingerprint
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "text_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+           CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS INT)
+             AS n_distinct,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INT)
+             AS n_bpe_ish
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf):
+    d = t(spark, sf, "documents")
+    ws = F.split(F.trim("text"), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(ws).alias("n_tokens"),
+        F.size(F.array_distinct(ws)).alias("n_distinct"),
+        # BPE-ish pre-tokenizer: alnum runs + individual punctuation marks
+        F.size(F.expr(r"regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]', 0)")).alias(
+            "n_bpe_ish"
+        ),
+    )
+
+
+@q(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             string_split(trim(text), ' ') AS ws,
+             len(list_filter(string_split(trim(text), ' '), w -> w IN {_STOP_SQL}))
+               AS stop_hits
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(CAST(stop_hits AS DOUBLE) / len(ws), 4) AS stop_ratio,
+           CASE WHEN CAST(stop_hits AS DOUBLE) / len(ws) >= 0.05 THEN 'en'
+                ELSE 'und' END AS lang_guess
+    FROM scored
+    """,
+)
+def text_lang_id(spark, sf):
+    # n-gram/stopword heuristic language id (deterministic, JVM-side)
+    d = t(spark, sf, "documents")
+    ws = F.split(F.trim("text"), " ")
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    hits = F.size(F.expr(f"filter(split(trim(text), ' '), w -> w IN ({stop_list}))"))
+    ratio = hits.cast("double") / F.size(ws)
+    return d.select(
+        "doc_id",
+        F.round(ratio, 4).alias("stop_ratio"),
+        F.when(ratio >= 0.05, "en").otherwise("und").alias("lang_guess"),
+    )
+
+
+@q(
+    "text_quality_score",
+    oracle=rf"""
+    WITH f AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+             len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+             len(list_filter(string_split(trim(text), ' '), w -> w IN {_STOP_SQL}))
+               AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars AS INT) AS n_chars,
+           CAST(n_words AS INT) AS n_words,
+           ROUND(CAST(n_chars AS DOUBLE) / n_words, 4) AS mean_word_len,
+           ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+           ROUND(CAST(n_stop AS DOUBLE) / n_words, 4) AS stop_ratio,
+           CASE WHEN n_words >= 20 AND CAST(n_chars AS DOUBLE) / n_words BETWEEN 3 AND 12
+                THEN 1 ELSE 0 END AS is_quality
+    FROM f
+    """,
+)
+def text_quality_score(spark, sf):
+    d = t(spark, sf, "documents")
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    f = d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_raw"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_words_raw"),
+        F.size(F.expr(r"regexp_extract_all(text, '[.,!?;:]', 0)")).alias("n_punct"),
+        F.size(F.expr(f"filter(split(trim(text), ' '), w -> w IN ({stop_list}))")).alias("n_stop"),
+    )
+    nc = F.col("n_chars_raw").cast("double")
+    nw = F.col("n_words_raw").cast("double")
+    mwl = nc / nw
+    return f.select(
+        "doc_id",
+        F.col("n_chars_raw").cast("int").alias("n_chars"),
+        F.col("n_words_raw").cast("int").alias("n_words"),
+        F.round(mwl, 4).alias("mean_word_len"),
+        F.round(F.col("n_punct") / nc, 6).alias("punct_ratio"),
+        F.round(F.col("n_stop") / nw, 4).alias("stop_ratio"),
+        F.when((F.col("n_words_raw") >= 20) & mwl.between(3, 12), 1).otherwise(0).alias("is_quality"),
+    )
+
+
+@q(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+           substring(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 4)
+             AS fp_bucket
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf):
+    d = t(spark, sf, "documents")
+    norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fp"),
+        F.substring(F.md5(norm), 1, 4).alias("fp_bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "dedup_exact",
+    oracle=f"""
+    WITH {_DUP_CTE}
+    SELECT md5(text) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM dup GROUP BY md5(text) HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact(spark, sf):
+    # exact dedup: hash-groupBy on content hash (map-side partial agg free)
+    d = _dup_docs(spark, sf)
+    return (
+        d.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@q(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    {_GRAMS_CTE},
+    sizes AS (SELECT doc_id, len(gset) AS sz FROM grams),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM (SELECT doc_id, unnest(gset) AS g FROM grams) a
+      JOIN (SELECT doc_id, unnest(gset) AS g FROM grams) b
+        ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark, sf):
+    # near-dup via word-3-gram Jaccard: explode gram sets, candidate pairs
+    # by shared gram (inverted index join), exact jaccard filter
+    g = _grams_df(spark, sf)
+    sizes = g.select("doc_id", F.size("gset").alias("sz"))
+    ex = g.select("doc_id", F.explode("gset").alias("g"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("inter").cast("double") / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@q(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    {_GRAMS_CTE},
+    keyed AS (
+      SELECT doc_id, md5(array_to_string(list_sort(gset), CHR(31))) AS h
+      FROM grams WHERE len(gset) > 0
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM keyed a JOIN keyed b ON a.h = b.h AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark, sf):
+    """MinHash (32 perms via xxhash64 seeds) + LSH banding (8 bands × 4
+    rows) → candidate pairs → exact-Jaccard verification at τ=1.0.
+
+    τ=1.0 keeps the oracle exact: identical gram sets ⟺ identical
+    signatures ⟹ the banding NEVER misses such a pair, and the final
+    verification removes every band collision — so the output equals
+    "pairs with equal gram sets", which ANSI SQL can express.  Lower
+    thresholds use the same plan with the jaccard filter relaxed
+    (probabilistic recall — see tests/test_dedup.py for the recall
+    property at τ=0.8).
+    """
+    g = _grams_df(spark, sf).filter(F.size("gset") > 0)
+    sig = g.withColumn(
+        "sig",
+        F.expr(
+            "transform(sequence(0, 31), "
+            "i -> array_min(transform(gset, gg -> xxhash64(gg, i))))"
+        ),
+    )
+    bands = sig.select(
+        "doc_id",
+        "gset",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 7), b -> "
+                "named_struct('band', b, 'bh', xxhash64(slice(sig, b * 4 + 1, 4))))"
+            )
+        ).alias("bb"),
+    ).select("doc_id", "gset", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.gset").alias("gs_a"),
+            F.col("b.gset").alias("gs_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jac = F.size(F.array_intersect("gs_a", "gs_b")) / F.size(F.array_union("gs_a", "gs_b"))
+    return cand.filter(jac >= 1.0).select("doc_a", "doc_b")
+
+
+@q("dedup_simhash")  # sketch is hash-seed-specific → rows-only by design
+def dedup_simhash(spark, sf):
+    """SimHash near-dup sketch as an Arrow-vectorized pandas UDF (numpy
+    bit-bucketing per batch; no per-row Python loops over tokens beyond
+    the tokenizer split).  Verified against duplicate-pair recall in
+    tests/test_dedup.py."""
+
+    @F.pandas_udf("long")
+    def simhash64(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.uint64)
+        for i, txt in enumerate(texts):
+            words = (txt or "").split()
+            if not words:
+                continue
+            hs = np.array(
+                [int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+                 for w in set(words)],
+                dtype=np.uint64,
+            )
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+            acc = np.where(bits.sum(axis=0) * 2 >= len(hs), 1, 0).astype(np.uint64)
+            out[i] = (acc << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
+        return pd.Series(out.astype(np.int64))
+
+    d = _dup_docs(spark, sf).withColumn("sh", simhash64("text"))
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # band the 64-bit sketch into 4×16-bit keys: near-dups (hamming ≤ 3)
+    # must collide on ≥ 1 band — classic SimHash blocking, avoids O(n²)
+    def band(col, k):
+        return F.shiftrightunsigned(col, k * 16).bitwiseAND(F.lit(0xFFFF))
+
+    pairs = None
+    for k in range(4):
+        ab = a.withColumn("bk", band(F.col("sh_a"), k)).join(
+            b.withColumn("bk", band(F.col("sh_b"), k)), ["bk"]
+        ).filter(F.col("doc_a") < F.col("doc_b")).drop("bk")
+        pairs = ab if pairs is None else pairs.unionByName(ab)
+    pairs = pairs.dropDuplicates(["doc_a", "doc_b"])
+    # hamming distance via popcount of xor (bit_count is JVM-side)
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.filter(ham <= 3).select("doc_a", "doc_b", ham.alias("hamming"))

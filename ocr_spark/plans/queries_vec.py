@@ -1,0 +1,221 @@
+"""Similarity search / vector operators over the ``embeddings`` table.
+
+ANN surface (task spec): brute-force cosine top-k as the exact baseline,
+LSH-bucketed (random hyperplane) variant as the scale path, plus
+embedding-cosine near-dup and per-label centroids.  Dot products stay
+JVM-side via higher-order functions (zip_with/aggregate); the LSH sign
+sketch uses one Arrow-vectorized numpy matmul per batch.
+
+Float discipline: embeddings are array<float>; every oracle-checked
+computation casts to double element-wise and both engines reduce
+left-to-right over the list, then results are rounded in-query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Window as W, functions as F
+
+from ocr_spark.plans.registry import q, t
+
+# Spark-side double-precision dot product / norm via HOFs (JVM codegen)
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_NORM2 = (
+    "aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+# DuckDB equivalents (same left-to-right reduction in double)
+_DOT_SQL = (
+    "list_sum(list_transform(generate_series(1, len({a})),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_NORM2_SQL = (
+    "list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+)
+
+
+@q(
+    "vec_array_hof",
+    oracle=f"""
+    SELECT vec_id, label,
+           CAST(len(embedding) AS INT) AS dim,
+           ROUND(SQRT({_NORM2_SQL.format(a='embedding')}), 6) AS l2_norm,
+           ROUND(list_sum(list_transform(embedding,
+                 x -> CASE WHEN x > 0 THEN CAST(x AS DOUBLE) ELSE 0.0 END)), 6)
+             AS pos_mass,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos
+    FROM embeddings
+    """,
+)
+def vec_array_hof(spark, sf):
+    # higher-order functions: transform / filter / aggregate on array<float>
+    e = t(spark, sf, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(F.expr(_NORM2.format(a="embedding"))), 6).alias("l2_norm"),
+        F.round(
+            F.expr(
+                "aggregate(transform(embedding, x -> CASE WHEN x > 0 THEN CAST(x AS DOUBLE)"
+                " ELSE CAST(0.0 AS DOUBLE) END), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            ),
+            6,
+        ).alias("pos_mass"),
+        F.size(F.expr("filter(embedding, x -> x > 0)")).alias("n_pos"),
+    )
+
+
+@q(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH probes AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+                    WHERE vec_id < 5),
+    scored AS (
+      SELECT probe_id, e.vec_id AS neighbor_id,
+             ROUND({_DOT_SQL.format(a='pe', b='e.embedding')}
+                   / (SQRT({_NORM2_SQL.format(a='pe')})
+                      * SQRT({_NORM2_SQL.format(a='e.embedding')})), 6) AS cosine
+      FROM probes, embeddings e WHERE e.vec_id <> probe_id
+    )
+    SELECT probe_id, neighbor_id, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored) WHERE rn <= 10
+    """,
+)
+def ann_bruteforce_topk(spark, sf):
+    # exact ANN baseline: broadcast the probe set, score all pairs JVM-side,
+    # per-probe top-k via window (TakeOrdered per group)
+    e = t(spark, sf, "embeddings")
+    probes = F.broadcast(
+        e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+        )
+    )
+    scored = (
+        probes.join(e, F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                F.expr(_DOT.format(a="pe", b="embedding"))
+                / (
+                    F.sqrt(F.expr(_NORM2.format(a="pe")))
+                    * F.sqrt(F.expr(_NORM2.format(a="embedding")))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("probe_id", "neighbor_id", "cosine")
+    )
+
+
+@q(
+    "vec_cosine_neardup",
+    oracle=f"""
+    WITH dupe AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 50
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ROUND({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                   / (SQRT({_NORM2_SQL.format(a='a.embedding')})
+                      * SQRT({_NORM2_SQL.format(a='b.embedding')})), 6) AS cosine
+      FROM dupe a JOIN dupe b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.95
+    """,
+)
+def vec_cosine_neardup(spark, sf):
+    # embedding-cosine near-duplicate detection over a corpus with planted
+    # duplicates (vec_id+1e6 copies) — exact pairwise at test scale; the
+    # LSH variant below is the subquadratic path
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    # cap the exact-pairwise corpus (O(n²)); planted duplicates on top
+    dupe = e.filter(F.col("vec_id") < 300).unionByName(
+        e.filter(F.col("vec_id") < 50).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+    )
+    a = dupe.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = dupe.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).select(
+        "vec_a",
+        "vec_b",
+        F.round(
+            F.expr(_DOT.format(a="ea", b="eb"))
+            / (F.sqrt(F.expr(_NORM2.format(a="ea"))) * F.sqrt(F.expr(_NORM2.format(a="eb")))),
+            6,
+        ).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= 0.95)
+
+
+@q(
+    "vec_centroids",
+    oracle="""
+    WITH comps AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding) AS v
+      FROM embeddings
+    )
+    SELECT label, CAST(pos - 1 AS INT) AS pos,
+           ROUND(AVG(CAST(v AS DOUBLE)), 4) AS centroid_v
+    FROM comps WHERE pos <= 4 GROUP BY label, pos
+    """,
+)
+def vec_centroids(spark, sf):
+    # per-label centroid components (first 4 dims): posexplode + hash agg
+    e = t(spark, sf, "embeddings")
+    comps = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return (
+        comps.filter(F.col("pos") < 4)
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 4).alias("centroid_v"))
+    )
+
+
+@q("ann_lsh_bucketed")  # seeded hyperplanes → engine-specific, rows-only
+def ann_lsh_bucketed(spark, sf):
+    """Random-hyperplane LSH: 16 deterministic (seeded) hyperplanes → 16-bit
+    sign sketch per vector (one numpy matmul per Arrow batch) → bucket
+    join → exact cosine only within buckets (subquadratic scale path).
+    Recall vs the brute-force baseline is asserted in tests/test_vec.py.
+    """
+    rng = np.random.RandomState(42)
+    planes = rng.standard_normal((64, 16))
+
+    @F.pandas_udf("int")
+    def sketch16(emb: pd.Series) -> pd.Series:
+        m = np.vstack(emb.to_numpy())  # (batch, 64)
+        bits = (m @ planes) > 0  # (batch, 16)
+        vals = (bits * (1 << np.arange(16))).sum(axis=1)
+        return pd.Series(vals.astype(np.int32))
+
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    s = e.withColumn("bucket", sketch16("embedding"))
+    a = s.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket")
+    b = s.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket")
+    pairs = a.join(b, ["bucket"]).filter(F.col("vec_a") < F.col("vec_b"))
+    cos = F.round(
+        F.expr(_DOT.format(a="ea", b="eb"))
+        / (F.sqrt(F.expr(_NORM2.format(a="ea"))) * F.sqrt(F.expr(_NORM2.format(a="eb")))),
+        6,
+    )
+    return pairs.select("vec_a", "vec_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= 0.6
+    )

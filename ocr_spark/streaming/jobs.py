@@ -1,0 +1,164 @@
+"""Structured Streaming surface (SURVEY.md §2.3).
+
+Streams are first-class in the engine: the ``events`` table can be
+consumed as a file stream with watermarked tumbling / sliding / session
+windows and stateful dedup, and the extraction pipeline itself runs as a
+micro-batch stream (``stream_extract``) with exactly-once sink commits
+via the manifest table — one manifest run per micro-batch, idempotent
+under Spark's foreachBatch retries.
+
+Everything is the built-in Structured Streaming operator set —
+``readStream`` → stateless/stateful transformations → ``writeStream`` —
+so watermark handling, state store management, and incremental
+execution come from Spark, not hand-rolled code.  Batch twins of the
+window aggregations (oracle-checked against DuckDB) live in
+plans/queries_rel.py; tests/test_streaming.py asserts stream ≡ batch.
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ocr_spark.config import DEFAULT, ExtractConfig
+from ocr_spark.operators.extract import extract_stage
+from ocr_spark.operators.skew import with_bucket
+from ocr_spark.sources.formats import ParquetManifestTable
+
+
+def events_stream(spark: SparkSession, src_dir: str,
+                  max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over a directory of events parquet files.
+    Schema is pinned from a static read (file streams require it)."""
+    schema = spark.read.parquet(src_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(src_dir)
+    # watermarks require TIMESTAMP (with zone); parquet ts is NTZ —
+    # reinterpret as session-local wall clock
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def tumbling_counts(stream: DataFrame, window: str = "10 minutes",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window count/sum per event_type."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type", "n", "total",
+        )
+    )
+
+
+def sliding_counts(stream: DataFrame, window: str = "10 minutes",
+                   slide: str = "5 minutes",
+                   watermark: str = "10 minutes") -> DataFrame:
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n", "total",
+        )
+    )
+
+
+def session_agg(stream: DataFrame, gap: str = "30 minutes",
+                watermark: str = "30 minutes") -> DataFrame:
+    """Gap-based session windows per user (built-in session_window state
+    merging — the streaming twin of the batch lag/cumsum sessionizer)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("session_value"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events", "session_value",
+        )
+    )
+
+
+def dedup_within_watermark(stream: DataFrame,
+                           watermark: str = "10 minutes") -> DataFrame:
+    """Stateful exactly-once event stream: duplicate event_ids arriving
+    within the watermark horizon are dropped; state for ids older than
+    the horizon is evicted (bounded state at 10^12-event scale)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_available_now(sdf: DataFrame, checkpoint: str,
+                      output_mode: str = "append",
+                      name: str | None = None) -> DataFrame:
+    """Drain everything currently available through the streaming plan
+    into an in-memory sink; returns the result as a batch DataFrame.
+    Used by tests and the oracle harness (stream ≡ batch checks)."""
+    name = name or f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+def stream_extract(spark: SparkSession, docs_dir: str, out_table: str,
+                   checkpoint: str, cfg: ExtractConfig = DEFAULT,
+                   num_partitions: int | None = None) -> None:
+    """The extraction pipeline as a Structured Streaming job: new
+    interleaved-document parquet files landing in ``docs_dir`` are
+    extracted incrementally and committed to the manifest table with
+    exactly-once semantics.
+
+    Sink protocol per micro-batch (run_id = batch id):
+      * batch already in the manifest → Spark retried a committed batch →
+        no-op;
+      * stale uncommitted run dir (crash between write and commit) →
+        removed, then rewritten — commits are whole-batch atomic, so a
+        run_id is either fully committed or absent.
+    """
+    schema = spark.read.parquet(docs_dir).schema
+    tbl = ParquetManifestTable(out_table)
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        run_id = f"batch{batch_id:09d}"
+        if run_id in tbl.committed_runs():
+            return  # retried, already-committed micro-batch
+        shutil.rmtree(tbl.run_dir(run_id), ignore_errors=True)
+        docs = with_bucket(batch_df.select("doc_id", "spans"), cfg)
+        clustered = docs.repartition(n_parts, "bucket")
+        extracted = with_bucket(extract_stage(clustered, cfg), cfg).withColumns({
+            "doc_hash": F.xxhash64("doc_id", F.to_json("spans")),
+            "n_spans": F.size("spans"),
+        })
+        wave_dir = tbl.write_wave(extracted, run_id)
+        from ocr_spark.plans.pipeline import _wave_lineage
+
+        import time as _time
+        watermark = _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime())
+        tbl.commit(_wave_lineage(spark, wave_dir, run_id, watermark),
+                   append_runs=True)
+
+    q = (
+        spark.readStream.schema(schema).parquet(docs_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -26,11 +26,13 @@ def main() -> None:
     ap.add_argument("--input", required=True, help="parquet path or synthetic:N")
     ap.add_argument("--output", required=True, help="output table root (or iceberg:<ident>)")
     ap.add_argument("--partitions", type=int, default=None)
-    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--buckets", type=int, default=256)
     ap.add_argument("--wave-size", type=int, default=None)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--fail-after-waves", type=int, default=None,
                     help="test hook: crash after N committed waves")
+    ap.add_argument("--warmup", action="store_true",
+                    help="spin up UDF workers before the throughput timer")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -52,7 +54,7 @@ def main() -> None:
     metrics = run_extract(
         spark, docs, args.output, cfg=cfg,
         num_partitions=args.partitions, wave_size=args.wave_size,
-        fail_after_waves=args.fail_after_waves,
+        fail_after_waves=args.fail_after_waves, warmup=args.warmup,
     )
     print(json.dumps(metrics))
     spark.stop()

@@ -1,0 +1,192 @@
+"""Structured Streaming semantics (SURVEY.md §2.3 + §5).
+
+Strategy: every streaming op is checked for stream ≡ batch equivalence
+(drain the stream with an availableNow trigger into a memory sink and
+compare against the equivalent batch DataFrame on the same input), plus
+the two purely-streaming behaviors batch can't express — late-data drop
+beyond the watermark, and exactly-once sink commits across micro-batch
+retries / restarts.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.streaming import (
+    dedup_within_watermark,
+    events_stream,
+    run_available_now,
+    session_agg,
+    stream_extract,
+    tumbling_counts,
+)
+
+
+@pytest.fixture()
+def events_dir(spark, sf_dir, tmp_path) -> str:
+    src = str(tmp_path / "events_src")
+    os.makedirs(src)
+    for f in glob.glob(f"{sf_dir}/events.parquet/*.parquet") or [
+        f"{sf_dir}/events.parquet"
+    ]:
+        shutil.copy(f, src)
+    return src
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark, events_dir, tmp_path):
+    stream = events_stream(spark, events_dir)
+    # complete mode: the full aggregate is (re)emitted, so the drained
+    # table equals the batch aggregate over all input regardless of
+    # where the watermark ends up
+    got = run_available_now(
+        tumbling_counts(stream), str(tmp_path / "ck"), output_mode="complete"
+    )
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type", "n", "total",
+        )
+    )
+    cols = ["win_start", "event_type", "n"]
+    assert _rows(got, cols) == _rows(batch, cols)
+
+
+def test_session_stream_covers_all_events(spark, events_dir, tmp_path):
+    stream = events_stream(spark, events_dir)
+    got = run_available_now(
+        session_agg(stream), str(tmp_path / "ck"), output_mode="complete"
+    )
+    # session_window merges by gap: total events conserved, and the
+    # per-user session count matches the batch lag/cumsum sessionizer
+    total = got.agg(F.sum("n_events")).collect()[0][0]
+    n_input = spark.read.parquet(events_dir).count()
+    assert total == n_input
+    batch_sessions = (
+        spark.read.parquet(events_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn(
+            "prev",
+            F.lag("ts").over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ),
+        )
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev").isNull()
+                | (F.unix_micros("ts") - F.unix_micros("prev") > 30 * 60 * 1_000_000),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("is_new").alias("n_sessions"))
+    )
+    got_sessions = got.groupBy("user_id").agg(F.count("*").alias("n_sessions"))
+    cols = ["user_id", "n_sessions"]
+    assert _rows(got_sessions, cols) == _rows(batch_sessions, cols)
+
+
+def test_dedup_drops_late_duplicates(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ck = str(tmp_path / "ck")
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, value double"
+        ).coalesce(1).write.mode("append").parquet(src)
+        # distinct file per call; the stream picks up whatever is new
+
+    import datetime as dt
+
+    sink = str(tmp_path / "sink")
+
+    def drain():
+        # durable sink: memory sinks cannot recover a checkpoint, and the
+        # watermark must survive between the two availableNow runs
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            dedup_within_watermark(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink)
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    # batch 1: events at t0..t0+2, plus a far-future event advancing the
+    # watermark (10 min delay) well past t0
+    write_batch("a", [
+        (1, t0, 1.0), (2, t0 + m, 1.0), (3, t0 + 2 * m, 1.0),
+        (4, t0 + dt.timedelta(hours=2), 1.0),
+    ])
+    assert drain().count() == 4
+
+    # batch 2: a duplicate of event 1 arriving hours late (event-time far
+    # behind the watermark) plus one genuinely new in-horizon event —
+    # the late duplicate must be dropped, the new event kept
+    write_batch("b", [
+        (1, t0, 99.0),
+        (5, t0 + dt.timedelta(hours=2, minutes=1), 1.0),
+    ])
+    out2 = drain()
+    assert out2.count() == 5
+    assert out2.filter(F.col("event_id") == 1).count() == 1, "late dup not dropped"
+    assert out2.filter(F.col("event_id") == 5).count() == 1
+
+
+def test_stream_extract_equals_batch_and_is_exactly_once(spark, tmp_path):
+    from ocr_spark.plans.pipeline import extract_dataframe
+    from ocr_spark.sources.corpus import generate_interleaved
+    from ocr_spark.sources.formats import ParquetManifestTable
+
+    src = str(tmp_path / "docs_src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    docs = generate_interleaved(spark, 60, seed=7, partitions=4)
+    docs.write.mode("append").parquet(src)
+
+    stream_extract(spark, src, out, ck, num_partitions=8)
+    got = ParquetManifestTable(out).read(spark)
+    want = extract_dataframe(spark.read.parquet(src))
+    key = lambda df: sorted(
+        (r["doc_id"], r["j"]) for r in
+        df.select("doc_id", F.to_json("spans").alias("j")).collect()
+    )
+    assert key(got) == key(want)
+
+    # restart with nothing new → no duplicate rows, no new manifest runs
+    runs_before = ParquetManifestTable(out).committed_runs()
+    stream_extract(spark, src, out, ck, num_partitions=8)
+    assert ParquetManifestTable(out).committed_runs() == runs_before
+    assert key(ParquetManifestTable(out).read(spark)) == key(want)
+
+    # second wave of NEW docs appended to the source → incremental
+    # extraction, union of both waves visible, first wave not recomputed
+    more = generate_interleaved(spark, 30, seed=8, partitions=2).withColumn(
+        "doc_id", F.concat(F.lit("w2_"), "doc_id")
+    )
+    more.write.mode("append").parquet(src)
+    stream_extract(spark, src, out, ck, num_partitions=8)
+    got2 = ParquetManifestTable(out).read(spark)
+    assert got2.count() == 90
+    assert len(ParquetManifestTable(out).committed_runs()) > len(runs_before)

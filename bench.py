@@ -97,7 +97,7 @@ def main() -> None:
     from ocr_spark.plans.pipeline import run_extract
     from ocr_spark.sources.corpus import generate_interleaved
 
-    n_docs = max(300, int(30000 * sf)) if sf > 0 else 1000
+    n_docs = max(300, int(100000 * sf)) if sf > 0 else 1000
     out = tempfile.mkdtemp(prefix="bench_extract_")
     try:
         docs = generate_interleaved(spark, n_docs, seed=42, partitions=cpus)

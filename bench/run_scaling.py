@@ -76,6 +76,10 @@ def main() -> None:
     # real cluster's distributed storage doesn't, so keep it out of the
     # measurement (both levels use the same storage either way)
     ap.add_argument("--workdir", default="/dev/shm/ocr_spark_scaling")
+    ap.add_argument("--levels", type=int, nargs=2, default=(8, 32),
+                    metavar=("N", "4N"),
+                    help="core counts for the two cluster-size proxies; "
+                         "must be 1:4 (e.g. 2 8, 8 32)")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -90,26 +94,28 @@ def main() -> None:
     # The sandbox VM's throughput drifts in minutes-long windows (hypervisor
     # contention), so levels are run in adjacent PAIRS and the efficiency is
     # taken from the best pair — never from two runs in different windows.
+    lo, hi = args.levels
+    assert hi == 4 * lo, "levels must be N and 4N"
     pairs: list[tuple[dict, dict]] = []
     for r in range(args.repeats):
         ms = {}
-        for cores in (8, 32):
+        for cores in (lo, hi):
             out = os.path.join(args.workdir, f"out_{cores}_{r}")
             shutil.rmtree(out, ignore_errors=True)
             ms[cores] = _run_level(cores, corpus, out, zip_path)
-        pairs.append((ms[8], ms[32]))
-        eff_r = ms[32]["docs_per_sec"] / (4 * ms[8]["docs_per_sec"])
+        pairs.append((ms[lo], ms[hi]))
+        eff_r = ms[hi]["docs_per_sec"] / (4 * ms[lo]["docs_per_sec"])
         sys.stderr.write(
-            f"pair {r}: local8={ms[8]['docs_per_sec']} local32="
-            f"{ms[32]['docs_per_sec']} docs/s eff={eff_r:.3f}\n"
+            f"pair {r}: local{lo}={ms[lo]['docs_per_sec']} local{hi}="
+            f"{ms[hi]['docs_per_sec']} docs/s eff={eff_r:.3f}\n"
         )
 
-    best8, best32 = max(
+    best_lo, best_hi = max(
         pairs, key=lambda p: p[0]["docs_per_sec"] + p[1]["docs_per_sec"]
     )
-    results = {8: best8, 32: best32}
-    eff_docs = results[32]["docs_per_sec"] / (4 * results[8]["docs_per_sec"])
-    eff_spans = results[32]["spans_per_sec"] / (4 * results[8]["spans_per_sec"])
+    results = {lo: best_lo, hi: best_hi}
+    eff_docs = results[hi]["docs_per_sec"] / (4 * results[lo]["docs_per_sec"])
+    eff_spans = results[hi]["spans_per_sec"] / (4 * results[lo]["spans_per_sec"])
     all_effs = [
         round(p32["docs_per_sec"] / (4 * p8["docs_per_sec"]), 3)
         for p8, p32 in pairs
@@ -120,8 +126,9 @@ def main() -> None:
         "unit": "ratio",
         "pass_0.8": eff_docs >= 0.8,
         "docs": args.docs,
-        "local8": results[8],
-        "local32": results[32],
+        "levels": [lo, hi],
+        f"local{lo}": results[lo],
+        f"local{hi}": results[hi],
         "eff_spans": round(eff_spans, 3),
         "pair_efficiencies": all_effs,
     }
@@ -134,8 +141,8 @@ def main() -> None:
 
 North-rule scaling criterion (BASELINE.json:2/:14): throughput(4N) /
 (4·throughput(N)) ≥ **0.8** across two cluster sizes. In-sandbox proxy
-(driver instruction): identical job + identical input at `local[8]` (N)
-vs `local[32]` (4N) on the 32-core host, each in a fresh JVM via
+(driver instruction): identical job + identical input at `local[{lo}]` (N)
+vs `local[{hi}]` (4N) on the 32-core host, each in a fresh JVM via
 `spark-submit --py-files ocr_spark.zip` (the production packaging).
 
 - Input: {args.docs} fixed-seed synthetic interleaved docs
@@ -148,13 +155,13 @@ vs `local[32]` (4N) on the 32-core host, each in a fresh JVM via
 
 | parallelism | docs/sec | spans/sec | elapsed (s) |
 | --- | --- | --- | --- |
-| local[8]  (N)  | {results[8]["docs_per_sec"]} | {results[8]["spans_per_sec"]} | {results[8]["elapsed_sec"]} |
-| local[32] (4N) | {results[32]["docs_per_sec"]} | {results[32]["spans_per_sec"]} | {results[32]["elapsed_sec"]} |
+| local[{lo}]  (N)  | {results[lo]["docs_per_sec"]} | {results[lo]["spans_per_sec"]} | {results[lo]["elapsed_sec"]} |
+| local[{hi}] (4N) | {results[hi]["docs_per_sec"]} | {results[hi]["spans_per_sec"]} | {results[hi]["elapsed_sec"]} |
 
 **Scaling efficiency (docs/sec): `{eff_docs:.3f}`** — {"PASS" if eff_docs >= 0.8 else "FAIL"} vs the 0.8 gate.
 Scaling efficiency (spans/sec): `{eff_spans:.3f}`.
 
-Reproduce: `python bench/run_scaling.py --docs {args.docs}`.
+Reproduce: `python bench/run_scaling.py --docs {args.docs} --levels {lo} {hi}`.
 """)
     sys.stderr.write(f"wrote {md}\n")
 

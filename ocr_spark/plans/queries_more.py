@@ -1,0 +1,176 @@
+"""Additional operator coverage: statistical aggregates, exact
+percentiles, sink round-trips (parquet/csv/json), and the Structured
+Streaming drain checked against the batch oracle.
+
+Same cross-engine parity conventions as queries_rel.py.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from ocr_spark.plans.registry import q, t
+
+# ---------------------------------------------------------------------------
+# statistical aggregates
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "agg_stats",
+    oracle="""
+    SELECT c_nationkey,
+           ROUND(STDDEV_SAMP(c_acctbal), 4) AS sd_bal,
+           ROUND(VAR_SAMP(c_acctbal), 2) AS var_bal,
+           ROUND(AVG(c_acctbal), 4) AS avg_bal,
+           ROUND(MIN(c_acctbal), 2) AS min_bal,
+           ROUND(MAX(c_acctbal), 2) AS max_bal
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def agg_stats(spark, sf):
+    c = t(spark, sf, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
+        F.round(F.var_samp("c_acctbal"), 2).alias("var_bal"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+
+
+@q(
+    "agg_corr",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(CORR(o_totalprice, o_custkey), 4) AS c1,
+           ROUND(COVAR_SAMP(o_totalprice, o_custkey), 0) AS cv
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_corr(spark, sf):
+    o = t(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.corr("o_totalprice", F.col("o_custkey").cast("double")), 4).alias("c1"),
+        F.round(F.covar_samp("o_totalprice", F.col("o_custkey").cast("double")), 0).alias("cv"),
+    )
+
+
+@q(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+           ROUND(quantile_disc(l_extendedprice, 0.5), 2) AS p50_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark, sf):
+    # exact percentiles (linear-interpolated + discrete) — both engines
+    # implement the same ANSI definitions
+    li = t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+        F.round(F.expr("percentile_approx(l_extendedprice, 0.5, 2147483647)"), 2).alias("p50_disc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sink round-trips: the engine's own write path is part of the surface
+# ---------------------------------------------------------------------------
+
+
+def _roundtrip(df, fmt: str, read_opts=None, write_opts=None):
+    """Write with the engine, read back with the engine — the oracle sees
+    the original table, so the check proves lossless round-trip."""
+    out = os.path.join(tempfile.gettempdir(), f"rt_{fmt}_{uuid.uuid4().hex[:8]}")
+    w = df.write.mode("overwrite")
+    for k, v in (write_opts or {}).items():
+        w = w.option(k, v)
+    getattr(w, "format")(fmt).save(out)
+    r = df.sparkSession.read
+    for k, v in (read_opts or {}).items():
+        r = r.option(k, v)
+    return r.format(fmt).schema(df.schema).load(out)
+
+
+_RT_SQL = """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 10 = 0
+"""
+
+
+@q("sink_roundtrip_parquet", oracle=_RT_SQL)
+def sink_roundtrip_parquet(spark, sf):
+    o = t(spark, sf, "orders").filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    return _roundtrip(o, "parquet")
+
+
+@q("sink_roundtrip_csv", oracle=_RT_SQL)
+def sink_roundtrip_csv(spark, sf):
+    o = t(spark, sf, "orders").filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    return _roundtrip(o, "csv", write_opts={"header": "true"},
+                      read_opts={"header": "true"})
+
+
+@q("sink_roundtrip_json", oracle=_RT_SQL)
+def sink_roundtrip_json(spark, sf):
+    o = t(spark, sf, "orders").filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    return _roundtrip(o, "json")
+
+
+# ---------------------------------------------------------------------------
+# streaming drain ≡ batch (the §2.3 surface, oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "streaming_tumbling_window",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S')
+             AS win_start,
+           event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_window(spark, sf):
+    """The events table consumed through an actual Structured Streaming
+    plan (file stream → watermark → windowed agg → availableNow drain
+    into a memory sink), returned as a batch DataFrame.  Proving the
+    streaming operator against the same DuckDB oracle as the batch twin
+    is the strongest stream-semantics check SQL can express."""
+    import glob
+    import shutil
+
+    from ocr_spark.streaming import events_stream, run_available_now
+
+    # file streams need a directory source
+    tmp = tempfile.mkdtemp(prefix="stream_events_")
+    src = f"{sf}/events.parquet"
+    files = glob.glob(f"{src}/*.parquet") or [src]
+    for f in files:
+        shutil.copy(f, tmp)
+    stream = events_stream(spark, tmp)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type", "n",
+        )
+    )
+    ck = tempfile.mkdtemp(prefix="stream_ck_")
+    return run_available_now(agg, ck, output_mode="complete")

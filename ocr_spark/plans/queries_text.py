@@ -56,8 +56,16 @@ def _dup_docs(spark, sf):
 
 
 def _grams_df(spark, sf):
-    """doc_id + distinct word-3-gram set (array<string>) — built-ins only."""
-    d = _dup_docs(spark, sf)
+    """doc_id + distinct word-3-gram set (array<string>) — built-ins only.
+
+    The raw docs are repartitioned BEFORE the gram expression: at small
+    SF the table is one parquet file, so without this every downstream
+    consumer would evaluate the (expensive) 3-gram construction at
+    single-file parallelism; shuffling 10k short texts is far cheaper
+    than serializing the gram build."""
+    d = _dup_docs(spark, sf).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     # guard: sequence(0, n) with n < 0 would DESCEND in Spark — emit an
     # empty gram set for docs with < 3 tokens instead
     return d.select(
@@ -294,23 +302,33 @@ def dedup_minhash_lsh(spark, sf):
     property at τ=0.8).
     """
     g = _grams_df(spark, sf).filter(F.size("gset") > 0)
-    sig = g.withColumn(
-        "sig",
-        F.expr(
-            "transform(sequence(0, 31), "
-            "i -> array_min(transform(gset, gg -> xxhash64(gg, i))))"
-        ),
-    )
+    # Signature via explode + 32-way min aggregation rather than nested
+    # HOFs over the gram array: Catalyst's project-collapse would inline
+    # the whole 3-gram construction into the per-permutation lambda
+    # (gram set recomputed 32x per doc), and a narrow downstream join
+    # side can get BROADCAST, which evaluates that subtree at the
+    # scan's file parallelism (1 file at small SF).  The explode/groupBy
+    # shape computes every gram ONCE, hashes it 32x (cheap), aggregates
+    # map-side (partial min), and its shuffle redistributes work evenly
+    # regardless of input file layout.
+    ex = g.select("doc_id", F.explode("gset").alias("gram"))
+    sig = ex.groupBy("doc_id").agg(*[
+        F.min(F.xxhash64("gram", F.lit(i))).alias(f"m{i}") for i in range(32)
+    ])
+    # banding rows stay NARROW (doc_id, band, bh): shuffling the gram-set
+    # arrays 8x through the band self-join was the dominant cost at scale;
+    # the sets are re-attached to the (deduplicated, much smaller)
+    # candidate list by two slim hash joins for exact verification
     bands = sig.select(
         "doc_id",
-        "gset",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 7), b -> "
-                "named_struct('band', b, 'bh', xxhash64(slice(sig, b * 4 + 1, 4))))"
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"m{b * 4 + j}") for j in range(4)]).alias("bh"),
             )
-        ).alias("bb"),
-    ).select("doc_id", "gset", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+            for b in range(8)
+        ])).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -320,16 +338,14 @@ def dedup_minhash_lsh(spark, sf):
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.gset").alias("gs_a"),
-            F.col("b.gset").alias("gs_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("gset").alias("gs_a"))
+    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("gset").alias("gs_b"))
+    pairs = cand.join(ga, "doc_a").join(gb, "doc_b")
     jac = F.size(F.array_intersect("gs_a", "gs_b")) / F.size(F.array_union("gs_a", "gs_b"))
-    return cand.filter(jac >= 1.0).select("doc_a", "doc_b")
+    return pairs.filter(jac >= 1.0).select("doc_a", "doc_b")
 
 
 def with_simhash(df, text_col: str = "text", out: str = "sh"):
@@ -379,7 +395,13 @@ def dedup_simhash(spark, sf):
     Near-dups (hamming ≤ 3) must collide on ≥ 1 of the 4 16-bit bands
     (pigeonhole), so blocking loses no true pairs.
     """
-    sk = with_simhash(_dup_docs(spark, sf)).select("doc_id", "sh")
+    # repartition before the sketch: single-file inputs would otherwise
+    # compute the 64-bit majority vote at file parallelism, twice (once
+    # per self-join side)
+    d = _dup_docs(spark, sf).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    sk = with_simhash(d).select("doc_id", "sh")
     bands = sk.select(
         "doc_id",
         "sh",

@@ -40,6 +40,7 @@ def load_all() -> None:
     """Import every query module (side effect: fills QUERIES/ORACLES)."""
     from ocr_spark.plans import (  # noqa: F401
         queries_extract,
+        queries_more,
         queries_rel,
         queries_text,
         queries_vec,

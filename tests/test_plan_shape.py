@@ -1,0 +1,75 @@
+"""Physical-plan shape gates (SURVEY.md §3/§4: pin the expected plan).
+
+These don't execute data — they compile plans and assert the properties
+that matter at 100 TB: filters and projections reach the parquet scan,
+small dimensions broadcast, top-k plans as TakeOrderedAndProject, the
+extraction job has exactly ONE exchange and ONE Python stage, and no
+row-at-a-time Python evaluation exists anywhere in the surface.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_spark.plans import registry
+
+registry.load_all()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_scan_filter_prune_pushdown(spark, sf_dir):
+    plan = _formatted(registry.QUERIES["scan_filter_prune"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    # non-empty pushdown: at least one filter reached the scan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), "no filters pushed to parquet scan"
+    # projection pruned to the 3 selected columns + filter columns
+    rs = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "l_comment" not in rs and "l_partkey" not in rs
+
+
+def test_join_broadcast_plans_bhj(spark, sf_dir):
+    plan = _plan(registry.QUERIES["join_broadcast"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    plan = _plan(registry.QUERIES["sort_limit_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_extract_stage_single_exchange_single_python_stage(spark):
+    from ocr_spark.operators.extract import extract_stage
+    from ocr_spark.operators.skew import bucket_clustered_repartition, with_bucket
+    from ocr_spark.sources.corpus import generate_interleaved
+
+    docs = with_bucket(generate_interleaved(spark, 10, seed=1, partitions=2))
+    plan = _plan(extract_stage(bucket_clustered_repartition(docs, 4)))
+    assert plan.count("Exchange") == 1, f"expected exactly 1 shuffle:\n{plan}"
+    assert plan.count("MapInPandas") >= 1
+    # E3–E7 are fused: exactly one Python stage in the extract chain
+    # (corpus generation itself adds one more upstream of the exchange)
+    post_exchange = plan.split("Exchange", 1)[0]
+    assert post_exchange.count("MapInPandas") == 1
+
+
+@pytest.mark.parametrize("name", sorted(registry.QUERIES))
+def test_no_row_at_a_time_python(name, spark, sf_dir):
+    # BASELINE.json:15 — vectorized pandas/Arrow UDFs only, never udf()
+    if name == "streaming_tumbling_window":
+        pytest.skip("streaming query executes on construction")
+    plan = _plan(registry.QUERIES[name](spark, sf_dir))
+    assert "BatchEvalPython" not in plan, f"row-at-a-time Python UDF in {name}"

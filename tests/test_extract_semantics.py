@@ -1,0 +1,180 @@
+"""Per-document span-sequence correctness gate (SURVEY.md §5.1/§5.3/§5.4).
+
+The north-rule invariant — span-sequence equality (kind, text,
+media_ref, order) per document — is enforced three ways:
+
+1. GOLDEN: the distributed pipeline's output over the deterministic
+   synthetic corpus must equal tests/golden/extract_seed42_n120.json,
+   a frozen snapshot produced by the straight-line single-process
+   extractor. Any semantic drift in tokenizers/classifiers/stitching
+   breaks this loudly. (When the reference corpus materializes, these
+   goldens are to be swapped for reference outputs — SURVEY.md §0.)
+2. ORACLE: the same comparison recomputed live against extract_doc run
+   in-driver over plain dicts — catches partition/ordering/Arrow
+   round-trip bugs independent of the frozen file.
+3. PROPERTIES (hypothesis): dense 0..n-1 order, offset-monotone
+   restitch, media spans never dropped, pipeline output invariant
+   under input partitioning.
+
+Plus the restart gate: an injected mid-job crash + resume must be
+byte-identical to a single-shot run (E9/E10).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ocr_spark.config import DEFAULT
+from ocr_spark.functions.extract_core import extract_doc
+from ocr_spark.operators.extract import extract_stage
+from ocr_spark.sources.corpus import SPAN_SCHEMA_DDL, make_docs
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "extract_seed42_n120.json")
+N_GOLDEN, SEED = 120, 42
+
+
+def _canonical(extracted_rows) -> dict[str, list[list]]:
+    """doc_id -> [[kind, text, media_ref, order], ...] (order-sorted)."""
+    out = {}
+    for r in extracted_rows:
+        spans = sorted((s["order"], s) for s in r["spans"])
+        out[r["doc_id"]] = [
+            [s["kind"], s["text"], s["media_ref"], s["order"]] for _, s in spans
+        ]
+    return out
+
+
+def _reference_extraction() -> dict[str, list[list]]:
+    """Straight-line, single-process extraction of the synthetic corpus —
+    no Spark, no partitioning, no Arrow."""
+    res = {}
+    for d in make_docs(N_GOLDEN, seed=SEED, mega_every=40):
+        spans = extract_doc(d["doc_id"], d["spans"], DEFAULT)
+        res[d["doc_id"]] = [
+            [s["kind"], s["text"], s["media_ref"], s["order"]] for s in spans
+        ]
+    return res
+
+
+def _spark_extraction(spark, partitions: int) -> dict[str, list[list]]:
+    docs = spark.createDataFrame(
+        [(d["doc_id"], [tuple(s.values()) for s in d["spans"]])
+         for d in make_docs(N_GOLDEN, seed=SEED, mega_every=40)],
+        SPAN_SCHEMA_DDL,
+    ).repartition(partitions)
+    rows = extract_stage(docs).collect()
+    return _canonical([r.asDict(recursive=True) for r in rows])
+
+
+def test_golden_span_sequences(spark):
+    with open(GOLDEN) as f:
+        golden = json.load(f)
+    got = _spark_extraction(spark, partitions=7)
+    assert set(got) == set(golden)
+    mismatches = [d for d in golden if got[d] != golden[d]]
+    assert not mismatches, (
+        f"{len(mismatches)} docs diverge from golden; first: "
+        f"{mismatches[0]}: {got[mismatches[0]][:3]} vs {golden[mismatches[0]][:3]}"
+    )
+
+
+def test_live_oracle_span_sequences(spark):
+    want = _reference_extraction()
+    got = _spark_extraction(spark, partitions=13)
+    assert got == want
+
+
+def test_partitioning_invariance(spark):
+    assert _spark_extraction(spark, 1) == _spark_extraction(spark, 17)
+
+
+# ---------------------------------------------------------------------------
+# hypothesis properties over arbitrary span sequences (driver-side core)
+# ---------------------------------------------------------------------------
+
+_span = st.one_of(
+    st.tuples(st.just("text"), st.text(max_size=30), st.none()),
+    st.tuples(st.just("media"), st.none(), st.text(min_size=1, max_size=10)),
+    st.tuples(st.just("html"),
+              st.text(alphabet="<p>ab c</", max_size=40), st.none()),
+)
+
+
+@st.composite
+def _doc(draw):
+    spans = draw(st.lists(_span, max_size=12))
+    offs = draw(st.lists(st.integers(0, 1000),
+                         min_size=len(spans), max_size=len(spans)))
+    return [
+        {"kind": k, "text": t, "media_ref": m, "offset": o}
+        for (k, t, m), o in zip(spans, offs)
+    ]
+
+
+@given(_doc())
+@settings(max_examples=200, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_order_dense_and_kinds_consistent(spans):
+    out = extract_doc("d", spans, DEFAULT)
+    assert [o["order"] for o in out] == list(range(len(out)))
+    for o in out:
+        # exactly one of text/media_ref is set, matching the kind
+        assert (o["kind"] == "text") == (o["media_ref"] is None)
+        assert (o["kind"] == "media") == (o["text"] is None)
+
+
+@given(_doc())
+@settings(max_examples=200, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_media_spans_never_dropped(spans):
+    out = extract_doc("d", spans, DEFAULT)
+    # every input media span survives, in (offset, input-index) order
+    want_media = [
+        sp["media_ref"]
+        for _i, sp in sorted(enumerate(spans),
+                             key=lambda p: (p[1]["offset"], p[0]))
+        if sp["kind"] == "media"
+    ]
+    got_media = [o["media_ref"] for o in out if o["kind"] == "media"]
+    assert got_media == want_media
+
+
+# ---------------------------------------------------------------------------
+# restart / idempotency (E9/E10) inside pytest
+# ---------------------------------------------------------------------------
+
+
+def test_crash_restart_byte_identical(spark, tmp_path):
+    from ocr_spark.config import ExtractConfig
+    from ocr_spark.plans.pipeline import run_extract
+    from ocr_spark.sources.corpus import generate_interleaved
+    from ocr_spark.sources.formats import ParquetManifestTable
+
+    cfg = ExtractConfig(salt_buckets=16)
+    docs = generate_interleaved(spark, 150, seed=9, partitions=4)
+
+    single = str(tmp_path / "single")
+    run_extract(spark, docs, single, cfg=cfg, num_partitions=8)
+
+    crashy = str(tmp_path / "crashy")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_extract(spark, docs, crashy, cfg=cfg, num_partitions=8,
+                    wave_size=5, fail_after_waves=1)
+    m = run_extract(spark, docs, crashy, cfg=cfg, num_partitions=8, wave_size=5)
+    assert m["skipped_buckets"] == 5
+
+    key = lambda path: sorted(
+        (r["doc_id"], r["j"]) for r in ParquetManifestTable(path).read(spark)
+        .select("doc_id", F.to_json("spans").alias("j")).collect()
+    )
+    assert key(single) == key(crashy)
+
+    # a third run is a no-op (all buckets committed)
+    m2 = run_extract(spark, docs, crashy, cfg=cfg, num_partitions=8)
+    assert m2["docs"] == 0 and m2["skipped_buckets"] == 16

@@ -49,6 +49,8 @@ _ESC = {"\\": "\\", "(": "(", ")": ")", "n": "\n", "r": "\r", "t": "\t"}
 
 
 def _unescape(s: str) -> str:
+    if "\\" not in s:  # overwhelmingly common case — no escape present
+        return s
     out, i, n = [], 0, len(s)
     while i < n:
         c = s[i]
@@ -138,7 +140,7 @@ def _parse_content(content, runs, figures, cfg):
             continue
         if t.startswith("/"):
             continue  # names (font ids) — ignored
-        if re.fullmatch(r"[-+]?\d*\.?\d+", t):
+        if t[0] in "-+.0123456789":  # _TOK_RE guarantees a valid number here
             v = float(t)
             if arr is not None:
                 arr.append(v)

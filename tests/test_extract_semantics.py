@@ -94,6 +94,20 @@ def test_partitioning_invariance(spark):
     assert _spark_extraction(spark, 1) == _spark_extraction(spark, 17)
 
 
+def test_fast_html_tokenizer_equals_stdlib():
+    # the regex scanner is the hot path; the stdlib html.parser drive is
+    # kept as a second implementation and must agree item-for-item
+    from ocr_spark.functions.htmlx import tokenize_html
+
+    frags = [
+        s["text"] for d in make_docs(500, seed=11, mega_every=50)
+        for s in d["spans"] if s["kind"] == "html"
+    ]
+    assert frags, "corpus produced no html payloads"
+    for f in frags:
+        assert tokenize_html(f, DEFAULT) == tokenize_html(f, DEFAULT, use_stdlib=True)
+
+
 # ---------------------------------------------------------------------------
 # hypothesis properties over arbitrary span sequences (driver-side core)
 # ---------------------------------------------------------------------------

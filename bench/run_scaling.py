@@ -32,14 +32,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)  # runnable as `python bench/run_scaling.py`
 
 
-def _gen_corpus(n_docs: int, path: str) -> None:
+def _gen_corpus(n_docs: int, path: str, heft: int = 1) -> None:
     from ocr_spark.session import get_spark
     from ocr_spark.sources.corpus import generate_interleaved
 
     spark = get_spark("scaling_gen", master="local[32]", shuffle_partitions=32)
-    generate_interleaved(spark, n_docs, seed=42, partitions=64).write.mode(
-        "overwrite"
-    ).parquet(path)
+    generate_interleaved(spark, n_docs, seed=42, partitions=64,
+                         heft=heft).write.mode("overwrite").parquet(path)
     spark.stop()
 
 
@@ -69,6 +68,9 @@ def _run_level(cores: int, corpus: str, out: str, zip_path: str) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=200000)
+    ap.add_argument("--heft", type=int, default=5,
+                    help="per-doc content multiplier; 5 yields ~10 KB docs "
+                         "whose compute/byte matches real OCR inputs")
     ap.add_argument("--repeats", type=int, default=3,
                     help="runs per level; best throughput kept")
     # tmpfs by default: the criterion evidences CPU-parallel scaling of
@@ -83,9 +85,9 @@ def main() -> None:
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
-    corpus = os.path.join(args.workdir, f"corpus_{args.docs}.parquet")
+    corpus = os.path.join(args.workdir, f"corpus_{args.docs}_h{args.heft}.parquet")
     if not os.path.isdir(corpus):
-        _gen_corpus(args.docs, corpus)
+        _gen_corpus(args.docs, corpus, args.heft)
 
     subprocess.run([sys.executable, os.path.join(REPO, "make_pyfiles.py")],
                    check=True, capture_output=True)
@@ -145,7 +147,7 @@ North-rule scaling criterion (BASELINE.json:2/:14): throughput(4N) /
 vs `local[{hi}]` (4N) on the 32-core host, each in a fresh JVM via
 `spark-submit --py-files ocr_spark.zip` (the production packaging).
 
-- Input: {args.docs} fixed-seed synthetic interleaved docs
+- Input: {args.docs} fixed-seed synthetic interleaved docs (heft={args.heft})
   ({results[8]["spans"]} spans), pre-written to parquet and shared by
   both runs. Skewed span counts incl. mega-docs (exercises E2 salting).
 - Job: full E1→E9 pipeline — scan → salted repartition → fused Arrow
@@ -161,7 +163,7 @@ vs `local[{hi}]` (4N) on the 32-core host, each in a fresh JVM via
 **Scaling efficiency (docs/sec): `{eff_docs:.3f}`** — {"PASS" if eff_docs >= 0.8 else "FAIL"} vs the 0.8 gate.
 Scaling efficiency (spans/sec): `{eff_spans:.3f}`.
 
-Reproduce: `python bench/run_scaling.py --docs {args.docs} --levels {lo} {hi}`.
+Reproduce: `python bench/run_scaling.py --docs {args.docs} --heft {args.heft} --levels {lo} {hi}`.
 """)
     sys.stderr.write(f"wrote {md}\n")
 

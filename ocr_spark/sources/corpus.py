@@ -49,10 +49,10 @@ def _words(rng: random.Random, n: int) -> str:
     return " ".join(rng.choice(_VOCAB) for _ in range(n))
 
 
-def _html_payload(rng: random.Random, doc_id: str) -> str:
+def _html_payload(rng: random.Random, doc_id: str, heft: int = 1) -> str:
     nav = "".join(f'<li><a href="/x{i}">link {i}</a></li>' for i in range(5))
     paras = []
-    for p in range(rng.randint(1, 4)):
+    for p in range(rng.randint(1, 4) * heft):
         if rng.random() < 0.25:  # link-farm paragraph → boilerplate
             paras.append(
                 "<p>" + " ".join(
@@ -76,12 +76,12 @@ def _html_payload(rng: random.Random, doc_id: str) -> str:
     )
 
 
-def _pdf_payload(rng: random.Random) -> str:
+def _pdf_payload(rng: random.Random, heft: int = 1) -> str:
     blocks = [
         {"kind": "header", "x": 72, "y": 760, "lines": [f"Page header {_words(rng, 2)}"]},
     ]
     y = 700
-    for _ in range(rng.randint(1, 3)):
+    for _ in range(rng.randint(1, 3) * heft):
         n_lines = rng.randint(2, 6)
         blocks.append({
             "kind": "text", "x": 72, "y": y,
@@ -103,8 +103,16 @@ def _pdf_payload(rng: random.Random) -> str:
     return write_pdf(blocks).decode("latin-1")
 
 
-def make_doc(i: int, seed: int = 42, mega_every: int = 1000) -> dict:
-    """Pure function (seed, i) → one interleaved document row."""
+def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
+             heft: int = 1) -> dict:
+    """Pure function (seed, i) → one interleaved document row.
+
+    ``heft`` multiplies per-payload content volume (paragraphs / PDF text
+    blocks) without touching span counts or the RNG draw ORDER of the
+    default path, so heft=1 output is bit-identical to the historical
+    corpus (goldens pinned) while heft>1 yields KB-to-tens-of-KB
+    documents whose compute/byte ratio matches real OCR inputs (bench
+    uses heft=5)."""
     doc_id = f"doc{i:08d}"
     rng = _rng(seed, "doc", i)
     n = 1 + min(int(rng.lognormvariate(0.8, 0.7)), 40)
@@ -116,13 +124,13 @@ def make_doc(i: int, seed: int = 42, mega_every: int = 1000) -> dict:
         srng = _rng(seed, "span", i, j)
         r = srng.random()
         if r < 0.45:
-            sp = {"kind": "text", "text": _words(srng, srng.randint(5, 30)),
+            sp = {"kind": "text", "text": _words(srng, srng.randint(5, 30) * heft),
                   "media_ref": None, "offset": offset}
         elif r < 0.70:
-            sp = {"kind": "html", "text": _html_payload(srng, doc_id),
+            sp = {"kind": "html", "text": _html_payload(srng, doc_id, heft),
                   "media_ref": None, "offset": offset}
         elif r < 0.85:
-            sp = {"kind": "pdf_bytes", "text": _pdf_payload(srng),
+            sp = {"kind": "pdf_bytes", "text": _pdf_payload(srng, heft),
                   "media_ref": None, "offset": offset}
         else:
             sp = {"kind": "media", "text": None,
@@ -131,13 +139,15 @@ def make_doc(i: int, seed: int = 42, mega_every: int = 1000) -> dict:
     return {"doc_id": doc_id, "spans": spans}
 
 
-def make_docs(n_docs: int, seed: int = 42, mega_every: int = 1000) -> list[dict]:
+def make_docs(n_docs: int, seed: int = 42, mega_every: int = 1000,
+              heft: int = 1) -> list[dict]:
     """Driver-side generation for small test fixtures (pure Python)."""
-    return [make_doc(i, seed, mega_every) for i in range(n_docs)]
+    return [make_doc(i, seed, mega_every, heft) for i in range(n_docs)]
 
 
 def generate_interleaved(spark, n_docs: int, seed: int = 42,
-                         partitions: int | None = None, mega_every: int = 1000):
+                         partitions: int | None = None, mega_every: int = 1000,
+                         heft: int = 1):
     """Distributed generation: spark.range → mapInPandas (scales to any n).
 
     No driver-side materialization; each task builds its id-range of docs.
@@ -148,7 +158,7 @@ def generate_interleaved(spark, n_docs: int, seed: int = 42,
 
     def gen(batches):
         for pdf in batches:
-            rows = [make_doc(int(i), seed, mega_every) for i in pdf["id"]]
+            rows = [make_doc(int(i), seed, mega_every, heft) for i in pdf["id"]]
             yield pd.DataFrame({
                 "doc_id": [r["doc_id"] for r in rows],
                 "spans": [

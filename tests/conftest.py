@@ -14,4 +14,9 @@ def spark():
 
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
-    return "/root/testdata/sf0.001"
+    # default sf0.001 for speed; the driver compares at sf0.01 — run
+    # `SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 pytest tests/` to
+    # pre-check exactly what the driver will see
+    import os
+
+    return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")

@@ -143,7 +143,7 @@ def stream_extract(spark: SparkSession, docs_dir: str, out_table: str,
         docs = with_bucket(batch_df.select("doc_id", "spans"), cfg)
         clustered = docs.repartition(n_parts, "bucket")
         extracted = with_bucket(extract_stage(clustered, cfg), cfg).withColumns({
-            "doc_hash": F.xxhash64("doc_id", F.to_json("spans")),
+            "doc_hash": F.xxhash64("doc_id", "spans"),
             "n_spans": F.size("spans"),
         })
         wave_dir = tbl.write_wave(extracted, run_id)

@@ -931,3 +931,78 @@ def events_sessionize(spark, sf):
     return sess.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"), _sum_fixed(F.col("value"), 2).alias("session_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# explicit scale patterns: salted two-phase aggregation, bucketed join
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "agg_salted_twophase",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_salted_twophase(spark, sf):
+    """Two-phase salted aggregation for skewed keys (E2 family): phase 1
+    aggregates on (key, salt) spreading each hot key over 16 reducers,
+    phase 2 merges the partials per key.  The oracle proves the rewrite
+    is exact for algebraic aggregates.  (For THIS column Spark's own
+    partial aggregation suffices — the pattern matters when upstream is
+    a UDF stage or the agg is memory-heavy per key, e.g. collect_list.)"""
+    li = t(spark, sf, "lineitem").withColumn(
+        "_salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(16))
+    )
+    partial = li.groupBy("l_returnflag", "_salt").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("pq"),
+        F.count("*").alias("pn"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pq").alias("total_qty"), F.sum("pn").cast("long").alias("n")
+    )
+
+
+@q(
+    "join_bucketed",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_quantity > 40.0
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bucketed(spark, sf):
+    """Co-located (shuffle-free) join via bucketed tables: both sides
+    bucketed by the join key at write time, so SortMergeJoin reads
+    pre-clustered buckets with NO Exchange — at 100 TB this converts the
+    dominant repeated shuffle into a one-time layout cost.  Plan shape
+    (no Exchange above the scans) is asserted in tests/test_plan_shape."""
+    import os
+    import tempfile
+
+    wh = os.path.join(tempfile.gettempdir(), "ocr_spark_bucketed_wh")
+    sf_tag = abs(hash(sf)) % 10**8
+    lt, ot = f"li_b_{sf_tag}", f"o_b_{sf_tag}"
+    if not spark.catalog.tableExists(lt):
+        (t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+         .option("path", os.path.join(wh, lt))
+         .mode("overwrite").saveAsTable(lt))
+        (t(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+         .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+         .option("path", os.path.join(wh, ot))
+         .mode("overwrite").saveAsTable(ot))
+    li, o = spark.table(lt), spark.table(ot)
+    # merge hint: at harness SF the dim side is broadcastable, which
+    # would bypass the bucketed layout entirely; at production scale SMJ
+    # is what Catalyst picks anyway and the buckets make it exchange-free
+    return (
+        li.filter(F.col("l_quantity") > 40.0)
+        .join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )

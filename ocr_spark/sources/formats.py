@@ -87,7 +87,12 @@ class ParquetManifestTable:
     # -- I/O ----------------------------------------------------------------
     def write_wave(self, df: DataFrame, run_id: str) -> str:
         out = self.run_dir(run_id)
-        df.write.mode("append").partitionBy("bucket").parquet(out)
+        # zstd: ~30-40% smaller than snappy on text-heavy spans at similar
+        # encode speed — at 10^12-doc scale the sink's byte volume IS the
+        # dominant I/O cost; override via OCR_SPARK_CODEC
+        codec = os.environ.get("OCR_SPARK_CODEC", "zstd")
+        (df.write.mode("append").option("compression", codec)
+         .partitionBy("bucket").parquet(out))
         return out
 
     def read(self, spark: SparkSession) -> DataFrame:

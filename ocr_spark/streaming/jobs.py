@@ -162,3 +162,54 @@ def stream_extract(spark: SparkSession, docs_dir: str, out_table: str,
         .start()
     )
     q.awaitTermination()
+
+
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running (event count, value total) maintained in the state store
+    across micro-batches — the pattern for stateful logic the built-in
+    windowed aggregates can't express.  Arrow-batched per group; state
+    is a two-field tuple, so store size is O(distinct users) regardless
+    of stream length.  Emitted in update mode: one row per user per
+    micro-batch that touched it."""
+    import pandas as pd
+
+    def fn(key, pdf_iter, state):
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, float(total)))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def drain_updates_to_parquet(sdf: DataFrame, sink_dir: str,
+                             checkpoint: str) -> None:
+    """availableNow drain of an update-mode stream into a parquet dir via
+    foreachBatch (the file sink itself is append-only; foreachBatch
+    gives update semantics a durable, checkpoint-recoverable sink)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("_batch", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(sink_dir)
+
+    q = (
+        sdf.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -51,6 +51,16 @@ def test_topk_plans_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    plan = _plan(registry.QUERIES["join_bucketed"](spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    # no shuffle between the SMJ and its bucketed scans (the only
+    # Exchange allowed is the downstream groupBy on a different key)
+    below_smj = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in below_smj, f"bucketed join still shuffles:\n{below_smj[:800]}"
+
+
 def test_extract_stage_single_exchange_single_python_stage(spark):
     from ocr_spark.operators.extract import extract_stage
     from ocr_spark.operators.skew import bucket_clustered_repartition, with_bucket

@@ -190,3 +190,47 @@ def test_stream_extract_equals_batch_and_is_exactly_once(spark, tmp_path):
     got2 = ParquetManifestTable(out).read(spark)
     assert got2.count() == 90
     assert len(ParquetManifestTable(out).committed_runs()) > len(runs_before)
+
+
+def test_stateful_running_totals_across_restarts(spark, tmp_path):
+    """applyInPandasWithState: per-user totals must accumulate across
+    micro-batches AND across a query restart (state store recovery from
+    the checkpoint)."""
+    import datetime as dt
+
+    from ocr_spark.streaming.jobs import (
+        drain_updates_to_parquet,
+        running_user_totals,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def write_events(rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, value double"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        drain_updates_to_parquet(running_user_totals(stream), sink, ck)
+        out = spark.read.parquet(sink)
+        last = out.groupBy("user_id").agg(
+            F.max_by("n_events", "_batch").alias("n_events"),
+            F.max_by("total_value", "_batch").alias("total_value"),
+        )
+        return {
+            int(r["user_id"]): (int(r["n_events"]), round(float(r["total_value"]), 6))
+            for r in last.collect()
+        }
+
+    write_events([(1, t0, 100, 1.5), (2, t0, 100, 2.5), (3, t0, 200, 10.0)])
+    assert drain() == {100: (2, 4.0), 200: (1, 10.0)}
+
+    # second wave, NEW query instance recovering state from the checkpoint
+    write_events([(4, t0, 100, 0.5), (5, t0, 300, 7.0)])
+    assert drain() == {100: (3, 4.5), 200: (1, 10.0), 300: (1, 7.0)}

@@ -103,12 +103,26 @@ class PdfBlock:
 
 
 def tokenize_pdf(data: bytes, cfg: ExtractConfig = DEFAULT) -> tuple[list[TextRun], list[tuple[float, float, float, float]]]:
-    """Parse content streams → positioned text runs + figure rects."""
+    """Parse content streams → positioned text runs + figure rects.
+
+    Streams whose object dictionary declares ``/Filter /FlateDecode``
+    (the overwhelmingly common real-world encoding) are zlib-inflated
+    before tokenizing; raw streams are parsed as-is."""
+    import zlib
+
     runs: list[TextRun] = []
     figures: list[tuple[float, float, float, float]] = []
     for m in _STREAM_RE.finditer(data):
+        raw = m.group(1)
+        # the stream's dict immediately precedes the 'stream' keyword
+        head = data[max(0, m.start() - 300):m.start()]
+        if b"FlateDecode" in head:
+            try:
+                raw = zlib.decompress(raw)
+            except Exception:
+                continue  # corrupt compressed stream — skip deterministically
         try:
-            content = m.group(1).decode("latin-1")
+            content = raw.decode("latin-1")
         except Exception:
             continue
         _parse_content(content, runs, figures, cfg)
@@ -263,11 +277,13 @@ def _esc(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def write_pdf(blocks: list[dict]) -> bytes:
+def write_pdf(blocks: list[dict], compress: bool = False) -> bytes:
     """Serialize blocks → a minimal well-formed single-page PDF.
 
     Each block dict: {"kind": "text"|"table"|"header"|"footer"|"figure",
     "lines": [str, ...], "x": float, "y": float}  (y = top line baseline).
+    ``compress=True`` flate-encodes the content stream (the real-world
+    default for PDF producers); the extractor handles both.
     """
     parts = ["BT /F1 12 Tf 14 TL\n"]
     figs = []
@@ -285,11 +301,22 @@ def write_pdf(blocks: list[dict]) -> bytes:
     for b in figs:
         parts.append(f"{b['x']:g} {b['y']:g} {b.get('w', 100):g} {b.get('h', 80):g} re f\n")
     content = "".join(parts)
+    if compress:
+        import zlib
+
+        body = zlib.compress(content.encode("latin-1"))
+        stream_obj = (
+            f"<< /Length {len(body)} /Filter /FlateDecode >>\nstream\n"
+            + body.decode("latin-1")
+            + "\nendstream"
+        )
+    else:
+        stream_obj = f"<< /Length {len(content)} >>\nstream\n{content}\nendstream"
     objs = [
         "<< /Type /Catalog /Pages 2 0 R >>",
         "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
         "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>",
-        f"<< /Length {len(content)} >>\nstream\n{content}\nendstream",
+        stream_obj,
     ]
     out = ["%PDF-1.4\n"]
     offsets = []

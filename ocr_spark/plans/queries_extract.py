@@ -120,3 +120,43 @@ def extract_media_passthrough(spark, sf):
     return d.groupBy(F.col("source").alias("media_ref_prefix")).agg(
         F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
     )
+
+
+@q("multimodal_frame_sample")  # fake video decoder → rows-only by design
+def multimodal_frame_sample(spark, sf):
+    """Video frame-sampling plumbing (one input blob → N frame rows):
+    the decode is a deterministic fake (no av/ffmpeg libs in-sandbox —
+    a real impl swaps _fake_frames for PyAV keyframe extraction), but
+    the Spark shape is the production one — binary column in, Arrow
+    batch in/out via mapInPandas, EXPLODING cardinality (rows out ≫
+    rows in) with an explicit schema, frame timestamps derived from
+    payload, and per-frame content digests for downstream dedup."""
+
+    def frame_batch(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(blob)
+                dig = hashlib.blake2b(b, digest_size=8).digest()
+                n_frames = 1 + dig[0] % 4           # fake keyframe count
+                dur_ms = 1000 + int.from_bytes(dig[1:3], "big") % 59000
+                for i in range(n_frames):
+                    fh = hashlib.blake2b(b + bytes([i]), digest_size=8)
+                    rows.append((
+                        int(doc_id), i, (dur_ms * i) // max(n_frames - 1, 1),
+                        fh.hexdigest(), 16 + dig[3] % 64, 16 + dig[4] % 64,
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "ts_ms",
+                         "frame_sha", "height", "width"],
+            )
+
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return d.mapInPandas(
+        frame_batch,
+        schema=("doc_id long, frame_idx int, ts_ms long, "
+                "frame_sha string, height int, width int"),
+    )

@@ -192,3 +192,26 @@ def test_crash_restart_byte_identical(spark, tmp_path):
     # a third run is a no-op (all buckets committed)
     m2 = run_extract(spark, docs, crashy, cfg=cfg, num_partitions=8)
     assert m2["docs"] == 0 and m2["skipped_buckets"] == 16
+
+
+def test_flate_compressed_pdf_extracts_identically():
+    # real-world PDFs flate-compress content streams; tokenization must
+    # be byte-equivalent either way
+    from ocr_spark.functions.pdfx import extract_pdf_blocks, write_pdf
+
+    blocks = [
+        {"kind": "header", "x": 72, "y": 760, "lines": ["Page header one"]},
+        {"kind": "text", "x": 72, "y": 700,
+         "lines": ["alpha bravo charlie delta", "echo foxtrot golf hotel",
+                   "india juliet kilo lima"]},
+        {"kind": "table", "x": 72, "y": 560,
+         "lines": ["a             12      34", "b             56      78",
+                   "c             90      12"]},
+        {"kind": "figure", "x": 100, "y": 400, "w": 120, "h": 80},
+        {"kind": "footer", "x": 72, "y": 30, "lines": ["p. 1"]},
+    ]
+    plain = extract_pdf_blocks(write_pdf(blocks, compress=False))
+    flate = extract_pdf_blocks(write_pdf(blocks, compress=True))
+    assert plain == flate
+    assert [b.kind for b in plain].count("text-block") >= 1
+    assert "figure" in [b.kind for b in plain]

@@ -112,8 +112,15 @@ def main() -> None:
             f"{ms[hi]['docs_per_sec']} docs/s eff={eff_r:.3f}\n"
         )
 
+    # pick the pair whose N-level run was fastest: the N run is the
+    # longest and so most exposed to slow windows; a depressed N run
+    # inflates efficiency past 1.0, which is environment noise, not
+    # evidence.  (Super-linear pairs are reported in the pair list but
+    # never as the headline.)
+    honest = [pr for pr in pairs
+              if pr[1]["docs_per_sec"] / (4 * pr[0]["docs_per_sec"]) <= 1.0]
     best_lo, best_hi = max(
-        pairs, key=lambda p: p[0]["docs_per_sec"] + p[1]["docs_per_sec"]
+        honest or pairs, key=lambda p: p[0]["docs_per_sec"]
     )
     results = {lo: best_lo, hi: best_hi}
     eff_docs = results[hi]["docs_per_sec"] / (4 * results[lo]["docs_per_sec"])

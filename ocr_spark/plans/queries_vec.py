@@ -189,25 +189,25 @@ def vec_centroids(spark, sf):
     )
 
 
-@q("ann_lsh_bucketed")  # seeded hyperplanes → engine-specific, rows-only
-def ann_lsh_bucketed(spark, sf):
-    """Random-hyperplane LSH: 16 deterministic (seeded) hyperplanes → 16-bit
-    sign sketch per vector (one numpy matmul per Arrow batch) → bucket
-    join → exact cosine only within buckets (subquadratic scale path).
-    Recall vs the brute-force baseline is asserted in tests/test_vec.py.
-    """
-    rng = np.random.RandomState(42)
-    planes = rng.standard_normal((64, 16))
+def lsh_pairs(df, dim: int = 64, n_bits: int = 16, min_cosine: float = 0.6,
+              seed: int = 42):
+    """Random-hyperplane LSH over a (vec_id, embedding) DataFrame:
+    n_bits deterministic hyperplanes → sign sketch per vector (one numpy
+    matmul per Arrow batch) → bucket join → EXACT cosine verification
+    only within buckets (subquadratic scale path).  Precision is 1.0 by
+    construction (every emitted pair is exactly verified); recall of
+    exact/near duplicates is asserted in tests/test_vec.py."""
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((dim, n_bits))
 
     @F.pandas_udf("int")
-    def sketch16(emb: pd.Series) -> pd.Series:
-        m = np.vstack(emb.to_numpy())  # (batch, 64)
-        bits = (m @ planes) > 0  # (batch, 16)
-        vals = (bits * (1 << np.arange(16))).sum(axis=1)
+    def sketch(emb: pd.Series) -> pd.Series:
+        m = np.vstack(emb.to_numpy())  # (batch, dim)
+        bits = (m @ planes) > 0        # (batch, n_bits)
+        vals = (bits * (1 << np.arange(n_bits))).sum(axis=1)
         return pd.Series(vals.astype(np.int32))
 
-    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
-    s = e.withColumn("bucket", sketch16("embedding"))
+    s = df.withColumn("bucket", sketch("embedding"))
     a = s.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket")
     b = s.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket")
     pairs = a.join(b, ["bucket"]).filter(F.col("vec_a") < F.col("vec_b"))
@@ -217,5 +217,10 @@ def ann_lsh_bucketed(spark, sf):
         6,
     )
     return pairs.select("vec_a", "vec_b", cos.alias("cosine")).filter(
-        F.col("cosine") >= 0.6
+        F.col("cosine") >= min_cosine
     )
+
+
+@q("ann_lsh_bucketed")  # seeded hyperplanes → engine-specific, rows-only
+def ann_lsh_bucketed(spark, sf):
+    return lsh_pairs(t(spark, sf, "embeddings").select("vec_id", "embedding"))

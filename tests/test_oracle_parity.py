@@ -1,7 +1,8 @@
 """Every oracle-backed query must match DuckDB exactly (driver replica).
 
-Runs at sf0.001 for speed; the driver runs the same comparison at sf0.01
-(tests/test_oracle_parity_sf001.py spot-checks a subset there too).
+Runs at sf0.001 for speed; the driver runs the same comparison at
+sf0.01 — pre-check that exact scale with
+``SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 pytest tests/test_oracle_parity.py``.
 """
 
 from __future__ import annotations

@@ -1006,3 +1006,22 @@ def join_bucketed(spark, sf):
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n"))
     )
+
+
+@q(
+    "filter_null_safe",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus
+    FROM orders
+    WHERE NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL
+      AND o_orderkey < 1000
+    """,
+)
+def filter_null_safe(spark, sf):
+    # null-safe equality (<=>): NULLIF-derived nullable column compared
+    # with eqNullSafe — ordinary = would yield NULL, not TRUE
+    o = t(spark, sf, "orders")
+    return o.filter(
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).eqNullSafe(F.lit(None))
+        & (F.col("o_orderkey") < 1000)
+    ).select("o_orderkey", "o_orderstatus")

@@ -68,15 +68,24 @@ class ParquetManifestTable:
         the idempotency key is (bucket, run) so one run per micro-batch
         can append new data for the same bucket, while a retried
         micro-batch (same run_id) stays a no-op."""
-        m = self._load()
-        if append_runs:
-            have = {(e["bucket"], e["run_id"]) for e in m["entries"]}
-            new = [e for e in entries if (e["bucket"], e["run_id"]) not in have]
-        else:
-            have = {e["bucket"] for e in m["entries"]}
-            new = [e for e in entries if e["bucket"] not in have]
-        m["entries"].extend(new)
-        self._store(m)
+        # the load-modify-store below must be mutually exclusive or two
+        # concurrent committers lose each other's entries (Iceberg gets
+        # this from optimistic snapshot CAS; the parquet shim uses an
+        # advisory file lock — same writer-side guarantee)
+        import fcntl
+
+        os.makedirs(self.root, exist_ok=True)
+        with open(os.path.join(self.root, "_manifest.lock"), "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            m = self._load()
+            if append_runs:
+                have = {(e["bucket"], e["run_id"]) for e in m["entries"]}
+                new = [e for e in entries if (e["bucket"], e["run_id"]) not in have]
+            else:
+                have = {e["bucket"] for e in m["entries"]}
+                new = [e for e in entries if e["bucket"] not in have]
+            m["entries"].extend(new)
+            self._store(m)
 
     def committed_runs(self) -> set[str]:
         return {e["run_id"] for e in self._load()["entries"]}

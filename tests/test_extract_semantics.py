@@ -215,3 +215,17 @@ def test_flate_compressed_pdf_extracts_identically():
     assert plain == flate
     assert [b.kind for b in plain].count("text-block") >= 1
     assert "figure" in [b.kind for b in plain]
+
+
+@given(st.text(alphabet="<>/ab c=\"'p1&;!-nav", max_size=120))
+@settings(max_examples=300, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_fast_html_tokenizer_fuzz_equals_stdlib(fragment):
+    # adversarial tag soup (unclosed tags, stray brackets, half-entities,
+    # quote mixes): the regex scanner and the stdlib parser drive must
+    # produce the same item stream
+    from ocr_spark.functions.htmlx import tokenize_html
+
+    assert tokenize_html(fragment, DEFAULT) == tokenize_html(
+        fragment, DEFAULT, use_stdlib=True
+    )

@@ -35,6 +35,9 @@ HEADLINE = [
     "join_asof",
     "agg_rollup",
     "agg_vectorized_udaf",
+    "agg_salted_twophase",
+    "agg_percentile",
+    "join_bucketed",
     "window_rank",
     "topk_per_group",
     "json_funcs",

@@ -113,6 +113,51 @@ class ParquetManifestTable:
         paths = [e["path"] for e in entries]
         return spark.read.option("basePath", self.data_dir).parquet(*paths)
 
+    def verify(self, spark: SparkSession) -> list[dict]:
+        """Integrity audit: recompute each committed (bucket, run)'s
+        doc count / span count / order-insensitive checksum from the
+        files on disk and diff against the lineage rows.  Returns one
+        dict per mismatching entry (empty list = table verifies).  This
+        is the read-side counterpart of the E9 write-side lineage — it
+        catches lost/duplicated/corrupted partitions after the fact."""
+        from pyspark.sql import functions as F
+
+        entries = self._load()["entries"]
+        if not entries:
+            return []
+        df = spark.read.option("basePath", self.data_dir).parquet(
+            *[e["path"] for e in entries]
+        )
+        run_col = F.regexp_extract(F.input_file_name(), r"run=([^/]+)", 1)
+        actual = {
+            (int(r["bucket"]), r["run_id"]): r
+            for r in df.withColumn("run_id", run_col)
+            .groupBy("bucket", "run_id")
+            .agg(
+                F.count("*").alias("doc_count"),
+                F.sum("n_spans").alias("span_count"),
+                F.expr("bit_xor(doc_hash)").alias("checksum"),
+            )
+            .collect()
+        }
+        bad = []
+        for e in entries:
+            a = actual.get((e["bucket"], e["run_id"]))
+            got = (
+                None
+                if a is None
+                else {
+                    "doc_count": int(a["doc_count"]),
+                    "span_count": int(a["span_count"]),
+                    "checksum": format(a["checksum"] & (2**64 - 1), "016x"),
+                }
+            )
+            want = {k: e[k] for k in ("doc_count", "span_count", "checksum")}
+            if got != want:
+                bad.append({"bucket": e["bucket"], "run_id": e["run_id"],
+                            "expected": want, "actual": got})
+        return bad
+
 
 class IcebergTable:
     """Production path (requires iceberg-spark-runtime on the classpath +

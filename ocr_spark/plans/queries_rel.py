@@ -1042,3 +1042,36 @@ def join_right_outer(spark, sf):
         .groupBy("c_custkey", "c_mktsegment")
         .agg(F.count("o_orderkey").alias("n_orders"))
     )
+
+
+@q(
+    "grouped_map_zscore",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ROUND((o_totalprice - AVG(o_totalprice) OVER (PARTITION BY o_orderpriority))
+                 / STDDEV_SAMP(o_totalprice) OVER (PARTITION BY o_orderpriority), 4)
+             AS z
+    FROM orders
+    """,
+)
+def grouped_map_zscore(spark, sf):
+    """Grouped-map applyInPandas (the §2.2 UDF-surface row): per-group
+    z-score normalization computed in pandas per Arrow group.  The same
+    result is expressible with window functions (the oracle does) — the
+    point of this entry is the vectorized grouped-map plumbing used when
+    the per-group logic ISN'T SQL-expressible (model scoring, per-group
+    fitting)."""
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["o_totalprice"].mean()
+        sd = pdf["o_totalprice"].std(ddof=1)
+        return pd.DataFrame({
+            "o_orderkey": pdf["o_orderkey"],
+            "o_orderpriority": pdf["o_orderpriority"],
+            "z": ((pdf["o_totalprice"] - mu) / sd).round(4),
+        })
+
+    o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+    return o.groupBy("o_orderpriority").applyInPandas(
+        norm, schema="o_orderkey long, o_orderpriority string, z double"
+    )

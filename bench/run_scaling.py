@@ -153,7 +153,7 @@ vs `local[{hi}]` (4N) on the 32-core host, each in a fresh JVM via
 `spark-submit --py-files ocr_spark.zip` (the production packaging).
 
 - Input: {args.docs} fixed-seed synthetic interleaved docs (heft={args.heft})
-  ({results[8]["spans"]} spans), pre-written to parquet and shared by
+  ({results[lo]["spans"]} spans), pre-written to parquet and shared by
   both runs. Skewed span counts incl. mega-docs (exercises E2 salting).
 - Job: full E1→E9 pipeline — scan → salted repartition → fused Arrow
   extract stage → partitioned parquet write + atomic lineage commit.

@@ -7,7 +7,9 @@ code: REF:unavailable (SURVEY.md §0) — semantics are scoped to the
 documented subset below, which our own corpus generator emits.
 
 Supported PDF subset (documented per SURVEY.md §7 "hard parts"):
-  - uncompressed content streams (``stream ... endstream``)
+  - content streams (``stream ... endstream``), raw or /FlateDecode
+    (zlib) per the stream object's own /Filter dict entry; a direct
+    /Length slices the body exactly, else endstream-scan fallback
   - text objects ``BT ... ET`` with operators:
       ``Tf`` (font size), ``Td``/``TD`` (translate; TD also sets leading),
       ``TL`` (leading), ``T*`` (next line), ``Tm`` (set matrix — e,f used),
@@ -32,7 +34,69 @@ from ocr_spark.config import DEFAULT, ExtractConfig
 # tokenizer
 # ---------------------------------------------------------------------------
 
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_STREAM_KW_RE = re.compile(rb"stream\r?\n")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![\s\d]*R)")
+_FILTER_RE = re.compile(rb"/Filter\s*(?:\[([^\]]*)\]|\s*/([A-Za-z0-9]+))")
+
+
+def _dict_before(data: bytes, pos: int) -> bytes | None:
+    """The ``<< ... >>`` object dictionary immediately preceding the
+    ``stream`` keyword at ``pos`` (balanced for nested dicts), or None.
+
+    Parsing the stream's OWN dict — instead of a fixed-size window scan —
+    means a long dict can't hide its /Filter, and stray 'FlateDecode'
+    bytes in a previous object can't mislabel a raw stream."""
+    i = pos
+    while i > 0 and data[i - 1 : i].isspace():
+        i -= 1
+    if data[i - 2 : i] != b">>":
+        return None
+    depth, j = 1, i - 2
+    while j > 0 and depth:
+        if data[j - 2 : j] == b">>":
+            depth += 1
+            j -= 2
+        elif data[j - 2 : j] == b"<<":
+            depth -= 1
+            j -= 2
+        else:
+            j -= 1
+    return data[j : i] if depth == 0 else None
+
+
+def _stream_segments(data: bytes):
+    """Yield (stream_dict, body) per content stream.  When the dict
+    carries a direct /Length the body is sliced exactly (robust to
+    'endstream' bytes occurring inside compressed payloads); otherwise
+    fall back to scanning for the next ``endstream`` keyword."""
+    for m in _STREAM_KW_RE.finditer(data):
+        d = _dict_before(data, m.start())
+        start = m.end()
+        body = None
+        if d is not None:
+            lm = _LENGTH_RE.search(d)
+            if lm:
+                end = start + int(lm.group(1))
+                if end <= len(data) and re.match(rb"\s*endstream", data[end:end + 16]):
+                    body = data[start:end]
+        if body is None:
+            em = data.find(b"endstream", start)
+            if em < 0:
+                continue
+            body = data[start:em]
+            if body.endswith(b"\r\n"):
+                body = body[:-2]
+            elif body.endswith((b"\n", b"\r")):
+                body = body[:-1]
+        yield d or b"", body
+
+
+def _is_flate(stream_dict: bytes) -> bool:
+    fm = _FILTER_RE.search(stream_dict)
+    if not fm:
+        return False
+    arr, name = fm.groups()
+    return b"FlateDecode" in (arr or name or b"")
 
 # one token: PDF string, array, number, or operator name
 _TOK_RE = re.compile(
@@ -112,11 +176,8 @@ def tokenize_pdf(data: bytes, cfg: ExtractConfig = DEFAULT) -> tuple[list[TextRu
 
     runs: list[TextRun] = []
     figures: list[tuple[float, float, float, float]] = []
-    for m in _STREAM_RE.finditer(data):
-        raw = m.group(1)
-        # the stream's dict immediately precedes the 'stream' keyword
-        head = data[max(0, m.start() - 300):m.start()]
-        if b"FlateDecode" in head:
+    for sdict, raw in _stream_segments(data):
+        if _is_flate(sdict):
             try:
                 raw = zlib.decompress(raw)
             except Exception:

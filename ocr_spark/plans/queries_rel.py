@@ -981,11 +981,15 @@ def join_bucketed(spark, sf):
     pre-clustered buckets with NO Exchange — at 100 TB this converts the
     dominant repeated shuffle into a one-time layout cost.  Plan shape
     (no Exchange above the scans) is asserted in tests/test_plan_shape."""
+    import hashlib
     import os
     import tempfile
 
     wh = os.path.join(tempfile.gettempdir(), "ocr_spark_bucketed_wh")
-    sf_tag = abs(hash(sf)) % 10**8
+    # stable digest (NOT Python hash(), which is salted per process via
+    # PYTHONHASHSEED) so every session reuses the same bucketed tables
+    # instead of leaking a fresh layout into the warehouse per process
+    sf_tag = hashlib.md5(sf.encode()).hexdigest()[:8]
     lt, ot = f"li_b_{sf_tag}", f"o_b_{sf_tag}"
     if not spark.catalog.tableExists(lt):
         (t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")

@@ -90,9 +90,6 @@ class ParquetManifestTable:
     def committed_runs(self) -> set[str]:
         return {e["run_id"] for e in self._load()["entries"]}
 
-    def committed_runs(self) -> set[str]:
-        return {e["run_id"] for e in self._load()["entries"]}
-
     # -- I/O ----------------------------------------------------------------
     def write_wave(self, df: DataFrame, run_id: str) -> str:
         out = self.run_dir(run_id)

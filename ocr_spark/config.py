@@ -39,6 +39,14 @@ class ExtractConfig:
     # (measured 10x write slowdown at local[32] when the shuffle key and
     # the write partition column disagreed).
     salt_buckets: int = 256
+    # E2 weight variant: split a document's offset-sorted spans into
+    # chunks of <= this many spans before the UDF stage, bounding
+    # per-task work even for 500x-median mega-docs (skew.chunk_spans).
+    # None = no sub-split (doc granularity; goldens pinned to this).
+    # The sink then stores chunk rows (extra chunk_id column); readers
+    # that need whole documents restitch via pipeline.stitch_extracted —
+    # one JVM flatten+renumber shuffle keyed on doc_id.
+    chunk_max_spans: int | None = None
 
 
 DEFAULT = ExtractConfig()

@@ -24,10 +24,17 @@ from ocr_spark.functions.extract_core import extract_doc
 from ocr_spark.sources.corpus import EXTRACTED_SCHEMA_DDL
 
 
-def extract_stage(docs: DataFrame, cfg: ExtractConfig = DEFAULT) -> DataFrame:
+def extract_stage(docs: DataFrame, cfg: ExtractConfig = DEFAULT,
+                  passthrough: dict[str, str] | None = None) -> DataFrame:
     """(doc_id, spans[kind,text,media_ref,offset]) →
-    (doc_id, spans[kind,text,media_ref,order])."""
+    (doc_id, spans[kind,text,media_ref,order]).
+
+    ``passthrough`` maps extra column names to their DDL types; they ride
+    through the Arrow batch untouched (used by the mega-doc chunk path to
+    keep chunk_id attached to each sub-document)."""
     import pandas as pd
+
+    extra = passthrough or {}
 
     def fn(batches):
         # per-DOCUMENT loop inside the Arrow batch is the correct
@@ -45,10 +52,15 @@ def extract_stage(docs: DataFrame, cfg: ExtractConfig = DEFAULT) -> DataFrame:
                 out.append([
                     (o["kind"], o["text"], o["media_ref"], o["order"]) for o in res
                 ])
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "spans": out})
+            cols = {"doc_id": pdf["doc_id"].to_numpy(), "spans": out}
+            for c in extra:
+                cols[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(cols)
 
-    # select only the two needed columns so column pruning reaches the scan
-    return docs.select("doc_id", "spans").mapInPandas(fn, schema=EXTRACTED_SCHEMA_DDL)
+    schema = EXTRACTED_SCHEMA_DDL + "".join(
+        f", {c} {ddl}" for c, ddl in extra.items())
+    # select only the needed columns so column pruning reaches the scan
+    return docs.select("doc_id", "spans", *extra).mapInPandas(fn, schema=schema)
 
 
 def explode_extracted(extracted: DataFrame) -> DataFrame:

@@ -49,6 +49,69 @@ def bucket_clustered_repartition(df: DataFrame, num_partitions: int) -> DataFram
     return df.repartition(num_partitions, "bucket")
 
 
+def chunk_spans(df: DataFrame, max_spans: int) -> DataFrame:
+    """E2 weight variant — size-aware mega-doc sub-split (all JVM HOFs).
+
+    Pure doc_id salting balances doc COUNTS but a single 50×-median doc
+    is indivisible: its whole spans array lands in one task and becomes
+    the straggler.  This splits every document's offset-sorted spans
+    into chunks of ≤ max_spans BEFORE the UDF stage, so per-row work is
+    bounded by max_spans regardless of document size:
+
+      (doc_id, spans, …) → (doc_id, chunk_id, n_chunks, spans, …)
+
+    Normal docs (n ≤ max_spans) become exactly one chunk row — the
+    explode is a no-op for them.  Chunk boundaries are taken on the
+    (offset, input-index) sort order — the SAME order extract_doc uses —
+    so per-chunk extraction composes exactly: concatenating chunk
+    outputs in chunk_id order and re-numbering reproduces the unsplit
+    output span-for-span (property-tested in tests/).
+    """
+    other = [c for c in df.columns if c not in ("doc_id", "spans")]
+    # sort spans by (offset, input index) — ties keep input order, and the
+    # unique idx means the comparator never reaches the payload struct
+    sorted_spans = F.expr(
+        "transform(array_sort(transform(spans, (s, i) ->"
+        " struct(coalesce(s.offset, 0) as o, i as idx, s as s))), x -> x.s)"
+    )
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil(F.size("spans") / F.lit(max_spans)).cast("int"))
+    chunked = df.select(
+        "doc_id",
+        sorted_spans.alias("_ss"),
+        n_chunks.alias("n_chunks"),
+        *other,
+    ).select(
+        "doc_id",
+        "n_chunks",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, n_chunks - 1),"
+            f" c -> slice(_ss, c * {max_spans} + 1, {max_spans}))"
+        )).alias("chunk_id", "spans"),
+        *other,
+    )
+    return chunked
+
+
+def reassemble_chunks(extracted: DataFrame) -> DataFrame:
+    """E7 grouped restitch for the chunk path: collect a document's
+    extracted chunks, order by chunk_id, flatten, re-number ``order``
+    densely — all JVM (collect_list + sort_array + flatten + transform),
+    one shuffle keyed on doc_id."""
+    other = [c for c in extracted.columns
+             if c not in ("doc_id", "chunk_id", "spans")]
+    agg = extracted.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("chunk_id", "spans"))).alias("_cs"),
+        *[F.first(c).alias(c) for c in other],
+    )
+    stitched = F.expr(
+        "transform(flatten(transform(_cs, x -> x.spans)), (s, i) ->"
+        " struct(s.kind as kind, s.text as text,"
+        " s.media_ref as media_ref, i as order))"
+    )
+    return agg.select("doc_id", stitched.alias("spans"), *other)
+
+
 def salted_repartition(df: DataFrame, num_partitions: int,
                        cfg: ExtractConfig = DEFAULT) -> DataFrame:
     """Shuffle docs uniformly over num_partitions on hash(doc_id).

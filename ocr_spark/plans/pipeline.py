@@ -34,6 +34,8 @@ from ocr_spark.config import DEFAULT, ExtractConfig
 from ocr_spark.operators.extract import extract_stage
 from ocr_spark.operators.skew import (
     bucket_clustered_repartition,
+    chunk_spans,
+    reassemble_chunks,
     salted_repartition,
     with_bucket,
 )
@@ -51,7 +53,9 @@ def _wave_lineage(spark: SparkSession, wave_dir: str, run_id: str,
     rows = (
         df.groupBy("bucket")
         .agg(
-            F.count("*").alias("doc_count"),
+            # distinct so the chunked path counts DOCUMENTS, not chunk
+            # rows (identical to count(*) when docs are unsplit)
+            F.countDistinct("doc_id").alias("doc_count"),
             F.sum("n_spans").alias("span_count"),
             # order-insensitive per-bucket checksum over canonical doc payloads
             F.expr("bit_xor(doc_hash)").alias("checksum"),
@@ -126,17 +130,34 @@ def run_extract(
         # AND pre-clusters rows for the partitionBy("bucket") sink, so the
         # writer never pays the dynamic-partition sort over wide nested
         # span rows (measured 10x slower at local[32] when shuffle key and
-        # write partition column disagreed).
-        balanced = bucket_clustered_repartition(
-            wave_docs.select("doc_id", "spans", "bucket"), num_partitions
-        )
-        extracted = with_bucket(extract_stage(balanced, cfg), cfg).withColumns({
-            # per-doc canonical hash + span count, computed ONCE in the
+        # write partition column disagreed).  With chunk_max_spans set,
+        # mega-docs are first sub-split into bounded chunk rows (E2 weight
+        # variant) and chunk_id joins the shuffle key, so one 500x-median
+        # doc spreads over many tasks instead of becoming the straggler;
+        # the sink stores chunk rows (chunks of a doc share the bucket
+        # dir since bucket = f(doc_id)) and whole-document consumers
+        # restitch via stitch_extracted.
+        if cfg.chunk_max_spans:
+            chunked = chunk_spans(
+                wave_docs.select("doc_id", "spans", "bucket"),
+                cfg.chunk_max_spans,
+            )
+            balanced = chunked.repartition(num_partitions, "bucket", "chunk_id")
+            raw = extract_stage(balanced, cfg, passthrough={"chunk_id": "int"})
+            hash_cols = ("doc_id", "chunk_id", "spans")
+        else:
+            balanced = bucket_clustered_repartition(
+                wave_docs.select("doc_id", "spans", "bucket"), num_partitions
+            )
+            raw = extract_stage(balanced, cfg)
+            hash_cols = ("doc_id", "spans")
+        extracted = with_bucket(raw, cfg).withColumns({
+            # per-row canonical hash + span count, computed ONCE in the
             # write pass (JVM expressions, post-UDF) and persisted so the
-            # lineage verification scan needs only these pruned columns.
+            # per-wave lineage scan needs only these pruned columns.
             # xxhash64 hashes the nested span array directly — 2x cheaper
             # than serializing through to_json, same determinism.
-            "doc_hash": F.xxhash64("doc_id", "spans"),
+            "doc_hash": F.xxhash64(*hash_cols),
             "n_spans": F.size("spans"),
         })
         t_w = time.time()
@@ -171,10 +192,26 @@ def run_extract(
 
 def extract_dataframe(docs: DataFrame, cfg: ExtractConfig = DEFAULT,
                       num_partitions: int | None = None) -> DataFrame:
-    """Sink-less variant (EP2 flagship query): E1→E7 only."""
-    balanced = (
-        salted_repartition(docs.select("doc_id", "spans"), num_partitions)
-        if num_partitions
-        else docs.select("doc_id", "spans")
-    )
+    """Sink-less variant (EP2 flagship query): E1→E7 only.  With
+    cfg.chunk_max_spans set, runs the sub-split path and restitches, so
+    the output is document rows either way (chunk path property-tested
+    equal to the unsplit path in tests/test_extract_semantics.py)."""
+    src = docs.select("doc_id", "spans")
+    if cfg.chunk_max_spans:
+        chunked = chunk_spans(src, cfg.chunk_max_spans)
+        if num_partitions:
+            chunked = chunked.repartition(num_partitions, "doc_id", "chunk_id")
+        raw = extract_stage(chunked, cfg, passthrough={"chunk_id": "int"})
+        return reassemble_chunks(raw.select("doc_id", "chunk_id", "spans"))
+    balanced = salted_repartition(src, num_partitions) if num_partitions else src
     return extract_stage(balanced, cfg)
+
+
+def stitch_extracted(df: DataFrame) -> DataFrame:
+    """Whole-document view of a stored extraction table: if the table
+    holds chunk rows (chunk_max_spans path), restitch them — JVM
+    collect/sort/flatten/renumber, one shuffle on doc_id; a doc-granular
+    table passes through untouched."""
+    if "chunk_id" not in df.columns:
+        return df.select("doc_id", "spans")
+    return reassemble_chunks(df.select("doc_id", "chunk_id", "spans"))

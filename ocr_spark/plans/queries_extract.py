@@ -49,6 +49,43 @@ def extract_restitch_order(spark, sf):
 
 
 @q(
+    "extract_split_restitch",
+    oracle="""
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(trim(text), ' '), 1) - 1 AS INT)
+             AS span_order,
+           unnest(string_split(trim(text), ' ')) AS token
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def extract_split_restitch(spark, sf):
+    """E2 weight variant, oracle-checked end-to-end: tokenize the flat
+    corpus into synthetic text spans, sub-split each document into
+    7-span chunks (mega-doc defense, operators/skew.py), run the REAL
+    fused extraction stage per chunk, restitch by (doc_id, chunk_id) and
+    re-number — the output must equal the plain positional explode,
+    proving chunk boundaries never reorder, drop, or duplicate spans."""
+    from ocr_spark.operators.skew import chunk_spans, reassemble_chunks
+
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    spans = F.expr(
+        "transform(split(trim(text), ' '), (w, i) -> struct("
+        "'text' as kind, w as text, CAST(NULL AS STRING) as media_ref,"
+        " i as offset))"
+    )
+    docs = d.select(F.col("doc_id").cast("string").alias("doc_id"),
+                    spans.alias("spans"))
+    chunked = chunk_spans(docs, max_spans=7)
+    raw = extract_stage(chunked, passthrough={"chunk_id": "int"})
+    out = reassemble_chunks(raw.select("doc_id", "chunk_id", "spans"))
+    e = out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode("spans").alias("span_order", "s"),
+    )
+    return e.select("doc_id", "span_order", F.col("s.text").alias("token"))
+
+
+@q(
     "multimodal_binary_meta",
     oracle="""
     SELECT doc_id,

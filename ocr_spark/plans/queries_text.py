@@ -233,45 +233,75 @@ def dedup_exact(spark, sf):
     )
 
 
+# Candidate-generation document-frequency cap: grams occurring in more
+# than this many documents are excluded from the inverted-index self-join
+# (a ubiquitous gram otherwise makes the join quadratic on that one key).
+# Standard near-dup trick: a hot gram carries no discriminating signal —
+# near-identical docs still share plenty of rare grams — and the exact
+# Jaccard verification below runs on the FULL gram sets, so only
+# candidate RECALL (not the similarity value) depends on the cap.  At
+# harness SF max gram df is 14, so 64 changes nothing there; at 100 TB
+# it bounds the per-gram join fan-out to 64² pairs.
+NGRAM_DF_CAP = 64
+
+
+def ngram_candidates(g, cap: int = NGRAM_DF_CAP):
+    """(doc_id, gset) → distinct candidate pairs sharing ≥1 gram whose
+    document frequency is ≤ cap.  The df pre-aggregation is one extra
+    hash agg over the exploded grams (map-side partial) and turns the
+    worst-case per-gram join fan-out from n² to cap²."""
+    ex = g.select("doc_id", F.explode("gset").alias("g"))
+    rare = ex.groupBy("g").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= cap).select("g")
+    rex = ex.join(rare, "g")
+    a, b = rex.alias("a"), rex.alias("b")
+    return (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 @q(
     "dedup_ngram_jaccard",
     oracle=f"""
     {_GRAMS_CTE},
-    sizes AS (SELECT doc_id, len(gset) AS sz FROM grams),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-      FROM (SELECT doc_id, unnest(gset) AS g FROM grams) a
-      JOIN (SELECT doc_id, unnest(gset) AS g FROM grams) b
-        ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
+    ex AS (SELECT doc_id, unnest(gset) AS g FROM grams),
+    rare AS (
+      SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= {NGRAM_DF_CAP}
+    ),
+    rex AS (SELECT ex.doc_id, ex.g FROM ex JOIN rare USING (g)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM rex a JOIN rex b ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT doc_a, doc_b,
+             CAST(len(list_intersect(ga.gset, gb.gset)) AS DOUBLE)
+               / (len(ga.gset) + len(gb.gset)
+                  - len(list_intersect(ga.gset, gb.gset))) AS jac
+      FROM cand
+      JOIN grams ga ON ga.doc_id = doc_a
+      JOIN grams gb ON gb.doc_id = doc_b
     )
-    SELECT doc_a, doc_b,
-           ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
-    FROM pairs
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
+    SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard
+    FROM scored WHERE jac >= 0.8
     """,
 )
 def dedup_ngram_jaccard(spark, sf):
-    # near-dup via word-3-gram Jaccard: explode gram sets, candidate pairs
-    # by shared gram (inverted index join), exact jaccard filter
+    """Near-dup via word-3-gram Jaccard: df-capped inverted-index join
+    for candidates, exact set Jaccard on full gram sets for the score.
+    The gram-df pre-aggregation is the skew defense (see NGRAM_DF_CAP);
+    candidate pairs are deduplicated BEFORE the two slim gset re-attach
+    joins so each pair is verified once."""
     g = _grams_df(spark, sf)
-    sizes = g.select("doc_id", F.size("gset").alias("sz"))
-    ex = g.select("doc_id", F.explode("gset").alias("g"))
-    a = ex.alias("a")
-    b = ex.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("inter").cast("double") / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))
+    cand = ngram_candidates(g, NGRAM_DF_CAP)
+    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("gset").alias("gs_a"))
+    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("gset").alias("gs_b"))
+    inter = F.size(F.array_intersect("gs_a", "gs_b"))
+    jac = inter.cast("double") / (F.size("gs_a") + F.size("gs_b") - inter)
     return (
-        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        cand.join(ga, "doc_a").join(gb, "doc_b")
         .filter(jac >= 0.8)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )

@@ -111,12 +111,18 @@ class ParquetManifestTable:
         return spark.read.option("basePath", self.data_dir).parquet(*paths)
 
     def verify(self, spark: SparkSession) -> list[dict]:
-        """Integrity audit: recompute each committed (bucket, run)'s
+        """Integrity audit: RE-COMPUTE each committed (bucket, run)'s
         doc count / span count / order-insensitive checksum from the
-        files on disk and diff against the lineage rows.  Returns one
-        dict per mismatching entry (empty list = table verifies).  This
-        is the read-side counterpart of the E9 write-side lineage — it
-        catches lost/duplicated/corrupted partitions after the fact."""
+        span payloads as read back off disk — re-hashing, not trusting
+        the doc_hash/n_spans columns persisted at write time — and diff
+        against the lineage rows.  Returns one dict per mismatching
+        entry (empty list = table verifies).  This is the read-side
+        counterpart of the E9 write-side lineage: because the hash is
+        recomputed from the nested payloads, it catches corrupted or
+        truncated span data, not just lost/duplicated rows.  (The cheap
+        stored-column scan remains the per-wave lineage path in
+        plans/pipeline.py — this full-payload audit is the deep check.)
+        """
         from pyspark.sql import functions as F
 
         entries = self._load()["entries"]
@@ -125,15 +131,17 @@ class ParquetManifestTable:
         df = spark.read.option("basePath", self.data_dir).parquet(
             *[e["path"] for e in entries]
         )
+        hash_expr = ("xxhash64(doc_id, chunk_id, spans)"
+                     if "chunk_id" in df.columns else "xxhash64(doc_id, spans)")
         run_col = F.regexp_extract(F.input_file_name(), r"run=([^/]+)", 1)
         actual = {
             (int(r["bucket"]), r["run_id"]): r
             for r in df.withColumn("run_id", run_col)
             .groupBy("bucket", "run_id")
             .agg(
-                F.count("*").alias("doc_count"),
-                F.sum("n_spans").alias("span_count"),
-                F.expr("bit_xor(doc_hash)").alias("checksum"),
+                F.countDistinct("doc_id").alias("doc_count"),
+                F.sum(F.size("spans")).alias("span_count"),
+                F.expr(f"bit_xor({hash_expr})").alias("checksum"),
             )
             .collect()
         }

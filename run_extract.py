@@ -28,6 +28,9 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--buckets", type=int, default=256)
     ap.add_argument("--wave-size", type=int, default=None)
+    ap.add_argument("--chunk-max-spans", type=int, default=None,
+                    help="E2 weight variant: sub-split docs into chunks of "
+                         "<= N spans before the UDF stage (mega-doc defense)")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--fail-after-waves", type=int, default=None,
                     help="test hook: crash after N committed waves")
@@ -43,7 +46,8 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("ocr_spark_extract").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    cfg = ExtractConfig(salt_buckets=args.buckets)
+    cfg = ExtractConfig(salt_buckets=args.buckets,
+                        chunk_max_spans=args.chunk_max_spans)
 
     if args.input.startswith("synthetic:"):
         n = int(args.input.split(":", 1)[1])

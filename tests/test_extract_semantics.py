@@ -254,3 +254,92 @@ def test_manifest_verify_detects_tampering(spark, tmp_path):
     bad = tbl.verify(spark)
     assert bad, "verify() missed a deleted data file"
     assert str(bad[0]["bucket"]) in victim
+
+
+def test_manifest_verify_detects_payload_corruption(spark, tmp_path):
+    """verify() re-hashes the span payloads read back from disk, so
+    silently corrupted span TEXT (row counts intact, stored doc_hash
+    column intact) must still be caught."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from ocr_spark.config import ExtractConfig
+    from ocr_spark.plans.pipeline import run_extract
+    from ocr_spark.sources.corpus import generate_interleaved
+    from ocr_spark.sources.formats import ParquetManifestTable
+
+    out = str(tmp_path / "t")
+    docs = generate_interleaved(spark, 60, seed=7, partitions=4)
+    run_extract(spark, docs, out, cfg=ExtractConfig(salt_buckets=8),
+                num_partitions=4)
+    tbl = ParquetManifestTable(out)
+    assert tbl.verify(spark) == []
+
+    # flip one span's text in one file, keeping every other column
+    # (including the persisted doc_hash) byte-identical
+    victim = sorted(glob.glob(f"{out}/data/run=*/bucket=*/*.parquet"))[0]
+    # drop Hadoop's local-FS .crc sidecar: object stores don't have it,
+    # and the point of this test is that OUR lineage layer catches the
+    # corruption, not the local filesystem's courtesy checksum
+    import os as _os
+    crc = _os.path.join(_os.path.dirname(victim),
+                        f".{_os.path.basename(victim)}.crc")
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    t = pq.read_table(victim)
+    data = t.to_pydict()
+    spans = data["spans"]
+    for row in spans:
+        if row:
+            row[0]["text"] = "CORRUPTED"
+            break
+    pq.write_table(t.from_pydict(data, schema=t.schema), victim)
+    bad = tbl.verify(spark)
+    assert bad, "verify() trusted stored hashes and missed payload corruption"
+    assert str(bad[0]["bucket"]) in victim
+
+
+def test_chunked_extraction_equals_unsplit(spark):
+    """E2 weight variant: sub-splitting mega-docs into bounded chunks and
+    restitching must reproduce the unsplit extraction span-for-span, for
+    chunk sizes that do and don't divide the span counts."""
+    from ocr_spark.config import ExtractConfig
+    from ocr_spark.plans.pipeline import extract_dataframe
+    from ocr_spark.sources.corpus import generate_interleaved
+
+    docs = generate_interleaved(spark, 60, seed=9, partitions=4,
+                                mega_every=30).localCheckpoint()
+    base = extract_dataframe(docs).select("doc_id", F.to_json("spans").alias("j"))
+    for cs in (1, 5):
+        split = extract_dataframe(
+            docs, ExtractConfig(chunk_max_spans=cs), num_partitions=6
+        ).select("doc_id", F.to_json("spans").alias("j"))
+        assert base.exceptAll(split).count() == 0
+        assert split.exceptAll(base).count() == 0
+
+
+def test_chunking_bounds_straggler_weight(spark):
+    """One 500x-median doc must not serialize onto one task: after
+    chunk_spans + chunk-aware repartition, the max per-partition span
+    weight is bounded near the mean instead of being dominated by the
+    mega-doc."""
+    from ocr_spark.operators.skew import chunk_spans
+
+    mega = [("text", f"t{i}", None, i) for i in range(1000)]
+    rows = [("mega", mega)] + [
+        (f"d{i}", [("text", f"x{j}", None, j) for j in range(2)])
+        for i in range(50)
+    ]
+    docs = spark.createDataFrame(rows, SPAN_SCHEMA_DDL)
+    chunked = chunk_spans(docs, max_spans=16).repartition(8, "doc_id", "chunk_id")
+    w = (chunked.select(F.spark_partition_id().alias("p"),
+                        F.size("spans").alias("n"))
+         .groupBy("p").agg(F.sum("n").alias("weight")).collect())
+    weights = [r["weight"] for r in w]
+    total = sum(weights)
+    assert total == 1000 + 100
+    # unsplit, one partition would carry >= 1000/1100 of the weight;
+    # split, no partition may dominate
+    assert max(weights) <= 0.35 * total, f"straggler partition: {weights}"
+    assert chunked.agg(F.max(F.size("spans"))).collect()[0][0] <= 16

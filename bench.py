@@ -83,6 +83,11 @@ def main() -> None:
 
     registry.load_all()
 
+    # Median of REPEATS timed runs after one warm run: the sandbox VM's
+    # throughput drifts 2-4x in minutes-long windows (BENCH/BASELINE.md
+    # methodology), so single-shot timings made round-over-round
+    # comparisons noise.  The median of 3 damps one throttled window.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES.get(name)
@@ -90,26 +95,38 @@ def main() -> None:
             continue
         df = fn(spark, sf_dir)
         _force(df)  # warm: codegen compiled, Python UDF workers spawned
-        t0 = time.time()
-        _force(df)
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(repeats):
+            t0 = time.time()
+            _force(df)
+            runs.append(time.time() - t0)
+        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
 
     # Flagship extraction job: E1→E9 on a deterministic synthetic corpus
-    # scaled with sf (sf0.1 → 3000 docs incl. mega-doc skew), full write
-    # with lineage commit.
+    # scaled with sf (sf0.1 → 10000 docs incl. mega-doc skew), full write
+    # with lineage commit.  At this corpus size the fixed per-wave
+    # commit/lineage overhead dominates (BENCH/BASELINE.md runs 200k+
+    # docs and sustains ~20x the docs/sec), so a second, larger corpus
+    # with pre-spun UDF workers reports the steady-state throughput the
+    # e2e number under-states.
     from ocr_spark.plans.pipeline import run_extract
     from ocr_spark.sources.corpus import generate_interleaved
 
     n_docs = max(300, int(100000 * sf)) if sf > 0 else 1000
     out = tempfile.mkdtemp(prefix="bench_extract_")
+    out2 = tempfile.mkdtemp(prefix="bench_extract_steady_")
     try:
         docs = generate_interleaved(spark, n_docs, seed=42, partitions=cpus)
         docs = docs.localCheckpoint()  # time extraction, not corpus synthesis
         t0 = time.time()
         metrics = run_extract(spark, docs, out)
         timings["extract_pipeline_e2e"] = round(time.time() - t0, 3)
+        steady_docs = generate_interleaved(
+            spark, 4 * n_docs, seed=43, partitions=cpus).localCheckpoint()
+        steady = run_extract(spark, steady_docs, out2, warmup=True)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(out2, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -119,8 +136,12 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "cpus": cpus,
+        "repeats": repeats,
         "extract_docs_per_sec": metrics.get("docs_per_sec"),
         "extract_spans_per_sec": metrics.get("spans_per_sec"),
+        "extract_steady_docs_per_sec": steady.get("docs_per_sec"),
+        "extract_steady_spans_per_sec": steady.get("spans_per_sec"),
+        "extract_steady_n_docs": steady.get("docs"),
     }))
     spark.stop()
 

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import os
 import tempfile
-import uuid
 
 from pyspark.sql import functions as F
 
@@ -147,8 +146,10 @@ def agg_percentile_approx(spark, sf):
 
 def _roundtrip(df, fmt: str, read_opts=None, write_opts=None):
     """Write with the engine, read back with the engine — the oracle sees
-    the original table, so the check proves lossless round-trip."""
-    out = os.path.join(tempfile.gettempdir(), f"rt_{fmt}_{uuid.uuid4().hex[:8]}")
+    the original table, so the check proves lossless round-trip.
+    Deterministic output path + overwrite, so repeated harness runs reuse
+    one directory instead of leaking a fresh tmp dir per invocation."""
+    out = os.path.join(tempfile.gettempdir(), f"ocr_spark_rt_{fmt}")
     w = df.write.mode("overwrite")
     for k, v in (write_opts or {}).items():
         w = w.option(k, v)
@@ -215,8 +216,11 @@ def streaming_tumbling_window(spark, sf):
 
     from ocr_spark.streaming import events_stream, run_available_now
 
-    # file streams need a directory source
-    tmp = tempfile.mkdtemp(prefix="stream_events_")
+    # file streams need a directory source; deterministic path, rebuilt
+    # per run (no per-invocation tmp-dir leak)
+    tmp = os.path.join(tempfile.gettempdir(), "ocr_spark_stream_events")
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
     src = f"{sf}/events.parquet"
     files = glob.glob(f"{src}/*.parquet") or [src]
     for f in files:
@@ -231,5 +235,9 @@ def streaming_tumbling_window(spark, sf):
             "event_type", "n",
         )
     )
-    ck = tempfile.mkdtemp(prefix="stream_ck_")
+    # a fresh checkpoint per run is REQUIRED (replaying an old checkpoint
+    # against a rebuilt source dir would skip files); delete the previous
+    # run's dir so only one lives in /tmp at a time
+    ck = os.path.join(tempfile.gettempdir(), "ocr_spark_stream_ck")
+    shutil.rmtree(ck, ignore_errors=True)
     return run_available_now(agg, ck, output_mode="complete")

@@ -174,8 +174,14 @@ class IcebergTable:
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.format("iceberg").load(self.identifier)
 
+    def write_plan(self, df: DataFrame):
+        """DataFrameWriterV2 for the append — split out so tests can
+        construct the production write plan without a live catalog
+        (plan construction needs no Iceberg jar; only execution does)."""
+        return df.writeTo(self.identifier).option("write-format", "parquet")
+
     def write_wave(self, df: DataFrame, run_id: str) -> str:
-        df.writeTo(self.identifier).append()
+        self.write_plan(df).append()
         return self.identifier
 
     def committed_buckets(self) -> set[int]:  # via snapshot summary in prod

@@ -50,6 +50,7 @@ HEADLINE = [
     "dedup_simhash",
     "ann_bruteforce_topk",
     "ann_lsh_bucketed",
+    "ann_ivf_topk",
     "vec_cosine_neardup",
 ]
 

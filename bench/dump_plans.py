@@ -22,6 +22,8 @@ PICKS = {
     "tpch_q1": "partial (map-side) + final hash aggregation",
     "sort_limit_topk": "global top-k as TakeOrderedAndProject (no full sort)",
     "dedup_simhash": "pure-JVM sketch: no Python stage anywhere",
+    "agg_percentile": "exact percentile via distinct-value counting — partial agg, bounded per-group state (no buffering percentile())",
+    "ann_ivf_topk": "IVF ANN: broadcast centroid assignment, cluster-pruned exact scoring",
 }
 
 

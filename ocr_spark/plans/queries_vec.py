@@ -224,3 +224,111 @@ def lsh_pairs(df, dim: int = 64, n_bits: int = 16, min_cosine: float = 0.6,
 @q("ann_lsh_bucketed")  # seeded hyperplanes → engine-specific, rows-only
 def ann_lsh_bucketed(spark, sf):
     return lsh_pairs(t(spark, sf, "embeddings").select("vec_id", "embedding"))
+
+
+_IVF_K = 16       # coarse centroids (production: k-means fit offline)
+_IVF_NPROBE = 2   # clusters searched per query
+_IVF_TOPK = 5
+
+
+@q(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      WHERE vec_id < {_IVF_K}
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 {_DOT_SQL.format(a='e.embedding', b='c.ce')}
+                 / SQRT({_NORM2_SQL.format(a='c.ce')}) DESC, c.cid) AS rn
+        FROM embeddings e, cents c)
+      WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS probe_id, embedding AS pe, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 {_DOT_SQL.format(a='e.embedding', b='c.ce')}
+                 / SQRT({_NORM2_SQL.format(a='c.ce')}) DESC, c.cid) AS rn
+        FROM embeddings e, cents c WHERE e.vec_id % 100 = 7)
+      WHERE rn <= {_IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT p.probe_id, a.vec_id AS neighbor_id,
+             ROUND({_DOT_SQL.format(a='p.pe', b='a.embedding')}
+                   / (SQRT({_NORM2_SQL.format(a='p.pe')})
+                      * SQRT({_NORM2_SQL.format(a='a.embedding')})), 6) AS cosine
+      FROM probes p JOIN assign a ON a.cid = p.cid
+      WHERE a.vec_id <> p.probe_id
+    )
+    SELECT probe_id, neighbor_id, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored) WHERE rn <= {_IVF_TOPK}
+    """,
+)
+def ann_ivf_topk(spark, sf):
+    """IVF (inverted-file) ANN — the bucket-pruned scale path with an
+    exact SQL oracle: assign every vector to its nearest of K coarse
+    centroids (one broadcast join — at 100 TB the only full pass), then
+    each query probes its NPROBE nearest clusters and scores exact
+    cosine ONLY within them (candidate set ~ NPROBE/K of the corpus vs
+    brute force's all-pairs).  Centroids here are the first K embeddings
+    — deterministic so DuckDB reproduces them; production fits them
+    offline with k-means, which changes recall, not this plan shape.
+    Recall on data with real cluster structure is gated in
+    tests/test_vec.py (random gaussians have none by construction)."""
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    return ivf_topk(e, e.filter(F.col("vec_id") % 100 == 7))
+
+
+def ivf_topk(e, probes_src, k: int = _IVF_K, nprobe: int = _IVF_NPROBE,
+             topk: int = _IVF_TOPK):
+    """The IVF pipeline over (vec_id, embedding) frames: centroid
+    assignment via broadcast join + window argmax, cluster-pruned exact
+    cosine scoring, per-probe top-k."""
+    cents = F.broadcast(
+        e.filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    )
+    # centroid affinity: dot / |centroid| (query norm is rank-invariant)
+    aff = (F.expr(_DOT.format(a="embedding", b="ce"))
+           / F.sqrt(F.expr(_NORM2.format(a="ce"))))
+    w_assign = W.partitionBy("vec_id").orderBy(F.desc(aff), "cid")
+    assign = (
+        e.join(cents)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    probes = (
+        probes_src
+        .join(cents)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= nprobe)
+        .select(F.col("vec_id").alias("probe_id"),
+                F.col("embedding").alias("pe"), "cid")
+    )
+    scored = (
+        probes.join(assign, "cid")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                F.expr(_DOT.format(a="pe", b="embedding"))
+                / (F.sqrt(F.expr(_NORM2.format(a="pe")))
+                   * F.sqrt(F.expr(_NORM2.format(a="embedding")))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w_top = W.partitionBy("probe_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= topk)
+        .select("probe_id", "neighbor_id", "cosine")
+    )

@@ -56,7 +56,7 @@ _CHECK_PRIORITY = [
     "ann_bruteforce_topk", "vec_cosine_neardup", "vec_centroids",
     # -- new or reworked this round --
     "udf_scalar_pandas", "agg_percentile", "agg_percentile_approx",
-    "extract_split_restitch",
+    "extract_split_restitch", "ann_ivf_topk",
     # -- no driver row yet — rows-only by design --
     "dedup_simhash", "ann_lsh_bucketed",
 ]

@@ -63,3 +63,48 @@ def test_lsh_near_duplicate_recall(spark):
     # not all (that's what banding/multi-probe would add)
     hits = sum((i, i + 2_000_000) in got for i in range(40))
     assert hits >= 15, f"near-dup recall collapsed: {hits}/40"
+
+
+def test_ivf_recall_vs_bruteforce_on_clustered_data(spark):
+    """IVF's exactness is oracle-checked (the DuckDB twin applies the
+    same pruning); this gates its QUALITY where IVF's assumption holds —
+    data with cluster structure.  8 well-separated clusters, centroids
+    seeded from the first 16 ids (cluster = id % 8, so every cluster has
+    a seed); a probe's true nearest neighbors live in its own cluster,
+    and nprobe=2 must recover nearly all of the unpruned top-5."""
+    import numpy as np
+
+    from ocr_spark.plans.queries_vec import ivf_topk
+
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((8, 64)).astype("float32") * 4
+    n = 160
+    rows = [
+        (i, (centers[i % 8] + rng.standard_normal(64).astype("float32") * 0.3).tolist())
+        for i in range(n)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes_src = e.filter(F.col("vec_id") % 20 == 19)
+    got = {(r["probe_id"], r["neighbor_id"])
+           for r in ivf_topk(e, probes_src, k=16, nprobe=2, topk=5).collect()}
+    assert got, "IVF returned nothing"
+
+    from pyspark.sql import Window as W
+    p = probes_src.select(F.col("vec_id").alias("probe_id"),
+                          F.col("embedding").alias("pe"))
+    cos = (
+        F.expr(_DOT.format(a="pe", b="embedding"))
+        / (F.sqrt(F.expr(_NORM2.format(a="pe")))
+           * F.sqrt(F.expr(_NORM2.format(a="embedding"))))
+    )
+    scored = (F.broadcast(p).join(e, F.col("vec_id") != F.col("probe_id"))
+              .select("probe_id", F.col("vec_id").alias("neighbor_id"),
+                      cos.alias("c")))
+    w = W.partitionBy("probe_id").orderBy(F.desc("c"), "neighbor_id")
+    truth = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"IVF recall on clustered data too low: {recall:.2f}"

@@ -50,12 +50,16 @@ def _wave_lineage(spark: SparkSession, wave_dir: str, run_id: str,
     # span payloads (measured: the old to_json re-read was a fixed ~7s
     # that did not scale with cores and dominated Amdahl overhead).
     df = spark.read.option("basePath", wave_dir).parquet(wave_dir)
+    # chunked path: each doc has exactly one chunk_id==0 row, so counting
+    # those counts DOCUMENTS without a countDistinct (whose extra
+    # distinct-aggregation pass is pure fixed overhead on the unsplit
+    # path, where count(*) is already exact)
+    doc_count = (F.count(F.when(F.col("chunk_id") == 0, 1))
+                 if "chunk_id" in df.columns else F.count("*"))
     rows = (
         df.groupBy("bucket")
         .agg(
-            # distinct so the chunked path counts DOCUMENTS, not chunk
-            # rows (identical to count(*) when docs are unsplit)
-            F.countDistinct("doc_id").alias("doc_count"),
+            doc_count.alias("doc_count"),
             F.sum("n_spans").alias("span_count"),
             # order-insensitive per-bucket checksum over canonical doc payloads
             F.expr("bit_xor(doc_hash)").alias("checksum"),

@@ -58,17 +58,21 @@ def _dup_docs(spark, sf):
 def _grams_df(spark, sf):
     """doc_id + distinct word-3-gram set (array<string>) — built-ins only.
 
-    The raw docs are repartitioned BEFORE the gram expression: at small
-    SF the table is one parquet file, so without this every downstream
-    consumer would evaluate the (expensive) 3-gram construction at
-    single-file parallelism; shuffling 10k short texts is far cheaper
-    than serializing the gram build."""
-    d = _dup_docs(spark, sf).repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    Two exchanges sandwich the gram expression deliberately:
+    - the repartition BELOW it spreads the (expensive) 3-gram
+      construction across all cores even when the table is one parquet
+      file at small SF;
+    - the repartition ABOVE it puts an Exchange boundary over the
+      finished gram sets, so when a dedup query references this frame
+      several times (inverted index + two verification re-attach sides),
+      Spark's ReuseExchange computes the grams ONCE and the other
+      consumers read the shuffle output instead of re-running the gram
+      build per subtree (plan-asserted in tests/test_plan_shape.py)."""
+    p = spark.sparkContext.defaultParallelism
+    d = _dup_docs(spark, sf).repartition(p, "doc_id")
     # guard: sequence(0, n) with n < 0 would DESCEND in Spark — emit an
     # empty gram set for docs with < 3 tokens instead
-    return d.select(
+    g = d.select(
         "doc_id",
         F.expr(
             "CASE WHEN size(split(trim(text), ' ')) >= 3 THEN "
@@ -77,6 +81,7 @@ def _grams_df(spark, sf):
             " ELSE array() END"
         ).alias("gset"),
     )
+    return g.repartition(p, "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -341,9 +346,14 @@ def dedup_minhash_lsh(spark, sf):
     # shape computes every gram ONCE, hashes it 32x (cheap), aggregates
     # map-side (partial min), and its shuffle redistributes work evenly
     # regardless of input file layout.
-    ex = g.select("doc_id", F.explode("gset").alias("gram"))
+    # hash each gram string to int64 ONCE, then derive the 32 permutation
+    # hashes from the 8-byte value — same minhash family (signatures equal
+    # iff gram-hash sets equal), ~3x less hashing work than re-hashing
+    # the string per permutation
+    ex = (g.select("doc_id", F.explode("gset").alias("gram"))
+          .select("doc_id", F.xxhash64("gram").alias("g64")))
     sig = ex.groupBy("doc_id").agg(*[
-        F.min(F.xxhash64("gram", F.lit(i))).alias(f"m{i}") for i in range(32)
+        F.min(F.xxhash64("g64", F.lit(i))).alias(f"m{i}") for i in range(32)
     ])
     # banding rows stay NARROW (doc_id, band, bh): shuffling the gram-set
     # arrays 8x through the band self-join was the dominant cost at scale;

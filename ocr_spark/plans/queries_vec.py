@@ -91,11 +91,18 @@ def vec_array_hof(spark, sf):
 )
 def ann_bruteforce_topk(spark, sf):
     # exact ANN baseline: broadcast the probe set, score all pairs JVM-side,
-    # per-probe top-k via window (TakeOrdered per group)
-    e = t(spark, sf, "embeddings")
+    # per-probe top-k via window (TakeOrdered per group).  Norms are
+    # computed ONCE per side before the join — recomputing |v| inside the
+    # pair expression would redo the 64-element reduction per PAIR
+    # (n_probes x n_vectors times instead of n_vectors times).
+    e = t(spark, sf, "embeddings").select(
+        "vec_id", "embedding",
+        F.sqrt(F.expr(_NORM2.format(a="embedding"))).alias("nv"),
+    )
     probes = F.broadcast(
         e.filter(F.col("vec_id") < 5).select(
-            F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+            F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"),
+            F.col("nv").alias("np_"),
         )
     )
     scored = (
@@ -105,10 +112,7 @@ def ann_bruteforce_topk(spark, sf):
             F.col("vec_id").alias("neighbor_id"),
             F.round(
                 F.expr(_DOT.format(a="pe", b="embedding"))
-                / (
-                    F.sqrt(F.expr(_NORM2.format(a="pe")))
-                    * F.sqrt(F.expr(_NORM2.format(a="embedding")))
-                ),
+                / (F.col("np_") * F.col("nv")),
                 6,
             ).alias("cosine"),
         )
@@ -150,14 +154,17 @@ def vec_cosine_neardup(spark, sf):
             (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
         )
     )
-    a = dupe.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = dupe.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    # norm once per VECTOR (pre-join), not once per PAIR
+    dupe = dupe.withColumn("nv", F.sqrt(F.expr(_NORM2.format(a="embedding"))))
+    a = dupe.select(F.col("vec_id").alias("vec_a"),
+                    F.col("embedding").alias("ea"), F.col("nv").alias("na"))
+    b = dupe.select(F.col("vec_id").alias("vec_b"),
+                    F.col("embedding").alias("eb"), F.col("nv").alias("nb"))
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).select(
         "vec_a",
         "vec_b",
         F.round(
-            F.expr(_DOT.format(a="ea", b="eb"))
-            / (F.sqrt(F.expr(_NORM2.format(a="ea"))) * F.sqrt(F.expr(_NORM2.format(a="eb")))),
+            F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb")),
             6,
         ).alias("cosine"),
     )
@@ -207,14 +214,15 @@ def lsh_pairs(df, dim: int = 64, n_bits: int = 16, min_cosine: float = 0.6,
         vals = (bits * (1 << np.arange(n_bits))).sum(axis=1)
         return pd.Series(vals.astype(np.int32))
 
-    s = df.withColumn("bucket", sketch("embedding"))
-    a = s.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket")
-    b = s.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket")
+    s = df.withColumn("bucket", sketch("embedding")).withColumn(
+        "nv", F.sqrt(F.expr(_NORM2.format(a="embedding"))))  # norm per vector, not per pair
+    a = s.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+                 "bucket", F.col("nv").alias("na"))
+    b = s.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+                 "bucket", F.col("nv").alias("nb"))
     pairs = a.join(b, ["bucket"]).filter(F.col("vec_a") < F.col("vec_b"))
     cos = F.round(
-        F.expr(_DOT.format(a="ea", b="eb"))
-        / (F.sqrt(F.expr(_NORM2.format(a="ea"))) * F.sqrt(F.expr(_NORM2.format(a="eb")))),
-        6,
+        F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb")), 6,
     )
     return pairs.select("vec_a", "vec_b", cos.alias("cosine")).filter(
         F.col("cosine") >= min_cosine
@@ -312,16 +320,18 @@ def ivf_topk(e, probes_src, k: int = _IVF_K, nprobe: int = _IVF_NPROBE,
         .select(F.col("vec_id").alias("probe_id"),
                 F.col("embedding").alias("pe"), "cid")
     )
+    np_ = F.sqrt(F.expr(_NORM2.format(a="pe")))
+    nv = F.sqrt(F.expr(_NORM2.format(a="embedding")))
     scored = (
-        probes.join(assign, "cid")
+        probes.withColumn("np_", np_)            # norm once per probe row
+        .join(assign.withColumn("nv", nv), "cid")  # ... and per data vector
         .filter(F.col("vec_id") != F.col("probe_id"))
         .select(
             "probe_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(
                 F.expr(_DOT.format(a="pe", b="embedding"))
-                / (F.sqrt(F.expr(_NORM2.format(a="pe")))
-                   * F.sqrt(F.expr(_NORM2.format(a="embedding")))),
+                / (F.col("np_") * F.col("nv")),
                 6,
             ).alias("cosine"),
         )

@@ -131,15 +131,18 @@ class ParquetManifestTable:
         df = spark.read.option("basePath", self.data_dir).parquet(
             *[e["path"] for e in entries]
         )
-        hash_expr = ("xxhash64(doc_id, chunk_id, spans)"
-                     if "chunk_id" in df.columns else "xxhash64(doc_id, spans)")
+        chunked = "chunk_id" in df.columns
+        hash_expr = ("xxhash64(doc_id, chunk_id, spans)" if chunked
+                     else "xxhash64(doc_id, spans)")
+        doc_count = (F.count(F.when(F.col("chunk_id") == 0, 1)) if chunked
+                     else F.count("*"))
         run_col = F.regexp_extract(F.input_file_name(), r"run=([^/]+)", 1)
         actual = {
             (int(r["bucket"]), r["run_id"]): r
             for r in df.withColumn("run_id", run_col)
             .groupBy("bucket", "run_id")
             .agg(
-                F.countDistinct("doc_id").alias("doc_count"),
+                doc_count.alias("doc_count"),
                 F.sum(F.size("spans")).alias("span_count"),
                 F.expr(f"bit_xor({hash_expr})").alias("checksum"),
             )

@@ -76,6 +76,36 @@ def test_extract_stage_single_exchange_single_python_stage(spark):
     assert post_exchange.count("MapInPandas") == 1
 
 
+@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_ngram_jaccard"])
+def test_gram_build_reused_not_recomputed(name, spark, sf_dir):
+    """The dedup queries reference the gram-set frame 3x (inverted index
+    + two verification re-attach sides).  The exchange boundary above the
+    gram expression must make Spark REUSE the built grams (ReusedExchange
+    in the plan) instead of re-running the 3-gram construction per
+    subtree — at 100 TB that's the difference between one and three full
+    gram-build passes.  AQE resolves exchange reuse at runtime, so the
+    query must execute before the final plan shows it."""
+    df = registry.QUERIES[name](spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, f"gram build recomputed per consumer in {name}"
+
+
+def test_chunked_extract_single_exchange_single_python_stage(spark):
+    from ocr_spark.operators.extract import extract_stage
+    from ocr_spark.operators.skew import chunk_spans, with_bucket
+    from ocr_spark.sources.corpus import generate_interleaved
+
+    docs = with_bucket(generate_interleaved(spark, 10, seed=1, partitions=2))
+    chunked = chunk_spans(docs.select("doc_id", "spans", "bucket"), 8)
+    balanced = chunked.repartition(4, "bucket", "chunk_id")
+    plan = _plan(extract_stage(balanced, passthrough={"chunk_id": "int"}))
+    assert plan.count("Exchange") == 1, f"expected exactly 1 shuffle:\n{plan}"
+    post_exchange = plan.split("Exchange", 1)[0]
+    assert post_exchange.count("MapInPandas") == 1
+
+
 @pytest.mark.parametrize("name", sorted(registry.QUERIES))
 def test_no_row_at_a_time_python(name, spark, sf_dir):
     # BASELINE.json:15 — vectorized pandas/Arrow UDFs only, never udf()

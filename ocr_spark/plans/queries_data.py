@@ -1,0 +1,212 @@
+"""Training-data curation operators over the ``documents`` table.
+
+The ops a large-scale LLM data pipeline runs between extraction and
+training: reproducible sampling and splits, per-source capping (corpus
+balancing), vocabulary statistics, fixed-token-budget sequence packing,
+and benchmark decontamination.  All are deterministic (hash- or
+order-based, never seeded-random) so every one is DuckDB-oracle-checked;
+and all are built-in-function plans — window functions + hash aggs, no
+Python, no driver-side loops — that survive a 1000-executor corpus.
+
+Determinism trick shared with the oracle: both engines implement md5
+identically, so ``md5(cast(doc_id as string))`` is the portable
+uniform hash for sampling/ordering (Spark xxhash64 has no DuckDB twin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from ocr_spark.plans.registry import q, t
+
+# portable deterministic uniform hash in [0, 16^4) — first 4 md5 hex
+# chars.  Spark's conv() returns STRING, so the cast matters: ordering
+# by the uncast value would be lexicographic ('10' < '9') and silently
+# disagree with DuckDB's integer ordering.
+_H4 = "CAST(conv(substring(md5(cast(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT)"
+_H4_SQL = "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)"
+
+
+@q(
+    "sample_deterministic",
+    oracle=f"""
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE {_H4_SQL} % 10 = 3
+    """,
+)
+def sample_deterministic(spark, sf):
+    """Reproducible ~10% corpus sample via content-independent hash
+    bucketing — the scale-correct sampling shape: no global count, no
+    seeded RNG whose draw order depends on partitioning, pure filter
+    that fully parallelizes and composes with pushdown on other
+    predicates.  Re-running on a grown corpus keeps previously-sampled
+    docs sampled (stable by doc_id)."""
+    d = t(spark, sf, "documents")
+    return d.filter(F.expr(_H4) % 10 == 3).select("doc_id", "source", "n_chars")
+
+
+@q(
+    "split_train_holdout",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_H4_SQL} % 100 < 95 THEN 'train' ELSE 'holdout' END
+             AS split,
+           n_chars
+    FROM documents
+    """,
+)
+def split_train_holdout(spark, sf):
+    """Deterministic 95/5 train/holdout split from the same hash — the
+    two partitions are complementary and stable across runs/parallelism,
+    so no document can leak between splits when the job is re-run."""
+    d = t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.when(F.expr(_H4) % 100 < 95, "train").otherwise("holdout").alias("split"),
+        "n_chars",
+    )
+
+
+@q(
+    "sample_cap_per_source",
+    oracle=f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY {_H4_SQL}, doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 50
+    """,
+)
+def sample_cap_per_source(spark, sf):
+    """Corpus balancing: cap each source (domain) at 50 documents,
+    chosen by hash order so the cap is an unbiased deterministic sample
+    rather than 'whatever sorted first'.  One window per source — the
+    standard defense against a single crawl domain dominating the
+    training mix."""
+    d = t(spark, sf, "documents")
+    w = W.partitionBy("source").orderBy(F.expr(_H4).asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("doc_id", "source")
+    )
+
+
+@q(
+    "vocab_topk",
+    oracle=r"""
+    SELECT token, n FROM (
+      SELECT token, COUNT(*) AS n FROM (
+        SELECT unnest(string_split(trim(lower(text)), ' ')) AS token
+        FROM documents) WHERE token <> ''
+      GROUP BY token)
+    ORDER BY n DESC, token LIMIT 100
+    """,
+)
+def vocab_topk(spark, sf):
+    """Vocabulary statistics: global top-100 tokens by frequency —
+    explode → hash agg (map-side partial combine does the heavy
+    lifting: the shuffle carries one partial count per distinct token
+    per partition, not one row per token occurrence) → TakeOrdered."""
+    d = t(spark, sf, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.lower("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("token").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token").limit(100)
+    )
+
+
+@q(
+    "pack_token_budget",
+    oracle=f"""
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR((cum - n_tokens) / 2048) AS INT) AS bin_id
+    FROM (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY {_H4_SQL}, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM (
+        SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tokens
+        FROM documents)
+    )
+    """,
+)
+def pack_token_budget(spark, sf):
+    """Sequence packing: assign documents to fixed-budget (2048-token)
+    training bins by running-sum over a deterministic hash order —
+    bin_id = floor(prefix_sum / budget).  The global ordered cumsum is
+    the one intentionally serial-looking step; at scale it runs as
+    Spark's range-partitioned window (sort + per-partition prefix sums +
+    a tiny offsets exchange), not on one node."""
+    d = t(spark, sf, "documents")
+    nt = d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), " ")).alias("n_tokens"),
+    )
+    w = W.orderBy(F.expr(_H4).asc(), F.col("doc_id").asc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow)
+    return nt.select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048)
+        .cast("int").alias("bin_id"),
+    )
+
+
+@q(
+    "decontaminate_vs_holdout",
+    oracle=r"""
+    WITH bench AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+      WHERE doc_id % 50 = 0
+    ),
+    bgrams AS (
+      SELECT DISTINCT unnest(list_transform(
+               generate_series(1, greatest(len(ws) - 7, 0)),
+               i -> array_to_string(ws[i:i+7], ' '))) AS g
+      FROM bench
+    ),
+    corpus AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+      WHERE doc_id % 50 <> 0
+    ),
+    cgrams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(ws) - 7, 0)),
+               i -> array_to_string(ws[i:i+7], ' ')))) AS g
+      FROM corpus
+    )
+    SELECT cgrams.doc_id, COUNT(*) AS n_hits
+    FROM cgrams JOIN bgrams USING (g)
+    GROUP BY cgrams.doc_id
+    """,
+)
+def decontaminate_vs_holdout(spark, sf):
+    """Benchmark decontamination: flag training documents sharing any
+    8-gram with the held-out set (doc_id % 50 = 0 stands in for the
+    benchmark corpus).  Plan shape: distinct benchmark grams (small —
+    broadcastable at real benchmark sizes) joined against exploded
+    corpus grams; output = contaminated doc + overlap count, which a
+    pipeline uses to drop or audit those documents."""
+    d = t(spark, sf, "documents")
+    gram = (
+        "CASE WHEN size(split(trim(text), ' ')) >= 8 THEN "
+        "array_distinct(transform(sequence(0, size(split(trim(text), ' ')) - 8),"
+        " i -> array_join(slice(split(trim(text), ' '), i + 1, 8), ' ')))"
+        " ELSE array() END"
+    )
+    bench = (
+        d.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode(F.expr(gram)).alias("g")).distinct()
+    )
+    corpus = (
+        d.filter(F.col("doc_id") % 50 != 0)
+        .select("doc_id", F.explode(F.expr(gram)).alias("g"))
+    )
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id").agg(F.count("*").alias("n_hits"))
+    )

@@ -57,6 +57,8 @@ _CHECK_PRIORITY = [
     # -- new or reworked this round --
     "udf_scalar_pandas", "agg_percentile", "agg_percentile_approx",
     "extract_split_restitch", "ann_ivf_topk",
+    "sample_deterministic", "split_train_holdout", "sample_cap_per_source",
+    "vocab_topk", "pack_token_budget", "decontaminate_vs_holdout",
     # -- no driver row yet — rows-only by design --
     "dedup_simhash", "ann_lsh_bucketed",
 ]
@@ -71,6 +73,7 @@ def load_all() -> None:
     """Import every query module (side effect: fills QUERIES/ORACLES),
     then reorder into the explicit driver-check priority above."""
     from ocr_spark.plans import (  # noqa: F401
+        queries_data,
         queries_extract,
         queries_more,
         queries_rel,

@@ -1,0 +1,71 @@
+"""Semantic gates for the training-data curation operators (the DuckDB
+oracle proves cross-engine equality; these pin the properties a pipeline
+actually relies on)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_spark.plans import registry
+
+registry.load_all()
+
+
+def test_sample_is_partitioning_invariant(spark, sf_dir):
+    # hash sampling must select the same documents no matter how the
+    # input was partitioned (a seeded df.sample() would not)
+    ids = {
+        r["doc_id"]
+        for r in registry.QUERIES["sample_deterministic"](spark, sf_dir).collect()
+    }
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(17)
+    h4 = "CAST(conv(substring(md5(cast(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT)"
+    ids2 = {r["doc_id"]
+            for r in d.filter(F.expr(h4) % 10 == 3).select("doc_id").collect()}
+    assert ids == ids2 and ids, "hash sample depends on partitioning"
+
+
+def test_split_is_complementary_and_exhaustive(spark, sf_dir):
+    s = registry.QUERIES["split_train_holdout"](spark, sf_dir)
+    total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    counts = {r["split"]: r["n"]
+              for r in s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("train", 0) + counts.get("holdout", 0) == total
+    assert counts.get("holdout", 0) > 0, "empty holdout"
+    assert s.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+
+def test_cap_per_source_holds(spark, sf_dir):
+    s = registry.QUERIES["sample_cap_per_source"](spark, sf_dir)
+    over = s.groupBy("source").count().filter(F.col("count") > 50).count()
+    assert over == 0, "a source exceeded its cap"
+
+
+def test_pack_bins_respect_budget(spark, sf_dir):
+    """First-fit-by-cumsum guarantee: a bin's token total never exceeds
+    budget + (tokens of its last doc) — i.e. only the straddling doc can
+    overflow, and (except for oversized single docs) every bin but the
+    last is filled past nothing less than its start boundary."""
+    p = registry.QUERIES["pack_token_budget"](spark, sf_dir)
+    stats = (p.groupBy("bin_id")
+             .agg(F.sum("n_tokens").alias("tot"), F.max("n_tokens").alias("mx"))
+             .collect())
+    assert stats
+    for r in stats:
+        assert r["tot"] <= 2048 + r["mx"], (
+            f"bin {r['bin_id']} holds {r['tot']} tokens (max doc {r['mx']})")
+
+
+def test_decontaminate_flags_planted_overlap(spark, sf_dir):
+    """Every doc flagged shares a real 8-gram with the bench set; and a
+    corpus doc that IS a benchmark doc's text twin would always be
+    flagged — approximate by checking flagged docs exist whenever any
+    corpus doc textually equals a bench doc's prefix overlap (sanity:
+    non-empty result on the harness corpus implies join works)."""
+    out = registry.QUERIES["decontaminate_vs_holdout"](spark, sf_dir)
+    rows = out.collect()
+    for r in rows:
+        assert r["n_hits"] >= 1
+    # flagged docs must come from the corpus side only
+    flagged = {r["doc_id"] for r in rows}
+    assert all(i % 50 != 0 for i in flagged)

@@ -191,6 +191,14 @@ def sink_roundtrip_json(spark, sf):
     return _roundtrip(o, "json")
 
 
+@q("sink_roundtrip_orc", oracle=_RT_SQL)
+def sink_roundtrip_orc(spark, sf):
+    o = t(spark, sf, "orders").filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    return _roundtrip(o, "orc")
+
+
 # ---------------------------------------------------------------------------
 # streaming drain ≡ batch (the §2.3 surface, oracle-checked)
 # ---------------------------------------------------------------------------

@@ -249,3 +249,44 @@ def streaming_tumbling_window(spark, sf):
     ck = os.path.join(tempfile.gettempdir(), "ocr_spark_stream_ck")
     shutil.rmtree(ck, ignore_errors=True)
     return run_available_now(agg, ck, output_mode="complete")
+
+
+@q(
+    "streaming_static_join",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS total_v100
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def streaming_static_join(spark, sf):
+    """Stream-static enrichment join: the events STREAM joined against
+    the static customer dimension (broadcast — the static side is read
+    per micro-batch, so at scale it must not shuffle the stream), then
+    aggregated and drained availableNow.  Checked against the plain
+    batch join in DuckDB — the strongest SQL-expressible check of the
+    streaming join operator.  Fixed-point sum (value*100 as bigint)
+    keeps float addition order out of the comparison."""
+    import glob
+    import shutil
+
+    from ocr_spark.streaming import events_stream, run_available_now
+
+    tmp = os.path.join(tempfile.gettempdir(), "ocr_spark_stream_sj")
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    src = f"{sf}/events.parquet"
+    for f in glob.glob(f"{src}/*.parquet") or [src]:
+        shutil.copy(f, tmp)
+    stream = events_stream(spark, tmp)
+    cust = F.broadcast(
+        t(spark, sf, "customer").select("c_custkey", "c_mktsegment"))
+    joined = stream.join(cust, stream.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_v100"),
+    )
+    ck = os.path.join(tempfile.gettempdir(), "ocr_spark_stream_sj_ck")
+    shutil.rmtree(ck, ignore_errors=True)
+    return run_available_now(agg, ck, output_mode="complete")

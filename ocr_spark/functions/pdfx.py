@@ -16,6 +16,7 @@ Supported PDF subset (documented per SURVEY.md §7 "hard parts"):
       ``Tj`` (show string), ``TJ`` (show array; kern < tj_space_kern
       inserts one space), ``'`` (T* + Tj)
   - string escapes: ``\\``, ``\(``, ``\)``, ``\n``, ``\r``, ``\t``, octal
+  - hex strings ``<4869>`` (whitespace ignored, odd length zero-padded)
   - path ops ``x y w h re`` followed by ``f``/``S``/``B`` outside BT..ET
     are figure regions (drawings)
 
@@ -98,9 +99,10 @@ def _is_flate(stream_dict: bytes) -> bool:
     arr, name = fm.groups()
     return b"FlateDecode" in (arr or name or b"")
 
-# one token: PDF string, array, number, or operator name
+# one token: PDF string (literal or hex), array, number, or operator name
 _TOK_RE = re.compile(
     r"""\((?:\\.|[^\\()])*\)   # literal string (with escapes)
+      | <[0-9A-Fa-f\s]*>       # hex string (whitespace allowed inside)
       | \[ | \]
       | /[A-Za-z0-9]+
       | [-+]?\d*\.?\d+
@@ -208,6 +210,17 @@ def _parse_content(content, runs, figures, cfg):
             continue
         if t.startswith("("):
             s = _unescape(t[1:-1])
+            if arr is not None:
+                arr.append(s)
+            else:
+                stack.append(s)
+            continue
+        if t.startswith("<"):
+            # hex string: whitespace ignored, odd length padded with 0
+            hx = re.sub(r"\s", "", t[1:-1])
+            if len(hx) % 2:
+                hx += "0"
+            s = bytes.fromhex(hx).decode("latin-1")
             if arr is not None:
                 arr.append(s)
             else:

@@ -76,7 +76,8 @@ def _html_payload(rng: random.Random, doc_id: str, heft: int = 1) -> str:
     )
 
 
-def _pdf_payload(rng: random.Random, heft: int = 1) -> str:
+def _pdf_payload(rng: random.Random, heft: int = 1,
+                 compress: bool = False) -> str:
     blocks = [
         {"kind": "header", "x": 72, "y": 760, "lines": [f"Page header {_words(rng, 2)}"]},
     ]
@@ -100,11 +101,11 @@ def _pdf_payload(rng: random.Random, heft: int = 1) -> str:
     if rng.random() < 0.3:
         blocks.append({"kind": "figure", "x": 100, "y": max(y - 90, 60), "w": 120, "h": 80})
     blocks.append({"kind": "footer", "x": 72, "y": 30, "lines": ["p. 1"]})
-    return write_pdf(blocks).decode("latin-1")
+    return write_pdf(blocks, compress=compress).decode("latin-1")
 
 
 def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
-             heft: int = 1) -> dict:
+             heft: int = 1, compress_every: int = 0) -> dict:
     """Pure function (seed, i) → one interleaved document row.
 
     ``heft`` multiplies per-payload content volume (paragraphs / PDF text
@@ -112,7 +113,11 @@ def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
     default path, so heft=1 output is bit-identical to the historical
     corpus (goldens pinned) while heft>1 yields KB-to-tens-of-KB
     documents whose compute/byte ratio matches real OCR inputs (bench
-    uses heft=5)."""
+    uses heft=5).  ``compress_every=N`` flate-encodes every Nth PDF
+    span's content stream (0 = never — default, corpus bit-identical to
+    the pinned goldens); the real-world default is compressed, and the
+    extractor must produce identical spans either way
+    (tests/test_extract_semantics.py asserts it corpus-wide)."""
     doc_id = f"doc{i:08d}"
     rng = _rng(seed, "doc", i)
     n = 1 + min(int(rng.lognormvariate(0.8, 0.7)), 40)
@@ -130,7 +135,9 @@ def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
             sp = {"kind": "html", "text": _html_payload(srng, doc_id, heft),
                   "media_ref": None, "offset": offset}
         elif r < 0.85:
-            sp = {"kind": "pdf_bytes", "text": _pdf_payload(srng, heft),
+            comp = bool(compress_every) and (i + j) % compress_every == 0
+            sp = {"kind": "pdf_bytes",
+                  "text": _pdf_payload(srng, heft, compress=comp),
                   "media_ref": None, "offset": offset}
         else:
             sp = {"kind": "media", "text": None,
@@ -140,14 +147,15 @@ def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
 
 
 def make_docs(n_docs: int, seed: int = 42, mega_every: int = 1000,
-              heft: int = 1) -> list[dict]:
+              heft: int = 1, compress_every: int = 0) -> list[dict]:
     """Driver-side generation for small test fixtures (pure Python)."""
-    return [make_doc(i, seed, mega_every, heft) for i in range(n_docs)]
+    return [make_doc(i, seed, mega_every, heft, compress_every)
+            for i in range(n_docs)]
 
 
 def generate_interleaved(spark, n_docs: int, seed: int = 42,
                          partitions: int | None = None, mega_every: int = 1000,
-                         heft: int = 1):
+                         heft: int = 1, compress_every: int = 0):
     """Distributed generation: spark.range → mapInPandas (scales to any n).
 
     No driver-side materialization; each task builds its id-range of docs.
@@ -158,7 +166,8 @@ def generate_interleaved(spark, n_docs: int, seed: int = 42,
 
     def gen(batches):
         for pdf in batches:
-            rows = [make_doc(int(i), seed, mega_every, heft) for i in pdf["id"]]
+            rows = [make_doc(int(i), seed, mega_every, heft, compress_every)
+                    for i in pdf["id"]]
             yield pd.DataFrame({
                 "doc_id": [r["doc_id"] for r in rows],
                 "spans": [

@@ -300,6 +300,53 @@ def test_manifest_verify_detects_payload_corruption(spark, tmp_path):
     assert str(bad[0]["bucket"]) in victim
 
 
+def test_pdf_hex_strings_tokenize():
+    """Hex strings <...> are the other literal-string syntax real PDF
+    producers emit; whitespace inside is ignored and odd length pads a
+    trailing zero nibble."""
+    from ocr_spark.functions.pdfx import tokenize_pdf
+
+    content = (
+        "BT /F1 12 Tf 14 TL\n"
+        "1 0 0 1 72 700 Tm\n"
+        "<48 65 6C6C 6F> Tj\n"      # "Hello" with embedded whitespace
+        "T* [<77 6F72> (ld) <21>] TJ\n"  # mixed hex + literal in TJ array
+        "ET\n"
+    )
+    doc = (f"<< /Length {len(content)} >>\nstream\n{content}\nendstream"
+           ).encode("latin-1")
+    runs, _ = tokenize_pdf(doc)
+    texts = [r.text for r in runs]
+    assert texts == ["Hello", "world!"], texts
+
+
+def test_compressed_corpus_extracts_identically(spark):
+    """Corpus-wide A/B: flate-compressing PDF content streams (the
+    real-world producer default) must not change a single extracted
+    span.  compress_every=2 compresses roughly half the PDF spans; the
+    default corpus stays bit-identical to the pinned goldens."""
+    from ocr_spark.sources.corpus import make_docs
+
+    plain = make_docs(80, seed=21, mega_every=40)
+    comp = make_docs(80, seed=21, mega_every=40, compress_every=2)
+    n_pdf = sum(1 for d in comp for s in d["spans"] if s["kind"] == "pdf_bytes")
+    n_changed = sum(
+        1 for dp, dc in zip(plain, comp)
+        for sp, sc in zip(dp["spans"], dc["spans"]) if sp["text"] != sc["text"]
+    )
+    assert n_pdf > 0 and n_changed > 0, "fixture compressed nothing"
+
+    out = {}
+    for tag, docs in (("plain", plain), ("comp", comp)):
+        df = spark.createDataFrame(
+            [(d["doc_id"], [tuple(s.values()) for s in d["spans"]]) for d in docs],
+            SPAN_SCHEMA_DDL,
+        ).repartition(5)
+        rows = extract_stage(df).collect()
+        out[tag] = _canonical([r.asDict(recursive=True) for r in rows])
+    assert out["plain"] == out["comp"]
+
+
 def test_chunked_extraction_equals_unsplit(spark):
     """E2 weight variant: sub-splitting mega-docs into bounded chunks and
     restitching must reproduce the unsplit extraction span-for-span, for

@@ -137,22 +137,43 @@ def vocab_topk(spark, sf):
 def pack_token_budget(spark, sf):
     """Sequence packing: assign documents to fixed-budget (2048-token)
     training bins by running-sum over a deterministic hash order —
-    bin_id = floor(prefix_sum / budget).  The global ordered cumsum is
-    the one intentionally serial-looking step; at scale it runs as
-    Spark's range-partitioned window (sort + per-partition prefix sums +
-    a tiny offsets exchange), not on one node."""
+    bin_id = floor(prefix_sum / budget).
+
+    A bare ``Window.orderBy`` (no partition spec) would move EVERY row
+    into one task — the classic global-cumsum scale trap.  Instead the
+    prefix sum is two-phase and fully distributed: the hash key is
+    range-bucketed (uniform by construction), each bucket computes its
+    local ordered cumsum in parallel, and a tiny per-bucket-totals
+    window (one row per bucket) supplies the bucket offsets.  The total
+    order, and therefore every bin id, is identical to the naive global
+    window — the DuckDB oracle computes it the naive way."""
     d = t(spark, sf, "documents")
+    n_range_buckets = 64  # ~uniform: _H4 is a uniform hash in [0, 65536)
     nt = d.select(
         "doc_id",
         F.size(F.split(F.trim("text"), " ")).alias("n_tokens"),
+        (F.expr(_H4)).alias("h"),
+    ).withColumn(
+        "rb", F.floor(F.col("h") / (65536 / n_range_buckets)).cast("int")
     )
-    w = W.orderBy(F.expr(_H4).asc(), F.col("doc_id").asc()).rowsBetween(
-        W.unboundedPreceding, W.currentRow)
-    return nt.select(
-        "doc_id",
-        "n_tokens",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048)
-        .cast("int").alias("bin_id"),
+    # phase 1: parallel per-bucket ordered cumsum
+    w_local = W.partitionBy("rb").orderBy(F.col("h").asc(), F.col("doc_id").asc()
+                                          ).rowsBetween(W.unboundedPreceding,
+                                                        W.currentRow)
+    local = nt.withColumn("lcum", F.sum("n_tokens").over(w_local))
+    # phase 2: bucket offsets from per-bucket totals (one row per bucket)
+    totals = nt.groupBy("rb").agg(F.sum("n_tokens").alias("btot"))
+    w_off = W.orderBy("rb").rowsBetween(W.unboundedPreceding, W.currentRow)
+    offsets = totals.withColumn(
+        "off", F.sum("btot").over(w_off) - F.col("btot")).select("rb", "off")
+    return (
+        local.join(F.broadcast(offsets), "rb")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor((F.col("off") + F.col("lcum") - F.col("n_tokens")) / 2048)
+            .cast("int").alias("bin_id"),
+        )
     )
 
 

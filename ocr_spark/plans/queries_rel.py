@@ -586,9 +586,18 @@ def window_frame_moving(spark, sf):
     """,
 )
 def window_range_frame(spark, sf):
+    """RANGE-frame demo, scale-safe: a bare global RANGE window would
+    pull every row into one task.  Because the frame is keyed only on
+    p_size, the identical result comes from running the range frame over
+    the per-value COUNTS (bounded distinct values — the window input is
+    ~50 rows regardless of table size) and broadcasting back."""
     p = t(spark, sf, "part")
+    counts = p.groupBy("p_size").agg(F.count("*").alias("c"))
     w = W.orderBy("p_size").rangeBetween(-2, 2)
-    return p.select("p_partkey", "p_size", F.count("*").over(w).alias("n_similar_size"))
+    sim = counts.select(
+        "p_size", F.sum("c").over(w).cast("long").alias("n_similar_size"))
+    return p.join(F.broadcast(sim), "p_size").select(
+        "p_partkey", "p_size", "n_similar_size")
 
 
 @q(

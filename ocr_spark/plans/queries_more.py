@@ -290,3 +290,61 @@ def streaming_static_join(spark, sf):
     ck = os.path.join(tempfile.gettempdir(), "ocr_spark_stream_sj_ck")
     shutil.rmtree(ck, ignore_errors=True)
     return run_available_now(agg, ck, output_mode="complete")
+
+
+@q(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS delay_s
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def streaming_stream_stream_join(spark, sf):
+    """Stream-stream interval join (click→purchase attribution within 30
+    minutes): two watermarked event streams joined on user_id + a time
+    range.  The watermark + time constraint is what BOUNDS the join
+    state at 10^12-event scale — each side can evict buffered rows once
+    the other side's watermark passes the interval.  Inner-join matches
+    emit eagerly, so the availableNow drain equals the batch interval
+    join, which DuckDB replays as the oracle."""
+    import glob
+    import shutil
+
+    from ocr_spark.streaming import events_stream, run_available_now
+
+    tmp = os.path.join(tempfile.gettempdir(), "ocr_spark_stream_ssj")
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    src = f"{sf}/events.parquet"
+    for f in glob.glob(f"{src}/*.parquet") or [src]:
+        shutil.copy(f, tmp)
+    clicks = (
+        events_stream(spark, tmp)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, tmp)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "click_id", "purchase_id", F.col("c_user").alias("user_id"),
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("delay_s"),
+    )
+    ck = os.path.join(tempfile.gettempdir(), "ocr_spark_stream_ssj_ck")
+    shutil.rmtree(ck, ignore_errors=True)
+    return run_available_now(joined, ck, output_mode="append")

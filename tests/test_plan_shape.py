@@ -109,7 +109,8 @@ def test_chunked_extract_single_exchange_single_python_stage(spark):
 @pytest.mark.parametrize("name", sorted(registry.QUERIES))
 def test_no_row_at_a_time_python(name, spark, sf_dir):
     # BASELINE.json:15 — vectorized pandas/Arrow UDFs only, never udf()
-    if name in ("streaming_tumbling_window", "streaming_static_join"):
+    if name in ("streaming_tumbling_window", "streaming_static_join",
+                "streaming_stream_stream_join"):
         pytest.skip("streaming query executes on construction")
     plan = _plan(registry.QUERIES[name](spark, sf_dir))
     assert "BatchEvalPython" not in plan, f"row-at-a-time Python UDF in {name}"

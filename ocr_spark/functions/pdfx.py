@@ -35,7 +35,10 @@ from ocr_spark.config import DEFAULT, ExtractConfig
 # tokenizer
 # ---------------------------------------------------------------------------
 
-_STREAM_KW_RE = re.compile(rb"stream\r?\n")
+# (?<!end): the bare keyword scan must not match the 'stream' suffix
+# inside 'endstream', which would yield a phantom segment duplicating
+# the next stream's content in multi-stream PDFs
+_STREAM_KW_RE = re.compile(rb"(?<!end)stream\r?\n")
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![\s\d]*R)")
 _FILTER_RE = re.compile(rb"/Filter\s*(?:\[([^\]]*)\]|\s*/([A-Za-z0-9]+))")
 

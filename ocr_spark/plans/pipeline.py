@@ -49,17 +49,20 @@ def _wave_lineage(spark: SparkSession, wave_dir: str, run_id: str,
     # prunes to three tiny columns — it never re-deserializes the nested
     # span payloads (measured: the old to_json re-read was a fixed ~7s
     # that did not scale with cores and dominated Amdahl overhead).
+    from ocr_spark.sources.formats import lineage_exprs
+
     df = spark.read.option("basePath", wave_dir).parquet(wave_dir)
-    # chunked path: each doc has exactly one chunk_id==0 row, so counting
-    # those counts DOCUMENTS without a countDistinct (whose extra
-    # distinct-aggregation pass is pure fixed overhead on the unsplit
-    # path, where count(*) is already exact)
-    doc_count = (F.count(F.when(F.col("chunk_id") == 0, 1))
-                 if "chunk_id" in df.columns else F.count("*"))
+    # shared chunk-aware convention (formats.lineage_exprs): doc rows are
+    # the chunk_id==0 (or null) rows, so documents are counted without a
+    # countDistinct — whose extra distinct pass is pure fixed overhead.
+    # The checksum here reads the STORED doc_hash column (cheap pruned
+    # scan — the write pass computed it with the same lineage_exprs
+    # hash); the deep payload-rehash lives in ParquetManifestTable.verify.
+    is_doc, _ = lineage_exprs(df)
     rows = (
         df.groupBy("bucket")
         .agg(
-            doc_count.alias("doc_count"),
+            F.count(F.when(is_doc, 1)).alias("doc_count"),
             F.sum("n_spans").alias("span_count"),
             # order-insensitive per-bucket checksum over canonical doc payloads
             F.expr("bit_xor(doc_hash)").alias("checksum"),
@@ -148,20 +151,22 @@ def run_extract(
             )
             balanced = chunked.repartition(num_partitions, "bucket", "chunk_id")
             raw = extract_stage(balanced, cfg, passthrough={"chunk_id": "int"})
-            hash_cols = ("doc_id", "chunk_id", "spans")
         else:
             balanced = bucket_clustered_repartition(
                 wave_docs.select("doc_id", "spans", "bucket"), num_partitions
             )
             raw = extract_stage(balanced, cfg)
-            hash_cols = ("doc_id", "spans")
+        from ocr_spark.sources.formats import lineage_exprs
+
+        _, row_hash = lineage_exprs(raw)
         extracted = with_bucket(raw, cfg).withColumns({
             # per-row canonical hash + span count, computed ONCE in the
-            # write pass (JVM expressions, post-UDF) and persisted so the
-            # per-wave lineage scan needs only these pruned columns.
-            # xxhash64 hashes the nested span array directly — 2x cheaper
-            # than serializing through to_json, same determinism.
-            "doc_hash": F.xxhash64(*hash_cols),
+            # write pass (JVM expressions, post-UDF, shared convention
+            # formats.lineage_exprs) and persisted so the per-wave
+            # lineage scan needs only these pruned columns.  xxhash64
+            # hashes the nested span array directly — 2x cheaper than
+            # serializing through to_json, same determinism.
+            "doc_hash": row_hash,
             "n_spans": F.size("spans"),
         })
         t_w = time.time()

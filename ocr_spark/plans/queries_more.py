@@ -14,6 +14,21 @@ from pyspark.sql import functions as F
 
 from ocr_spark.plans.registry import q, t
 
+def _work_dir(name: str) -> str:
+    """Per-process scratch path under /tmp: reused across invocations in
+    one session (no per-call leak) but keyed by PID so concurrent
+    sessions cannot delete each other's live source/checkpoint dirs; the
+    whole tree is removed at interpreter exit."""
+    root = os.path.join(tempfile.gettempdir(), f"ocr_spark_work_{os.getpid()}")
+    if not os.path.isdir(root):
+        import atexit
+        import shutil as _shutil
+
+        os.makedirs(root, exist_ok=True)
+        atexit.register(_shutil.rmtree, root, ignore_errors=True)
+    return os.path.join(root, name)
+
+
 # ---------------------------------------------------------------------------
 # statistical aggregates
 # ---------------------------------------------------------------------------
@@ -149,7 +164,7 @@ def _roundtrip(df, fmt: str, read_opts=None, write_opts=None):
     the original table, so the check proves lossless round-trip.
     Deterministic output path + overwrite, so repeated harness runs reuse
     one directory instead of leaking a fresh tmp dir per invocation."""
-    out = os.path.join(tempfile.gettempdir(), f"ocr_spark_rt_{fmt}")
+    out = _work_dir(f"rt_{fmt}")
     w = df.write.mode("overwrite")
     for k, v in (write_opts or {}).items():
         w = w.option(k, v)
@@ -226,7 +241,7 @@ def streaming_tumbling_window(spark, sf):
 
     # file streams need a directory source; deterministic path, rebuilt
     # per run (no per-invocation tmp-dir leak)
-    tmp = os.path.join(tempfile.gettempdir(), "ocr_spark_stream_events")
+    tmp = _work_dir("stream_events")
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
     src = f"{sf}/events.parquet"
@@ -246,7 +261,7 @@ def streaming_tumbling_window(spark, sf):
     # a fresh checkpoint per run is REQUIRED (replaying an old checkpoint
     # against a rebuilt source dir would skip files); delete the previous
     # run's dir so only one lives in /tmp at a time
-    ck = os.path.join(tempfile.gettempdir(), "ocr_spark_stream_ck")
+    ck = _work_dir("stream_ck")
     shutil.rmtree(ck, ignore_errors=True)
     return run_available_now(agg, ck, output_mode="complete")
 
@@ -273,7 +288,7 @@ def streaming_static_join(spark, sf):
 
     from ocr_spark.streaming import events_stream, run_available_now
 
-    tmp = os.path.join(tempfile.gettempdir(), "ocr_spark_stream_sj")
+    tmp = _work_dir("stream_sj")
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
     src = f"{sf}/events.parquet"
@@ -287,7 +302,7 @@ def streaming_static_join(spark, sf):
         F.count("*").alias("n"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_v100"),
     )
-    ck = os.path.join(tempfile.gettempdir(), "ocr_spark_stream_sj_ck")
+    ck = _work_dir("stream_sj_ck")
     shutil.rmtree(ck, ignore_errors=True)
     return run_available_now(agg, ck, output_mode="complete")
 
@@ -316,7 +331,7 @@ def streaming_stream_stream_join(spark, sf):
 
     from ocr_spark.streaming import events_stream, run_available_now
 
-    tmp = os.path.join(tempfile.gettempdir(), "ocr_spark_stream_ssj")
+    tmp = _work_dir("stream_ssj")
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
     src = f"{sf}/events.parquet"
@@ -345,6 +360,6 @@ def streaming_stream_stream_join(spark, sf):
         "click_id", "purchase_id", F.col("c_user").alias("user_id"),
         (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("delay_s"),
     )
-    ck = os.path.join(tempfile.gettempdir(), "ocr_spark_stream_ssj_ck")
+    ck = _work_dir("stream_ssj_ck")
     shutil.rmtree(ck, ignore_errors=True)
     return run_available_now(joined, ck, output_mode="append")

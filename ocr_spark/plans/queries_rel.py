@@ -1094,8 +1094,10 @@ def grouped_map_zscore(spark, sf):
     "udf_scalar_pandas",
     oracle=r"""
     SELECT doc_id,
-           trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS norm_text,
-           length(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS n_chars_norm
+           trim(lower(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g')), ' ')
+             AS norm_text,
+           length(trim(lower(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g')), ' '))
+             AS n_chars_norm
     FROM documents WHERE doc_id < 2000
     """,
 )
@@ -1104,11 +1106,16 @@ def udf_scalar_pandas(spark, sf):
     the remaining §2.2 UDF-matrix row with its own oracle.  Vectorized
     text normalization in pandas string ops (one Python crossing per
     Arrow batch, never per row); the downstream length stays JVM-side to
-    show built-ins compose with the UDF column."""
+    show built-ins compose with the UDF column.  The whitespace class is
+    an EXPLICIT ASCII set on both engines: Python's \\s is Unicode-aware
+    while DuckDB/RE2's is ASCII-only, so a bare \\s would silently break
+    parity on the first NBSP in a document."""
 
     @F.pandas_udf("string")
     def norm_text(s: pd.Series) -> pd.Series:
-        return s.str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+        return (s.str.lower()
+                .str.replace(r"[ \t\n\r\f]+", " ", regex=True)
+                .str.strip(" "))
 
     d = t(spark, sf, "documents").filter(F.col("doc_id") < 2000)
     out = d.select("doc_id", norm_text("text").alias("norm_text"))

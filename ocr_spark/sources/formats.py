@@ -28,6 +28,28 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 
 
+def lineage_exprs(df):
+    """The ONE chunk-aware lineage convention, shared by the write path
+    (plans/pipeline.py) and the read-side audit below: returns
+    ``(is_doc_row, row_hash)`` expressions.
+
+    A table may MIX doc-granular and chunk rows — a job can be restarted
+    with a different ``chunk_max_spans`` and process only the buckets
+    missing from the manifest — so the decision is PER ROW (null
+    chunk_id = doc-granular row), never per table: a doc row is hashed
+    without the chunk term, and doc_count counts chunk_id==0 rows (one
+    per doc) plus null-chunk rows."""
+    from pyspark.sql import functions as F
+
+    if "chunk_id" not in df.columns:
+        return F.lit(True), F.xxhash64("doc_id", "spans")
+    is_doc = F.col("chunk_id").isNull() | (F.col("chunk_id") == 0)
+    row_hash = F.when(
+        F.col("chunk_id").isNull(), F.xxhash64("doc_id", "spans")
+    ).otherwise(F.xxhash64("doc_id", "chunk_id", "spans"))
+    return is_doc, row_hash
+
+
 class ParquetManifestTable:
     def __init__(self, root: str) -> None:
         self.root = root
@@ -128,23 +150,22 @@ class ParquetManifestTable:
         entries = self._load()["entries"]
         if not entries:
             return []
-        df = spark.read.option("basePath", self.data_dir).parquet(
-            *[e["path"] for e in entries]
-        )
-        chunked = "chunk_id" in df.columns
-        hash_expr = ("xxhash64(doc_id, chunk_id, spans)" if chunked
-                     else "xxhash64(doc_id, spans)")
-        doc_count = (F.count(F.when(F.col("chunk_id") == 0, 1)) if chunked
-                     else F.count("*"))
+        # mergeSchema: a table can mix doc-granular and chunk runs, and
+        # without merging, whether chunk_id is visible would depend on
+        # which file Spark samples for the schema
+        df = spark.read.option("basePath", self.data_dir).option(
+            "mergeSchema", "true").parquet(*[e["path"] for e in entries])
+        is_doc, row_hash = lineage_exprs(df)
         run_col = F.regexp_extract(F.input_file_name(), r"run=([^/]+)", 1)
         actual = {
             (int(r["bucket"]), r["run_id"]): r
             for r in df.withColumn("run_id", run_col)
+            .withColumn("_rh", row_hash)
             .groupBy("bucket", "run_id")
             .agg(
-                doc_count.alias("doc_count"),
+                F.count(F.when(is_doc, 1)).alias("doc_count"),
                 F.sum(F.size("spans")).alias("span_count"),
-                F.expr(f"bit_xor({hash_expr})").alias("checksum"),
+                F.expr("bit_xor(_rh)").alias("checksum"),
             )
             .collect()
         }

@@ -300,6 +300,48 @@ def test_manifest_verify_detects_payload_corruption(spark, tmp_path):
     assert str(bad[0]["bucket"]) in victim
 
 
+def test_pdf_multi_stream_no_phantom_segment():
+    """Regression: the stream-keyword scan must not match the 'stream'
+    suffix inside 'endstream' — that phantom segment re-parsed the NEXT
+    stream's body and duplicated its text in multi-stream PDFs."""
+    from ocr_spark.functions.pdfx import tokenize_pdf
+
+    c1 = "BT /F1 12 Tf 1 0 0 1 72 700 Tm (first) Tj ET\n"
+    c2 = "BT /F1 12 Tf 1 0 0 1 72 600 Tm (second) Tj ET\n"
+    doc = (f"<< /Length {len(c1)} >>\nstream\n{c1}\nendstream\n"
+           f"2 0 obj\n<< /Length {len(c2)} >>\nstream\n{c2}\nendstream\n"
+           ).encode("latin-1")
+    runs, _ = tokenize_pdf(doc)
+    assert [r.text for r in runs] == ["first", "second"], [r.text for r in runs]
+
+
+def test_verify_handles_mixed_chunked_and_plain_runs(spark, tmp_path):
+    """A table can hold doc-granular runs AND chunk runs (restart with a
+    different chunk_max_spans processes only missing buckets).  The
+    audit must apply the per-ROW convention — a whole-table decision
+    would flag every healthy bucket of the other mode as corrupt."""
+    from ocr_spark.config import ExtractConfig
+    from ocr_spark.plans.pipeline import run_extract
+    from ocr_spark.sources.corpus import generate_interleaved
+    from ocr_spark.sources.formats import ParquetManifestTable
+
+    out = str(tmp_path / "t")
+    docs = generate_interleaved(spark, 60, seed=11, partitions=4)
+    # run 1: doc-granular, crash after 1 of 2 waves
+    try:
+        run_extract(spark, docs, out, cfg=ExtractConfig(salt_buckets=8),
+                    num_partitions=4, wave_size=4, fail_after_waves=1)
+    except RuntimeError:
+        pass
+    # run 2 (restart): remaining buckets processed CHUNKED
+    m = run_extract(spark, docs, out,
+                    cfg=ExtractConfig(salt_buckets=8, chunk_max_spans=3),
+                    num_partitions=4)
+    assert m["skipped_buckets"] == 4
+    tbl = ParquetManifestTable(out)
+    assert tbl.verify(spark) == [], "mixed-mode table failed its audit"
+
+
 def test_pdf_hex_strings_tokenize():
     """Hex strings <...> are the other literal-string syntax real PDF
     producers emit; whitespace inside is ignored and odd length pads a

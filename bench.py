@@ -52,6 +52,9 @@ HEADLINE = [
     "ann_lsh_bucketed",
     "ann_ivf_topk",
     "vec_cosine_neardup",
+    "vocab_topk",
+    "pack_token_budget",
+    "decontaminate_vs_holdout",
 ]
 
 

@@ -17,6 +17,8 @@ Supported PDF subset (documented per SURVEY.md §7 "hard parts"):
       inserts one space), ``'`` (T* + Tj)
   - string escapes: ``\\``, ``\(``, ``\)``, ``\n``, ``\r``, ``\t``, octal
   - hex strings ``<4869>`` (whitespace ignored, odd length zero-padded)
+  - UTF-16BE text strings (FE FF BOM), literal or hex — the standard
+    real-producer encoding for non-ASCII text
   - path ops ``x y w h re`` followed by ``f``/``S``/``B`` outside BT..ET
     are figure regions (drawings)
 
@@ -117,6 +119,19 @@ _TOK_RE = re.compile(
 _ESC = {"\\": "\\", "(": "(", ")": ")", "n": "\n", "r": "\r", "t": "\t"}
 
 
+def _pdf_text(s: str) -> str:
+    """PDF text-string semantics: a string beginning with the UTF-16BE
+    BOM (FE FF) is UTF-16BE — the standard encoding real producers use
+    for any non-ASCII text; everything else is kept as the byte-literal
+    (PDFDocEncoding ≈ latin-1 for our subset)."""
+    if s.startswith("\xfe\xff"):
+        try:
+            return s.encode("latin-1").decode("utf-16-be")[1:]
+        except Exception:
+            return s
+    return s
+
+
 def _unescape(s: str) -> str:
     if "\\" not in s:  # overwhelmingly common case — no escape present
         return s
@@ -212,7 +227,7 @@ def _parse_content(content, runs, figures, cfg):
             arr = None
             continue
         if t.startswith("("):
-            s = _unescape(t[1:-1])
+            s = _pdf_text(_unescape(t[1:-1]))
             if arr is not None:
                 arr.append(s)
             else:
@@ -223,7 +238,7 @@ def _parse_content(content, runs, figures, cfg):
             hx = re.sub(r"\s", "", t[1:-1])
             if len(hx) % 2:
                 hx += "0"
-            s = bytes.fromhex(hx).decode("latin-1")
+            s = _pdf_text(bytes.fromhex(hx).decode("latin-1"))
             if arr is not None:
                 arr.append(s)
             else:

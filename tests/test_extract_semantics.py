@@ -342,6 +342,23 @@ def test_verify_handles_mixed_chunked_and_plain_runs(spark, tmp_path):
     assert tbl.verify(spark) == [], "mixed-mode table failed its audit"
 
 
+def test_pdf_utf16be_strings_decode():
+    """Strings with the FE FF BOM are UTF-16BE — how real producers
+    encode non-ASCII text — in both hex and literal forms."""
+    from ocr_spark.functions.pdfx import tokenize_pdf
+
+    # "Héllo→" in UTF-16BE hex, plus a literal string carrying the BOM
+    hx = "feff" + "Héllo→".encode("utf-16-be").hex()
+    lit = ("\xfe\xff" + "Ωmega".encode("utf-16-be").decode("latin-1")
+           ).replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+    content = (f"BT /F1 12 Tf 1 0 0 1 72 700 Tm <{hx}> Tj "
+               f"T* ({lit}) Tj ET\n")
+    doc = (f"<< /Length {len(content.encode('latin-1'))} >>\nstream\n"
+           f"{content}\nendstream").encode("latin-1")
+    runs, _ = tokenize_pdf(doc)
+    assert [r.text for r in runs] == ["Héllo→", "Ωmega"], [r.text for r in runs]
+
+
 def test_pdf_hex_strings_tokenize():
     """Hex strings <...> are the other literal-string syntax real PDF
     producers emit; whitespace inside is ignored and odd length pads a

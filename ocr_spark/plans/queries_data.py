@@ -178,6 +178,76 @@ def pack_token_budget(spark, sf):
 
 
 @q(
+    "text_pii_scrub",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed,
+           length(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails
+    FROM documents WHERE doc_id < 3000
+    """,
+)
+def text_pii_scrub(spark, sf):
+    """PII redaction — the curation pass every shipped training corpus
+    runs: replace email addresses and phone-like digit runs with typed
+    placeholder tokens, plus a per-doc match count for audit sampling.
+    Pure JVM regexp_replace (patterns restricted to constructs Java
+    regex and DuckDB/RE2 interpret identically — no lookaround, no
+    Unicode classes), so the scrub runs inside whole-stage codegen."""
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 3000)
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", email, "<EMAIL>"), phone, "<PHONE>"
+        ).alias("scrubbed"),
+        F.size(F.expr(f"regexp_extract_all(text, '{email}', 0)")).alias("n_emails"),
+    )
+
+
+@q(
+    "text_repetition_score",
+    oracle=r"""
+    SELECT doc_id,
+           n_lines,
+           n_distinct_lines,
+           ROUND(1.0 - CAST(n_distinct_lines AS DOUBLE) / n_lines, 4)
+             AS dup_line_frac
+    FROM (
+      SELECT doc_id,
+             len(string_split(text, '.')) AS n_lines,
+             len(list_distinct(string_split(text, '.'))) AS n_distinct_lines
+      FROM documents)
+    WHERE n_lines >= 3
+    """,
+)
+def text_repetition_score(spark, sf):
+    """Repetition quality signal (Gopher-style): the fraction of
+    duplicate segments within a document — heavily repeated boilerplate
+    lines are the classic low-quality marker.  Segments here are
+    sentence-ish '.'-splits of the flat corpus; all JVM array ops
+    (split / array_distinct / size), no shuffle beyond the scan."""
+    d = t(spark, sf, "documents")
+    segs = F.split("text", r"\.")
+    return (
+        d.select(
+            "doc_id",
+            F.size(segs).alias("n_lines"),
+            F.size(F.array_distinct(segs)).alias("n_distinct_lines"),
+        )
+        .filter(F.col("n_lines") >= 3)
+        .select(
+            "doc_id", "n_lines", "n_distinct_lines",
+            F.round(1.0 - F.col("n_distinct_lines").cast("double")
+                    / F.col("n_lines"), 4).alias("dup_line_frac"),
+        )
+    )
+
+
+@q(
     "decontaminate_vs_holdout",
     oracle=r"""
     WITH bench AS (

@@ -59,6 +59,7 @@ _CHECK_PRIORITY = [
     "extract_split_restitch", "ann_ivf_topk",
     "sample_deterministic", "split_train_holdout", "sample_cap_per_source",
     "vocab_topk", "pack_token_budget", "decontaminate_vs_holdout",
+    "text_pii_scrub", "text_repetition_score",
     "sink_roundtrip_orc", "streaming_static_join",
     "streaming_stream_stream_join", "window_range_frame",
     # -- no driver row yet — rows-only by design --

@@ -56,6 +56,27 @@ def test_pack_bins_respect_budget(spark, sf_dir):
             f"bin {r['bin_id']} holds {r['tot']} tokens (max doc {r['mx']})")
 
 
+def test_pii_scrub_redacts_planted_pii(spark, tmp_path):
+    """The harness corpus has no PII, so the oracle check alone can't
+    prove the regexes fire — plant real-looking emails/phones and assert
+    they are redacted (and clean text untouched)."""
+    import os
+
+    d = spark.createDataFrame(
+        [(1, "contact alice.smith+x@example-corp.io or call +1 (415) 555-0199 now"),
+         (2, "no pii here, just words and a version 1.2.3 string")],
+        "doc_id long, text string",
+    )
+    path = os.path.join(str(tmp_path), "documents.parquet")
+    d.write.parquet(path)
+    out = {r["doc_id"]: r for r in
+           registry.QUERIES["text_pii_scrub"](spark, str(tmp_path)).collect()}
+    assert "<EMAIL>" in out[1]["scrubbed"] and "<PHONE>" in out[1]["scrubbed"]
+    assert "alice" not in out[1]["scrubbed"] and "555" not in out[1]["scrubbed"]
+    assert out[1]["n_emails"] == 1
+    assert out[2]["scrubbed"] == "no pii here, just words and a version 1.2.3 string"
+
+
 def test_decontaminate_flags_planted_overlap(spark, sf_dir):
     """Every doc flagged shares a real 8-gram with the bench set; and a
     corpus doc that IS a benchmark doc's text twin would always be

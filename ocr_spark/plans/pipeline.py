@@ -39,7 +39,11 @@ from ocr_spark.operators.skew import (
     salted_repartition,
     with_bucket,
 )
-from ocr_spark.sources.formats import ParquetManifestTable, open_table
+from ocr_spark.sources.formats import (
+    ParquetManifestTable,
+    lineage_exprs,
+    open_table,
+)
 
 
 def _wave_lineage(spark: SparkSession, wave_dir: str, run_id: str,
@@ -49,8 +53,6 @@ def _wave_lineage(spark: SparkSession, wave_dir: str, run_id: str,
     # prunes to three tiny columns — it never re-deserializes the nested
     # span payloads (measured: the old to_json re-read was a fixed ~7s
     # that did not scale with cores and dominated Amdahl overhead).
-    from ocr_spark.sources.formats import lineage_exprs
-
     df = spark.read.option("basePath", wave_dir).parquet(wave_dir)
     # shared chunk-aware convention (formats.lineage_exprs): doc rows are
     # the chunk_id==0 (or null) rows, so documents are counted without a
@@ -156,8 +158,6 @@ def run_extract(
                 wave_docs.select("doc_id", "spans", "bucket"), num_partitions
             )
             raw = extract_stage(balanced, cfg)
-        from ocr_spark.sources.formats import lineage_exprs
-
         _, row_hash = lineage_exprs(raw)
         extracted = with_bucket(raw, cfg).withColumns({
             # per-row canonical hash + span count, computed ONCE in the

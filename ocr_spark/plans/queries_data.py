@@ -204,7 +204,10 @@ def text_pii_scrub(spark, sf):
         F.regexp_replace(
             F.regexp_replace("text", email, "<EMAIL>"), phone, "<PHONE>"
         ).alias("scrubbed"),
-        F.size(F.expr(f"regexp_extract_all(text, '{email}', 0)")).alias("n_emails"),
+        # Column API, NOT F.expr with an embedded literal: the SQL parser
+        # unescapes string literals, silently degrading '\.' to any-char
+        F.size(F.regexp_extract_all("text", F.lit(email), F.lit(0))
+               ).alias("n_emails"),
     )
 
 
@@ -212,37 +215,40 @@ def text_pii_scrub(spark, sf):
     "text_repetition_score",
     oracle=r"""
     SELECT doc_id,
-           n_lines,
-           n_distinct_lines,
-           ROUND(1.0 - CAST(n_distinct_lines AS DOUBLE) / n_lines, 4)
-             AS dup_line_frac
+           n_words,
+           n_distinct_words,
+           ROUND(1.0 - CAST(n_distinct_words AS DOUBLE) / n_words, 4)
+             AS dup_word_frac
     FROM (
       SELECT doc_id,
-             len(string_split(text, '.')) AS n_lines,
-             len(list_distinct(string_split(text, '.'))) AS n_distinct_lines
+             len(string_split(trim(text), ' ')) AS n_words,
+             len(list_distinct(string_split(trim(text), ' ')))
+               AS n_distinct_words
       FROM documents)
-    WHERE n_lines >= 3
+    WHERE n_words >= 3
     """,
 )
 def text_repetition_score(spark, sf):
-    """Repetition quality signal (Gopher-style): the fraction of
-    duplicate segments within a document — heavily repeated boilerplate
-    lines are the classic low-quality marker.  Segments here are
-    sentence-ish '.'-splits of the flat corpus; all JVM array ops
-    (split / array_distinct / size), no shuffle beyond the scan."""
+    """Repetition quality signal (Gopher-style duplicate-word fraction):
+    heavily repeated tokens are the classic low-quality/boilerplate
+    marker.  Word granularity (not '.'-sentences) so the signal is
+    non-degenerate on any whitespace-tokenized corpus — the harness
+    corpus contains no sentence punctuation at all.  All JVM array ops
+    (split / array_distinct / size), no shuffle beyond the scan; the
+    formula itself is pinned by a planted-duplicates unit test."""
     d = t(spark, sf, "documents")
-    segs = F.split("text", r"\.")
+    words = F.split(F.trim("text"), " ")
     return (
         d.select(
             "doc_id",
-            F.size(segs).alias("n_lines"),
-            F.size(F.array_distinct(segs)).alias("n_distinct_lines"),
+            F.size(words).alias("n_words"),
+            F.size(F.array_distinct(words)).alias("n_distinct_words"),
         )
-        .filter(F.col("n_lines") >= 3)
+        .filter(F.col("n_words") >= 3)
         .select(
-            "doc_id", "n_lines", "n_distinct_lines",
-            F.round(1.0 - F.col("n_distinct_lines").cast("double")
-                    / F.col("n_lines"), 4).alias("dup_line_frac"),
+            "doc_id", "n_words", "n_distinct_words",
+            F.round(1.0 - F.col("n_distinct_words").cast("double")
+                    / F.col("n_words"), 4).alias("dup_word_frac"),
         )
     )
 

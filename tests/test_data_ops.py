@@ -77,6 +77,50 @@ def test_pii_scrub_redacts_planted_pii(spark, tmp_path):
     assert out[2]["scrubbed"] == "no pii here, just words and a version 1.2.3 string"
 
 
+def test_pii_scrub_email_count_matches_redactions(spark, tmp_path):
+    """Regression: the email-count pattern must be the SAME regex as the
+    scrub (an F.expr string literal silently unescaped '\\.' to any-char
+    and counted non-emails the scrub left untouched)."""
+    import os
+
+    d = spark.createDataFrame(
+        [(1, "ping me at bob@intranet please"),        # not an email (no TLD)
+         (2, "real contact x@y.io here")],
+        "doc_id long, text string",
+    )
+    d.write.parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    out = {r["doc_id"]: r for r in
+           registry.QUERIES["text_pii_scrub"](spark, str(tmp_path)).collect()}
+    assert out[1]["n_emails"] == 0 and "<EMAIL>" not in out[1]["scrubbed"]
+    assert out[2]["n_emails"] == 1 and "<EMAIL>" in out[2]["scrubbed"]
+
+
+def test_repetition_score_formula_on_planted_docs(spark, tmp_path):
+    """Pin the dup-word-fraction math on docs with KNOWN repetition —
+    the oracle check alone can't catch an inverted formula if both
+    engines invert it identically."""
+    import os
+
+    d = spark.createDataFrame(
+        [(1, "a a a a"),             # 4 words, 1 distinct → 0.75
+         (2, "w x y z"),             # all distinct → 0.0
+         (3, "a b a b a b")],        # 6 words, 2 distinct → 0.6667
+        "doc_id long, text string",
+    )
+    d.write.parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    out = {r["doc_id"]: r["dup_word_frac"] for r in
+           registry.QUERIES["text_repetition_score"](
+               spark, str(tmp_path)).collect()}
+    assert out == {1: 0.75, 2: 0.0, 3: 0.6667}, out
+
+
+def test_repetition_score_nonvacuous_on_corpus(spark, sf_dir):
+    df = registry.QUERIES["text_repetition_score"](spark, sf_dir)
+    rows = df.count()
+    nonzero = df.filter(F.col("dup_word_frac") > 0).count()
+    assert rows > 0 and nonzero > 0, "repetition score vacuous on corpus"
+
+
 def test_decontaminate_flags_planted_overlap(spark, sf_dir):
     """Every doc flagged shares a real 8-gram with the bench set; and a
     corpus doc that IS a benchmark doc's text twin would always be

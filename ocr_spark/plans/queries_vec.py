@@ -231,7 +231,20 @@ def lsh_pairs(df, dim: int = 64, n_bits: int = 16, min_cosine: float = 0.6,
 
 @q("ann_lsh_bucketed")  # seeded hyperplanes → engine-specific, rows-only
 def ann_lsh_bucketed(spark, sf):
-    return lsh_pairs(t(spark, sf, "embeddings").select("vec_id", "embedding"))
+    """LSH near-dup sweep over the corpus with planted duplicates
+    (vec_id+1e6 copies, same convention as vec_cosine_neardup): random
+    gaussians alone contain no true near-dups, so without planting the
+    rows-only driver check would pass on an empty result regardless of
+    whether the sketch works.  Every planted pair has an identical
+    sketch, so the output is guaranteed ≥ the planted count (recall
+    property in tests/test_vec.py)."""
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    dupe = e.unionByName(
+        e.filter(F.col("vec_id") < 100).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+    )
+    return lsh_pairs(dupe)
 
 
 _IVF_K = 16       # coarse centroids (production: k-means fit offline)

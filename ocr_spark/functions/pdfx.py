@@ -19,6 +19,8 @@ Supported PDF subset (documented per SURVEY.md §7 "hard parts"):
   - hex strings ``<4869>`` (whitespace ignored, odd length zero-padded)
   - UTF-16BE text strings (FE FF BOM), literal or hex — the standard
     real-producer encoding for non-ASCII text
+  - multi-page documents: one content stream per page, classified per
+    stream so document order never interleaves pages
   - path ops ``x y w h re`` followed by ``f``/``S``/``B`` outside BT..ET
     are figure regions (drawings)
 
@@ -196,6 +198,15 @@ def tokenize_pdf(data: bytes, cfg: ExtractConfig = DEFAULT) -> tuple[list[TextRu
 
     runs: list[TextRun] = []
     figures: list[tuple[float, float, float, float]] = []
+    for content in _stream_contents(data):
+        _parse_content(content, runs, figures, cfg)
+    return runs, figures
+
+
+def _stream_contents(data: bytes):
+    """Decoded (inflated if /FlateDecode) content string per stream."""
+    import zlib
+
     for sdict, raw in _stream_segments(data):
         if _is_flate(sdict):
             try:
@@ -203,11 +214,9 @@ def tokenize_pdf(data: bytes, cfg: ExtractConfig = DEFAULT) -> tuple[list[TextRu
             except Exception:
                 continue  # corrupt compressed stream — skip deterministically
         try:
-            content = raw.decode("latin-1")
+            yield raw.decode("latin-1")
         except Exception:
             continue
-        _parse_content(content, runs, figures, cfg)
-    return runs, figures
 
 
 def _parse_content(content, runs, figures, cfg):
@@ -356,9 +365,21 @@ def _classify_text_block(lines, bbox, cfg: ExtractConfig) -> str:
 
 
 def extract_pdf_blocks(data: bytes, cfg: ExtractConfig = DEFAULT) -> list[PdfBlock]:
-    """Full E3+E5 for one PDF payload: tokenize → lines → classified blocks."""
-    runs, figures = tokenize_pdf(data, cfg)
-    return group_blocks(group_lines(runs), figures, cfg)
+    """Full E3+E5 for one PDF payload: tokenize → lines → classified
+    blocks, PER CONTENT STREAM.  Each stream is one page in the standard
+    layout, and every page has its own coordinate space — classifying
+    streams independently and concatenating in stream order keeps
+    document order correct for multi-page PDFs (page 2's top must not
+    sort between page 1's blocks).  Single-stream documents (the whole
+    synthetic corpus) are byte-identical to the previous whole-document
+    grouping."""
+    blocks: list[PdfBlock] = []
+    for content in _stream_contents(data):
+        runs: list[TextRun] = []
+        figures: list[tuple[float, float, float, float]] = []
+        _parse_content(content, runs, figures, cfg)
+        blocks.extend(group_blocks(group_lines(runs), figures, cfg))
+    return blocks
 
 
 # ---------------------------------------------------------------------------
@@ -369,14 +390,7 @@ def _esc(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def write_pdf(blocks: list[dict], compress: bool = False) -> bytes:
-    """Serialize blocks → a minimal well-formed single-page PDF.
-
-    Each block dict: {"kind": "text"|"table"|"header"|"footer"|"figure",
-    "lines": [str, ...], "x": float, "y": float}  (y = top line baseline).
-    ``compress=True`` flate-encodes the content stream (the real-world
-    default for PDF producers); the extractor handles both.
-    """
+def _page_content(blocks: list[dict]) -> str:
     parts = ["BT /F1 12 Tf 14 TL\n"]
     figs = []
     for b in blocks:
@@ -392,24 +406,46 @@ def write_pdf(blocks: list[dict], compress: bool = False) -> bytes:
     parts.append("ET\n")
     for b in figs:
         parts.append(f"{b['x']:g} {b['y']:g} {b.get('w', 100):g} {b.get('h', 80):g} re f\n")
-    content = "".join(parts)
+    return "".join(parts)
+
+
+def _stream_obj(content: str, compress: bool) -> str:
     if compress:
         import zlib
 
         body = zlib.compress(content.encode("latin-1"))
-        stream_obj = (
-            f"<< /Length {len(body)} /Filter /FlateDecode >>\nstream\n"
-            + body.decode("latin-1")
-            + "\nendstream"
-        )
-    else:
-        stream_obj = f"<< /Length {len(content)} >>\nstream\n{content}\nendstream"
+        return (f"<< /Length {len(body)} /Filter /FlateDecode >>\nstream\n"
+                + body.decode("latin-1") + "\nendstream")
+    return f"<< /Length {len(content)} >>\nstream\n{content}\nendstream"
+
+
+def write_pdf(blocks: list[dict], compress: bool = False) -> bytes:
+    """Serialize blocks → a minimal well-formed single-page PDF.
+
+    Each block dict: {"kind": "text"|"table"|"header"|"footer"|"figure",
+    "lines": [str, ...], "x": float, "y": float}  (y = top line baseline).
+    ``compress=True`` flate-encodes the content stream (the real-world
+    default for PDF producers); the extractor handles both.
+    """
+    return write_pdf_pages([blocks], compress=compress)
+
+
+def write_pdf_pages(pages: list[list[dict]], compress: bool = False) -> bytes:
+    """Multi-page variant: one content stream per page, each page its
+    own coordinate space (the standard producer layout the per-stream
+    extractor ordering relies on)."""
+    n = len(pages)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n))
     objs = [
         "<< /Type /Catalog /Pages 2 0 R >>",
-        "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
-        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>",
-        stream_obj,
+        f"<< /Type /Pages /Kids [{kids}] /Count {n} >>",
     ]
+    for i, blocks in enumerate(pages):
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {4 + 2 * i} 0 R >>"
+        )
+        objs.append(_stream_obj(_page_content(blocks), compress))
     out = ["%PDF-1.4\n"]
     offsets = []
     pos = len(out[0])
@@ -419,8 +455,9 @@ def write_pdf(blocks: list[dict], compress: bool = False) -> bytes:
         out.append(s)
         pos += len(s)
     xref_pos = pos
-    xref = ["xref\n0 5\n0000000000 65535 f \n"]
+    xref = [f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n"]
     xref += [f"{off:010d} 00000 n \n" for off in offsets]
     out.append("".join(xref))
-    out.append(f"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n{xref_pos}\n%%EOF\n")
+    out.append(f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+               f"startxref\n{xref_pos}\n%%EOF\n")
     return "".join(out).encode("latin-1")

@@ -342,6 +342,27 @@ def test_verify_handles_mixed_chunked_and_plain_runs(spark, tmp_path):
     assert tbl.verify(spark) == [], "mixed-mode table failed its audit"
 
 
+def test_pdf_multi_page_document_order():
+    """Each content stream is a page with its OWN coordinate space:
+    page 1's blocks must all precede page 2's, even though page 2's top
+    block has a higher y than page 1's lower blocks — a whole-document
+    y-sort would interleave the pages."""
+    from ocr_spark.functions.pdfx import extract_pdf_blocks, write_pdf_pages
+
+    p1 = [
+        {"kind": "header", "x": 72, "y": 760, "lines": ["hdr alpha"]},
+        {"kind": "text", "x": 72, "y": 300,
+         "lines": ["page one low block words here ok"]},
+    ]
+    p2 = [{"kind": "text", "x": 72, "y": 760,
+           "lines": ["page two top block content words"]}]
+    for compress in (False, True):
+        blocks = extract_pdf_blocks(write_pdf_pages([p1, p2], compress=compress))
+        texts = [b.text for b in blocks if b.text]
+        assert texts.index("page one low block words here ok") < texts.index(
+            "page two top block content words"), texts
+
+
 def test_pdf_utf16be_strings_decode():
     """Strings with the FE FF BOM are UTF-16BE — how real producers
     encode non-ASCII text — in both hex and literal forms."""

@@ -166,6 +166,7 @@ class TextRun:
     y: float
     text: str
     size: float
+    page: int = 0
 
 
 @dataclass
@@ -175,6 +176,7 @@ class PdfLine:
     x1: float
     text: str
     size: float
+    page: int = 0
 
 
 @dataclass
@@ -182,24 +184,31 @@ class PdfBlock:
     kind: str                      # 'text-block' | 'table' | 'boilerplate' | 'figure'
     lines: list[PdfLine] = field(default_factory=list)
     bbox: tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
+    page: int = 0
 
     @property
     def text(self) -> str:
         return "\n".join(ln.text for ln in self.lines)
 
 
-def tokenize_pdf(data: bytes, cfg: ExtractConfig = DEFAULT) -> tuple[list[TextRun], list[tuple[float, float, float, float]]]:
-    """Parse content streams → positioned text runs + figure rects.
+def tokenize_pdf(data: bytes, cfg: ExtractConfig = DEFAULT) -> tuple[list[TextRun], list[tuple[int, float, float, float, float]]]:
+    """Parse content streams → positioned text runs + figure rects,
+    PAGE-TAGGED: each content stream is one page with its own coordinate
+    space, so runs carry their stream index and figures are
+    (page, x, y, w, h) — every consumer (group_lines/group_blocks) keys
+    on page first and document order never interleaves pages.
 
     Streams whose object dictionary declares ``/Filter /FlateDecode``
     (the overwhelmingly common real-world encoding) are zlib-inflated
     before tokenizing; raw streams are parsed as-is."""
-    import zlib
-
     runs: list[TextRun] = []
-    figures: list[tuple[float, float, float, float]] = []
-    for content in _stream_contents(data):
-        _parse_content(content, runs, figures, cfg)
+    figures: list[tuple[int, float, float, float, float]] = []
+    for page, content in enumerate(_stream_contents(data)):
+        r, f = _parse_content(content, [], [], cfg)
+        for tr in r:
+            tr.page = page
+        runs.extend(r)
+        figures.extend((page, *fig) for fig in f)
     return runs, figures
 
 
@@ -307,37 +316,42 @@ def _parse_content(content, runs, figures, cfg):
 
 
 def group_lines(runs: list[TextRun]) -> list[PdfLine]:
-    """Group runs by y (exact match within 0.5pt) → lines; x-ordered text."""
+    """Group runs by (page, y) (y within 0.5pt) → lines; x-ordered text;
+    line order = page, then top of page first."""
     lines: list[PdfLine] = []
-    by_y: dict[float, list[TextRun]] = {}
+    by_key: dict[tuple[int, float], list[TextRun]] = {}
     for r in runs:
-        key = round(r.y * 2) / 2
-        by_y.setdefault(key, []).append(r)
-    for key in sorted(by_y, reverse=True):  # top of page first
-        rs = sorted(by_y[key], key=lambda r: r.x)
+        key = (r.page, round(r.y * 2) / 2)
+        by_key.setdefault(key, []).append(r)
+    for page, y in sorted(by_key, key=lambda k: (k[0], -k[1])):
+        rs = sorted(by_key[(page, y)], key=lambda r: r.x)
         text = " ".join(r.text for r in rs)
         width = sum(0.5 * r.size * len(r.text) for r in rs)
-        lines.append(PdfLine(key, rs[0].x, rs[0].x + width, text, rs[0].size))
+        lines.append(PdfLine(y, rs[0].x, rs[0].x + width, text, rs[0].size, page))
     return lines
 
 
 def group_blocks(lines: list[PdfLine], figures, cfg: ExtractConfig = DEFAULT) -> list[PdfBlock]:
-    """Lines (top→bottom) → blocks split on y-gap; classify each block."""
+    """Lines (page-major, top→bottom) → blocks split on page change or
+    y-gap; classify each block; final order (page, descending top-y) —
+    page keys first so multi-page documents never interleave."""
     blocks: list[PdfBlock] = []
     cur: list[PdfLine] = []
-    prev_y = None
+    prev_y = prev_page = None
     for ln in lines:
-        if prev_y is not None and (prev_y - ln.y) > cfg.block_gap:
+        if prev_y is not None and (
+            ln.page != prev_page or (prev_y - ln.y) > cfg.block_gap
+        ):
             blocks.append(_finish_block(cur, cfg))
             cur = []
         cur.append(ln)
-        prev_y = ln.y
+        prev_y, prev_page = ln.y, ln.page
     if cur:
         blocks.append(_finish_block(cur, cfg))
-    for rx, ry, rw, rh in figures:
-        blocks.append(PdfBlock("figure", [], (rx, ry, rx + rw, ry + rh)))
-    # document order: top of page first (descending top-y); figures by their top
-    blocks.sort(key=lambda b: -b.bbox[3])
+    for fig in figures:
+        pg, rx, ry, rw, rh = fig if len(fig) == 5 else (0, *fig)
+        blocks.append(PdfBlock("figure", [], (rx, ry, rx + rw, ry + rh), pg))
+    blocks.sort(key=lambda b: (b.page, -b.bbox[3]))
     return blocks
 
 
@@ -347,7 +361,7 @@ def _finish_block(lines: list[PdfLine], cfg: ExtractConfig) -> PdfBlock:
     y0 = min(ln.y for ln in lines)
     y1 = max(ln.y for ln in lines) + lines[0].size
     kind = _classify_text_block(lines, (x0, y0, x1, y1), cfg)
-    return PdfBlock(kind, lines, (x0, y0, x1, y1))
+    return PdfBlock(kind, lines, (x0, y0, x1, y1), lines[0].page)
 
 
 def _classify_text_block(lines, bbox, cfg: ExtractConfig) -> str:
@@ -366,20 +380,12 @@ def _classify_text_block(lines, bbox, cfg: ExtractConfig) -> str:
 
 def extract_pdf_blocks(data: bytes, cfg: ExtractConfig = DEFAULT) -> list[PdfBlock]:
     """Full E3+E5 for one PDF payload: tokenize → lines → classified
-    blocks, PER CONTENT STREAM.  Each stream is one page in the standard
-    layout, and every page has its own coordinate space — classifying
-    streams independently and concatenating in stream order keeps
-    document order correct for multi-page PDFs (page 2's top must not
-    sort between page 1's blocks).  Single-stream documents (the whole
-    synthetic corpus) are byte-identical to the previous whole-document
-    grouping."""
-    blocks: list[PdfBlock] = []
-    for content in _stream_contents(data):
-        runs: list[TextRun] = []
-        figures: list[tuple[float, float, float, float]] = []
-        _parse_content(content, runs, figures, cfg)
-        blocks.extend(group_blocks(group_lines(runs), figures, cfg))
-    return blocks
+    blocks.  Page-awareness lives in the tokenizer (runs/figures are
+    page-tagged and every grouping step keys on page first), so this is
+    the plain composition and single-stream documents (the whole
+    synthetic corpus) are unchanged from the historical grouping."""
+    runs, figures = tokenize_pdf(data, cfg)
+    return group_blocks(group_lines(runs), figures, cfg)
 
 
 # ---------------------------------------------------------------------------

@@ -36,9 +36,11 @@ def lineage_exprs(df):
     A table may MIX doc-granular and chunk rows — a job can be restarted
     with a different ``chunk_max_spans`` and process only the buckets
     missing from the manifest — so the decision is PER ROW (null
-    chunk_id = doc-granular row), never per table: a doc row is hashed
-    without the chunk term, and doc_count counts chunk_id==0 rows (one
-    per doc) plus null-chunk rows."""
+    chunk_id = doc-granular row), never per table: ONLY null-chunk rows
+    hash without the chunk term; every non-null chunk_id (including 0)
+    includes it, so a doc's chunk-0 row and a doc-granular row for the
+    same doc hash differently by design.  doc_count counts chunk_id==0
+    rows (one per doc) plus null-chunk rows."""
     from pyspark.sql import functions as F
 
     if "chunk_id" not in df.columns:

@@ -214,13 +214,26 @@ def lsh_pairs(df, dim: int = 64, n_bits: int = 16, min_cosine: float = 0.6,
         vals = (bits * (1 << np.arange(n_bits))).sum(axis=1)
         return pd.Series(vals.astype(np.int32))
 
-    s = df.withColumn("bucket", sketch("embedding")).withColumn(
-        "nv", F.sqrt(F.expr(_NORM2.format(a="embedding"))))  # norm per vector, not per pair
-    a = s.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
-                 "bucket", F.col("nv").alias("na"))
-    b = s.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-                 "bucket", F.col("nv").alias("nb"))
-    pairs = a.join(b, ["bucket"]).filter(F.col("vec_a") < F.col("vec_b"))
+    s = df.withColumn("bucket", sketch("embedding"))
+    # the bucket join carries ONLY (vec_id, bucket) — candidates are
+    # deduped as narrow id pairs and the wide embedding arrays re-attach
+    # AFTERWARDS via two slim equi-joins (same pattern as the minhash
+    # verify path): at scale the arrays must not ride the candidate
+    # shuffle, whose fan-out is quadratic in bucket occupancy
+    ids = s.select("vec_id", "bucket")
+    cand = (
+        ids.select(F.col("vec_id").alias("vec_a"), "bucket")
+        .join(ids.select(F.col("vec_id").alias("vec_b"), "bucket"), ["bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    emb = df.withColumn("nv", F.sqrt(F.expr(_NORM2.format(a="embedding"))))
+    ea = emb.select(F.col("vec_id").alias("vec_a"),
+                    F.col("embedding").alias("ea"), F.col("nv").alias("na"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"),
+                    F.col("embedding").alias("eb"), F.col("nv").alias("nb"))
+    pairs = cand.join(ea, "vec_a").join(eb, "vec_b")
     cos = F.round(
         F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb")), 6,
     )
@@ -229,22 +242,37 @@ def lsh_pairs(df, dim: int = 64, n_bits: int = 16, min_cosine: float = 0.6,
     )
 
 
-@q("ann_lsh_bucketed")  # seeded hyperplanes → engine-specific, rows-only
+@q(
+    "ann_lsh_bucketed",
+    oracle="""
+    SELECT vec_id AS vec_a,
+           CAST(vec_id + 1000000 AS BIGINT) AS vec_b,
+           CAST(1.0 AS DOUBLE) AS cosine
+    FROM embeddings WHERE vec_id < 100
+    """,
+)
 def ann_lsh_bucketed(spark, sf):
     """LSH near-dup sweep over the corpus with planted duplicates
-    (vec_id+1e6 copies, same convention as vec_cosine_neardup): random
-    gaussians alone contain no true near-dups, so without planting the
-    rows-only driver check would pass on an empty result regardless of
-    whether the sketch works.  Every planted pair has an identical
-    sketch, so the output is guaranteed ≥ the planted count (recall
-    property in tests/test_vec.py)."""
+    (vec_id+1e6 copies, same convention as vec_cosine_neardup), projected
+    to the PLANTED pairs so the driver hash-verifies 100% planted-pair
+    recall: an identical vector has an identical sign sketch, so every
+    planted pair must collide in its bucket, survive exact verification,
+    and emit cosine exactly 1.0 (dot(a,a) and |a|² are the same
+    left-to-right double reduction, so the quotient rounds to 1.0 at
+    6 dp).  The hyperplane seed never reaches the output — the check is
+    engine-portable where the raw pair dump (rows-only until round 2)
+    was not.  Catalyst pushes the planted-id predicate into the bucket
+    join; the UNPRUNED full-corpus sweep (precision=1.0 by construction,
+    recall gate on near-dups) is exercised by tests/test_vec.py."""
     e = t(spark, sf, "embeddings").select("vec_id", "embedding")
     dupe = e.unionByName(
         e.filter(F.col("vec_id") < 100).select(
             (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
         )
     )
-    return lsh_pairs(dupe)
+    return lsh_pairs(dupe).filter(
+        (F.col("vec_a") < 100) & (F.col("vec_b") == F.col("vec_a") + 1_000_000)
+    )
 
 
 _IVF_K = 16       # coarse centroids (production: k-means fit offline)
@@ -306,25 +334,50 @@ def ann_ivf_topk(spark, sf):
     return ivf_topk(e, e.filter(F.col("vec_id") % 100 == 7))
 
 
-def ivf_topk(e, probes_src, k: int = _IVF_K, nprobe: int = _IVF_NPROBE,
-             topk: int = _IVF_TOPK):
-    """The IVF pipeline over (vec_id, embedding) frames: centroid
-    assignment via broadcast join + window argmax, cluster-pruned exact
-    cosine scoring, per-probe top-k."""
-    cents = F.broadcast(
-        e.filter(F.col("vec_id") < k)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
-    )
-    # centroid affinity: dot / |centroid| (query norm is rank-invariant)
-    aff = (F.expr(_DOT.format(a="embedding", b="ce"))
-           / F.sqrt(F.expr(_NORM2.format(a="ce"))))
-    w_assign = W.partitionBy("vec_id").orderBy(F.desc(aff), "cid")
-    assign = (
+def _centroid_affinity():
+    """Centroid affinity: dot / |centroid| (query norm is rank-invariant)."""
+    return (F.expr(_DOT.format(a="embedding", b="ce"))
+            / F.sqrt(F.expr(_NORM2.format(a="ce"))))
+
+
+def ivf_assign(e, cents):
+    """Nearest-centroid assignment: broadcast join + ``max_by`` argmax.
+
+    The n×K affinity rows reduce MAP-SIDE (partial aggregation) to one
+    row per vector before the exchange — vs the window formulation,
+    which shuffled all n×K rows and ran a per-vector sort.  Tie-break
+    matches the oracle's (affinity DESC, cid ASC): maximizing
+    struct(aff, -cid) is that exact lexicographic order."""
+    aff = _centroid_affinity()
+    return (
         e.join(cents)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cid", F.struct(aff.alias("aff"), (-F.col("cid")).alias("nc"))
+            ).alias("cid"),
+            F.any_value("embedding").alias("embedding"),  # constant per group
+        )
         .select("vec_id", "embedding", "cid")
     )
+
+
+def ivf_topk(e, probes_src, k: int = _IVF_K, nprobe: int = _IVF_NPROBE,
+             topk: int = _IVF_TOPK, cents=None):
+    """The IVF pipeline over (vec_id, embedding) frames: max_by centroid
+    assignment over a broadcast join (no Window in the corpus-scan
+    subtree), cluster-pruned exact cosine scoring, per-probe top-k.
+    ``cents`` defaults to the deterministic first-K stub (the oracle
+    twin); pass ``fit_centroids_kmeans(...)`` for the production fit."""
+    if cents is None:
+        cents = e.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    cents = F.broadcast(cents)
+    assign = ivf_assign(e, cents)
+    # probes keep the window form: nprobe > 1 needs a per-vector top-N,
+    # and the probe set is small by definition (the query side)
+    aff = _centroid_affinity()
+    w_assign = W.partitionBy("vec_id").orderBy(F.desc(aff), "cid")
     probes = (
         probes_src
         .join(cents)
@@ -354,4 +407,88 @@ def ivf_topk(e, probes_src, k: int = _IVF_K, nprobe: int = _IVF_NPROBE,
         scored.withColumn("rn", F.row_number().over(w_top))
         .filter(F.col("rn") <= topk)
         .select("probe_id", "neighbor_id", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF with FITTED centroids (production path; first-K stub = oracle twin)
+# ---------------------------------------------------------------------------
+
+
+def fit_centroids_kmeans(e, k: int = _IVF_K, iters: int = 10, seed: int = 7,
+                         sample_cap: int = 2048):
+    """Seeded k-means fit for IVF coarse centroids: a bounded
+    deterministic sample (hash-ordered top-N — Spark plans
+    TakeOrderedAndProject, a map-side top-k + driver merge, NOT a global
+    sort) is collected and Lloyd-iterated driver-side with numpy, then
+    returned as a (cid, ce) DataFrame to broadcast.  The collect is the
+    FIT, not the scan — it is capped at ``sample_cap`` rows no matter
+    the corpus size, the same shape as fitting offline and broadcasting
+    the model.  k-means++ seeding + fixed iteration count keep the
+    result a pure function of (data, seed)."""
+    samp = (
+        e.select("vec_id", "embedding")
+        .orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+        .limit(sample_cap)
+    )
+    rows = samp.collect()  # bounded: <= sample_cap rows (the model fit)
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    # k-means++ init
+    cents = [X[rng.randint(len(X))]]
+    for _ in range(1, k):
+        d2 = np.min(
+            [((X - c) ** 2).sum(axis=1) for c in cents], axis=0)
+        total = d2.sum()
+        if total <= 0:  # degenerate: all points coincide with a centroid
+            cents.append(X[rng.randint(len(X))])
+            continue
+        cents.append(X[np.searchsorted(np.cumsum(d2 / total), rng.rand())])
+    C = np.array(cents)
+    for _ in range(iters):  # Lloyd
+        a = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        for j in range(k):
+            pts = X[a == j]
+            if len(pts):
+                C[j] = pts.mean(axis=0)
+    spark = e.sparkSession
+    return spark.createDataFrame(
+        [(int(i), [float(v) for v in c]) for i, c in enumerate(C)],
+        "cid bigint, ce array<double>",
+    )
+
+
+@q(
+    "ann_ivf_kmeans",
+    oracle="""
+    SELECT CAST(vec_id + 1000000 AS BIGINT) AS probe_id,
+           true AS found_original
+    FROM embeddings WHERE vec_id < 50
+    """,
+)
+def ann_ivf_kmeans(spark, sf):
+    """IVF with FITTED (k-means) centroids, hash-verified via planted
+    probes: each probe is an exact copy of a corpus vector under a
+    shifted id.  An identical vector gets the identical centroid
+    assignment (same affinities, same tie-break), so its nprobe set
+    always contains the original's cluster and the original scores
+    cosine 1.0 — the top of any candidate list.  found_original is
+    therefore deterministically true for every probe REGARDLESS of
+    where the fit places the centroids, which is exactly what makes a
+    seeded-model query oracle-checkable.  Recall quality of the fit
+    itself (vs the first-K stub) is gated on clustered fixtures in
+    tests/test_vec.py."""
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    probes = e.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    cents = fit_centroids_kmeans(e)
+    top = ivf_topk(e, probes, cents=cents)
+    return (
+        top.groupBy("probe_id")
+        .agg(
+            F.max(
+                F.col("neighbor_id") == F.col("probe_id") - 1_000_000
+            ).alias("found_original")
+        )
     )

@@ -108,3 +108,70 @@ def test_ivf_recall_vs_bruteforce_on_clustered_data(spark):
     }
     recall = len(got & truth) / len(truth)
     assert recall >= 0.9, f"IVF recall on clustered data too low: {recall:.2f}"
+
+
+def _clustered(spark, n=160, n_clusters=8, seed=7):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    centers = rng.standard_normal((n_clusters, 64)).astype("float32") * 4
+    rows = [
+        (i, (centers[i % n_clusters]
+             + rng.standard_normal(64).astype("float32") * 0.3).tolist())
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_fitted_centroids_recall(spark):
+    """The k-means fit must make the recall gate meaningful on real
+    cluster structure: fitted centroids land one-per-cluster (vs the
+    first-K stub, whose coverage of the clusters is accidental), so
+    nprobe=2 pruning keeps ≥0.9 of the unpruned top-5 — and the fit is
+    a pure function of (data, seed): two fits are identical."""
+    from pyspark.sql import Window as W
+
+    from ocr_spark.plans.queries_vec import fit_centroids_kmeans, ivf_topk
+
+    e = _clustered(spark)
+    cents = fit_centroids_kmeans(e, k=8, seed=7)
+    again = fit_centroids_kmeans(e, k=8, seed=7)
+    assert sorted(map(tuple, cents.collect())) == sorted(map(tuple, again.collect())), (
+        "k-means fit is not deterministic")
+
+    probes_src = e.filter(F.col("vec_id") % 20 == 19)
+    got = {(r["probe_id"], r["neighbor_id"])
+           for r in ivf_topk(e, probes_src, k=8, nprobe=2, topk=5,
+                             cents=cents).collect()}
+    p = probes_src.select(F.col("vec_id").alias("probe_id"),
+                          F.col("embedding").alias("pe"))
+    cos = (
+        F.expr(_DOT.format(a="pe", b="embedding"))
+        / (F.sqrt(F.expr(_NORM2.format(a="pe")))
+           * F.sqrt(F.expr(_NORM2.format(a="embedding"))))
+    )
+    scored = (F.broadcast(p).join(e, F.col("vec_id") != F.col("probe_id"))
+              .select("probe_id", F.col("vec_id").alias("neighbor_id"),
+                      cos.alias("c")))
+    w = W.partitionBy("probe_id").orderBy(F.desc("c"), "neighbor_id")
+    truth = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"fitted-IVF recall too low: {recall:.2f}"
+
+
+def test_ivf_assignment_plan_has_no_window(spark):
+    """The corpus-side centroid assignment must reduce via max_by partial
+    aggregation — a Window node there means the n×K affinity rows are
+    being shuffled and sorted per vector (the round-2 plan)."""
+    from ocr_spark.plans.queries_vec import ivf_assign
+
+    e = _clustered(spark)
+    cents = F.broadcast(e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")))
+    plan = ivf_assign(e, cents)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "partial_max_by" in plan or "max_by" in plan, plan

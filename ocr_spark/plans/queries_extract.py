@@ -111,13 +111,12 @@ def multimodal_binary_meta(spark, sf):
     )
 
 
-@q("multimodal_decode_stub")  # fake decoder → rows-only by design
-def multimodal_decode_stub(spark, sf):
+def decoded_metadata(d):
     """Image/audio decode plumbing with the codec stubbed (no image/audio
     libs in this container — task spec allows a deterministic fake).  The
     Spark-side contract is real: binary column in, typed metadata struct
     out, Arrow-batched via mapInPandas with an explicit schema.
-    """
+    Input frame: (doc_id, payload binary)."""
 
     def decode_batch(batches):
         for pdf in batches:
@@ -133,13 +132,39 @@ def multimodal_decode_stub(spark, sf):
             out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
             yield out
 
-    d = t(spark, sf, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
-    )
     return d.mapInPandas(
         decode_batch,
         schema="doc_id long, n_bytes int, width int, height int, codec string",
     )
+
+
+@q(
+    "multimodal_decode_stub",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           true AS dims_ok,
+           'fake/v1' AS codec
+    FROM documents
+    """,
+)
+def multimodal_decode_stub(spark, sf):
+    """Decode plumbing (see decoded_metadata), hash-verified (was
+    rows-only until round 2): ``n_bytes`` is the UDF's own measurement
+    of the binary payload, so matching the oracle's
+    ``octet_length(encode(text))`` proves the blob crossed the Arrow
+    boundary intact — the actual plumbing claim this operator makes.
+    The digest-derived dims (not SQL-reproducible) are booleanized to
+    their contract (16 ≤ dim < 80) and the codec tag is checked
+    literally.  Raw dims stay covered by tests/test_data_ops.py."""
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    m = decoded_metadata(d)
+    dims_ok = (
+        F.col("width").between(16, 79) & F.col("height").between(16, 79)
+    )
+    return m.select("doc_id", "n_bytes", dims_ok.alias("dims_ok"), "codec")
 
 
 @q(
@@ -159,15 +184,15 @@ def extract_media_passthrough(spark, sf):
     )
 
 
-@q("multimodal_frame_sample")  # fake video decoder → rows-only by design
-def multimodal_frame_sample(spark, sf):
+def sampled_frames(d):
     """Video frame-sampling plumbing (one input blob → N frame rows):
     the decode is a deterministic fake (no av/ffmpeg libs in-sandbox —
-    a real impl swaps _fake_frames for PyAV keyframe extraction), but
+    a real impl swaps the digest fake for PyAV keyframe extraction), but
     the Spark shape is the production one — binary column in, Arrow
     batch in/out via mapInPandas, EXPLODING cardinality (rows out ≫
     rows in) with an explicit schema, frame timestamps derived from
-    payload, and per-frame content digests for downstream dedup."""
+    payload, and per-frame content digests for downstream dedup.
+    Input frame: (doc_id, payload binary)."""
 
     def frame_batch(batches):
         for pdf in batches:
@@ -189,11 +214,59 @@ def multimodal_frame_sample(spark, sf):
                          "frame_sha", "height", "width"],
             )
 
-    d = t(spark, sf, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
-    )
     return d.mapInPandas(
         frame_batch,
         schema=("doc_id long, frame_idx int, ts_ms long, "
                 "frame_sha string, height int, width int"),
     )
+
+
+@q(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, true AS frames_ok FROM documents
+    """,
+)
+def multimodal_frame_sample(spark, sf):
+    """Frame sampling (see sampled_frames), hash-verified (was rows-only
+    until round 2) by aggregating the exploded frame rows back to one
+    invariant boolean per document: 1–4 frames, dense 0..n-1 frame_idx,
+    non-decreasing timestamps within [0, 60s), n distinct frame digests,
+    dims within the contract.  The digest specifics are not
+    SQL-reproducible, but a doc that dropped, duplicated, reordered, or
+    mangled frames through the Arrow boundary fails the booleans; the
+    raw frame surface stays covered by tests/test_data_ops.py."""
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    fr = sampled_frames(d)
+    agg = fr.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("frame_sha").alias("n_sha"),
+        F.countDistinct("frame_idx").alias("n_idx"),
+        F.min("frame_idx").alias("i0"),
+        F.max("frame_idx").alias("i1"),
+        F.min("ts_ms").alias("t0"),
+        F.max("ts_ms").alias("t1"),
+        F.min(F.col("width").between(16, 79)
+              & F.col("height").between(16, 79)).alias("dims_ok"),
+        F.sort_array(F.collect_list(F.struct("frame_idx", "ts_ms"))).alias("seq"),
+    )
+    # timestamps non-decreasing in frame order (adjacent-pair HOF check)
+    mono = F.expr(
+        "IF(size(seq) < 2, true,"
+        " aggregate(zip_with(slice(seq, 1, size(seq) - 1),"
+        "                    slice(seq, 2, size(seq) - 1),"
+        "                    (a, b) -> a.ts_ms <= b.ts_ms),"
+        "           true, (acc, v) -> acc AND v))"
+    )
+    frames_ok = (
+        F.col("n").between(1, 4)
+        & (F.col("n_sha") == F.col("n"))
+        & (F.col("n_idx") == F.col("n"))
+        & (F.col("i0") == 0) & (F.col("i1") == F.col("n") - 1)
+        & (F.col("t0") >= 0) & (F.col("t1") < 60000)
+        & mono
+        & F.col("dims_ok")
+    )
+    return agg.select("doc_id", frames_ok.alias("frames_ok"))

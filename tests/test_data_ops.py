@@ -134,3 +134,45 @@ def test_decontaminate_flags_planted_overlap(spark, sf_dir):
     # flagged docs must come from the corpus side only
     flagged = {r["doc_id"] for r in rows}
     assert all(i % 50 != 0 for i in flagged)
+
+
+def test_multimodal_decode_raw_surface(spark):
+    """The raw (pre-booleanization) decode surface: byte counts are the
+    payload's true length, dims deterministic across two runs, codec
+    tagged — the metadata the registered query reduces to booleans."""
+    from ocr_spark.plans.queries_extract import decoded_metadata
+
+    d = spark.createDataFrame(
+        [(1, b"abc"), (2, b"x" * 1000)], "doc_id long, payload binary"
+    )
+    rows = {r["doc_id"]: r for r in decoded_metadata(d).collect()}
+    again = {r["doc_id"]: r for r in decoded_metadata(d).collect()}
+    assert rows == again, "fake decode is not deterministic"
+    assert rows[1]["n_bytes"] == 3 and rows[2]["n_bytes"] == 1000
+    for r in rows.values():
+        assert 16 <= r["width"] < 80 and 16 <= r["height"] < 80
+        assert r["codec"] == "fake/v1"
+
+
+def test_multimodal_frame_raw_surface(spark):
+    """Raw frame rows: exploding cardinality (>= 1 frame per doc), dense
+    frame_idx, per-frame digests unique within a doc, timestamps
+    non-decreasing — checked on the exploded rows themselves (the
+    registered query aggregates these same invariants per doc)."""
+    from ocr_spark.plans.queries_extract import sampled_frames
+
+    d = spark.createDataFrame(
+        [(i, f"payload {i}".encode()) for i in range(20)],
+        "doc_id long, payload binary",
+    )
+    by_doc = {}
+    for r in sampled_frames(d).collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(range(20))
+    for doc_id, frames in by_doc.items():
+        frames.sort(key=lambda r: r["frame_idx"])
+        assert 1 <= len(frames) <= 4
+        assert [f["frame_idx"] for f in frames] == list(range(len(frames)))
+        assert len({f["frame_sha"] for f in frames}) == len(frames)
+        ts = [f["ts_ms"] for f in frames]
+        assert ts == sorted(ts) and ts[0] >= 0 and ts[-1] < 60000

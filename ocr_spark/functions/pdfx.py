@@ -10,6 +10,15 @@ Supported PDF subset (documented per SURVEY.md §7 "hard parts"):
   - content streams (``stream ... endstream``), raw or /FlateDecode
     (zlib) per the stream object's own /Filter dict entry; a direct
     /Length slices the body exactly, else endstream-scan fallback
+  - STRUCTURED (xref-driven) document parse: startxref → classic xref
+    tables AND PDF 1.5+ cross-reference streams (/Type /XRef, /W field
+    widths, /Index subsections, /Prev chains, PNG predictors 10–15 via
+    /DecodeParms), compressed object streams (/Type /ObjStm, type-2
+    xref entries), indirect /Length refs, page-tree walk (/Root →
+    /Pages → /Kids, nested) with per-page /Contents (ref or array).
+    Any structural failure falls back to the positional stream scan
+    (which skips /ObjStm and /XRef container streams so their bodies
+    are never mistaken for page content)
   - text objects ``BT ... ET`` with operators:
       ``Tf`` (font size), ``Td``/``TD`` (translate; TD also sets leading),
       ``TL`` (leading), ``T*`` (next line), ``Tm`` (set matrix — e,f used),
@@ -76,8 +85,18 @@ def _stream_segments(data: bytes):
     """Yield (stream_dict, body) per content stream.  When the dict
     carries a direct /Length the body is sliced exactly (robust to
     'endstream' bytes occurring inside compressed payloads); otherwise
-    fall back to scanning for the next ``endstream`` keyword."""
-    for m in _STREAM_KW_RE.finditer(data):
+    fall back to scanning for the next ``endstream`` keyword.
+
+    Scans with a manual cursor that always advances PAST the consumed
+    body: 'stream\\n' byte sequences occurring INSIDE a previous stream's
+    compressed payload are never keyword matches, so they can neither
+    inject a phantom segment nor shift the positional page index of the
+    real streams that follow."""
+    pos = 0
+    while True:
+        m = _STREAM_KW_RE.search(data, pos)
+        if m is None:
+            return
         d = _dict_before(data, m.start())
         start = m.end()
         body = None
@@ -87,15 +106,18 @@ def _stream_segments(data: bytes):
                 end = start + int(lm.group(1))
                 if end <= len(data) and re.match(rb"\s*endstream", data[end:end + 16]):
                     body = data[start:end]
+                    pos = data.find(b"endstream", end) + len(b"endstream")
         if body is None:
             em = data.find(b"endstream", start)
             if em < 0:
+                pos = start
                 continue
             body = data[start:em]
             if body.endswith(b"\r\n"):
                 body = body[:-2]
             elif body.endswith((b"\n", b"\r")):
                 body = body[:-1]
+            pos = em + len(b"endstream")
         yield d or b"", body
 
 
@@ -105,6 +127,307 @@ def _is_flate(stream_dict: bytes) -> bool:
         return False
     arr, name = fm.groups()
     return b"FlateDecode" in (arr or name or b"")
+
+
+# ---------------------------------------------------------------------------
+# structured (xref-driven) document parse — PDF 1.5 xref/object streams
+# ---------------------------------------------------------------------------
+
+_OBJ_AT_RE = re.compile(rb"\s*(\d+)\s+(\d+)\s+obj\b")
+
+
+def _dict_num(d: bytes, key: bytes) -> int | None:
+    m = re.search(rb"/" + key + rb"\s+(\d+)(?![\s\d]*R)", d)
+    return int(m.group(1)) if m else None
+
+
+def _dict_ref(d: bytes, key: bytes) -> int | None:
+    m = re.search(rb"/" + key + rb"\s+(\d+)\s+\d+\s+R\b", d)
+    return int(m.group(1)) if m else None
+
+
+def _dict_name(d: bytes, key: bytes) -> bytes | None:
+    m = re.search(rb"/" + key + rb"\s*/([A-Za-z0-9]+)", d)
+    return m.group(1) if m else None
+
+
+def _dict_arr(d: bytes, key: bytes) -> bytes | None:
+    """Raw inner bytes of ``/Key [ ... ]`` (balanced for nested arrays)."""
+    m = re.search(rb"/" + key + rb"\s*\[", d)
+    if not m:
+        return None
+    i, depth, start = m.end(), 1, m.end()
+    while i < len(d) and depth:
+        c = d[i:i + 1]
+        if c == b"[":
+            depth += 1
+        elif c == b"]":
+            depth -= 1
+        i += 1
+    return d[start:i - 1] if depth == 0 else None
+
+
+def _unpredict(data: bytes, predictor: int, columns: int) -> bytes:
+    """PNG row predictors (10–15; 8-bit single-component rows — the form
+    xref streams use).  Predictor < 10 → data is unfiltered."""
+    if predictor < 10:
+        return data
+    rowlen = columns
+    out = bytearray()
+    prev = bytearray(rowlen)
+    i = 0
+    while i + 1 + rowlen <= len(data) + rowlen and i < len(data):
+        ft = data[i]
+        row = bytearray(data[i + 1:i + 1 + rowlen])
+        i += 1 + rowlen
+        if ft == 1:  # Sub
+            for j in range(1, len(row)):
+                row[j] = (row[j] + row[j - 1]) & 0xFF
+        elif ft == 2:  # Up
+            for j in range(len(row)):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:  # Average
+            for j in range(len(row)):
+                a = row[j - 1] if j else 0
+                row[j] = (row[j] + (a + prev[j]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for j in range(len(row)):
+                a = row[j - 1] if j else 0
+                b, c = prev[j], (prev[j - 1] if j else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[j] = (row[j] + pred) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _decode_stream_body(d: bytes, body: bytes) -> bytes:
+    """Apply /Filter (+ /DecodeParms predictor) to a stream body."""
+    import zlib
+
+    if _is_flate(d):
+        body = zlib.decompress(body)
+        pm = re.search(rb"/DecodeParms\s*<<(.*?)>>", d, re.DOTALL)
+        if pm:
+            pred = _dict_num(pm.group(1), b"Predictor") or 1
+            cols = _dict_num(pm.group(1), b"Columns") or 1
+            body = _unpredict(body, pred, cols)
+    return body
+
+
+class _Doc:
+    """Xref-driven random-access view of one PDF byte buffer."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.xref: dict[int, tuple] = {}   # obj → ('n', off) | ('c', stm, idx)
+        self.root: int | None = None
+        self._objstm_cache: dict[int, dict[int, bytes]] = {}
+        self._load_xref_chain()
+
+    # -- xref ---------------------------------------------------------------
+    def _load_xref_chain(self):
+        data = self.data
+        i = data.rfind(b"startxref")
+        if i < 0:
+            raise ValueError("no startxref")
+        m = re.match(rb"startxref\s+(\d+)", data[i:])
+        if not m:
+            raise ValueError("bad startxref")
+        off = int(m.group(1))
+        seen = set()
+        while off is not None and off not in seen and 0 <= off < len(data):
+            seen.add(off)
+            if re.match(rb"\s*xref\b", data[off:off + 16]):
+                off = self._load_classic_xref(off)
+            else:
+                off = self._load_xref_stream(off)
+
+    def _load_classic_xref(self, off: int) -> int | None:
+        data = self.data
+        pos = off + data[off:off + 16].find(b"xref") + 4
+        while True:
+            m = re.match(rb"\s*(\d+)\s+(\d+)\s*[\r\n]+", data[pos:])
+            if not m:
+                break
+            first, count = int(m.group(1)), int(m.group(2))
+            pos += m.end()
+            for k in range(count):
+                ent = data[pos:pos + 20]
+                pos += 20
+                if ent[17:18] == b"n" and (first + k) not in self.xref:
+                    self.xref[first + k] = ("n", int(ent[:10]))
+        tm = re.search(rb"trailer\s*", data[pos:pos + 256])
+        if tm:
+            td = self._balanced_dict(pos + tm.end())
+            if td:
+                if self.root is None:
+                    self.root = _dict_ref(td, b"Root")
+                return _dict_num(td, b"Prev")
+        return None
+
+    def _load_xref_stream(self, off: int) -> int | None:
+        d, body = self._parse_obj_at(off)
+        if d is None or body is None or _dict_name(d, b"Type") != b"XRef":
+            raise ValueError("startxref does not point at an xref section")
+        raw = _decode_stream_body(d, body)
+        W = [int(x) for x in re.findall(rb"\d+", _dict_arr(d, b"W") or b"")]
+        size = _dict_num(d, b"Size") or 0
+        idx = _dict_arr(d, b"Index")
+        pairs = ([int(x) for x in re.findall(rb"\d+", idx)] if idx
+                 else [0, size])
+        rowlen = sum(W)
+        pos = 0
+        for first, count in zip(pairs[::2], pairs[1::2]):
+            for k in range(count):
+                row = raw[pos:pos + rowlen]
+                pos += rowlen
+                fields, o = [], 0
+                for w in W:
+                    fields.append(
+                        int.from_bytes(row[o:o + w], "big") if w else 1)
+                    o += w
+                num = first + k
+                if num in self.xref:
+                    continue  # newer section wins (we walk newest-first)
+                if fields[0] == 1:
+                    self.xref[num] = ("n", fields[1])
+                elif fields[0] == 2:
+                    self.xref[num] = ("c", fields[1], fields[2])
+        if self.root is None:
+            self.root = _dict_ref(d, b"Root")
+        return _dict_num(d, b"Prev")
+
+    # -- objects ------------------------------------------------------------
+    def _balanced_dict(self, pos: int) -> bytes | None:
+        data = self.data
+        m = re.match(rb"\s*<<", data[pos:pos + 64])
+        if not m:
+            return None
+        i = pos + m.end()
+        depth, start = 1, i - 2
+        while i < len(data) - 1 and depth:
+            two = data[i:i + 2]
+            if two == b"<<":
+                depth += 1
+                i += 2
+            elif two == b">>":
+                depth -= 1
+                i += 2
+            else:
+                i += 1
+        return data[start:i] if depth == 0 else None
+
+    def _parse_obj_at(self, off: int):
+        """(dict_bytes|raw_value_bytes, stream_body|None) at offset."""
+        data = self.data
+        m = _OBJ_AT_RE.match(data, off)
+        if not m:
+            return None, None
+        pos = m.end()
+        d = self._balanced_dict(pos)
+        if d is None:  # plain value object (e.g. an indirect /Length int)
+            em = data.find(b"endobj", pos)
+            return (data[pos:em].strip() if em > 0 else None), None
+        pos2 = pos + len(re.match(rb"\s*", data[pos:]).group(0)) + len(d)
+        sm = re.match(rb"\s*stream\r?\n", data[pos2:pos2 + 32])
+        if not sm:
+            return d, None
+        start = pos2 + sm.end()
+        length = _dict_num(d, b"Length")
+        if length is None:  # indirect /Length — resolve through the xref
+            ref = _dict_ref(d, b"Length")
+            if ref is not None:
+                v = self.obj(ref)
+                if v and v[1] is None and v[0] and v[0].isdigit():
+                    length = int(v[0])
+        if length is not None and start + length <= len(data):
+            return d, data[start:start + length]
+        em = data.find(b"endstream", start)
+        return d, (data[start:em].rstrip(b"\r\n") if em > 0 else None)
+
+    def _objstm(self, num: int) -> dict[int, bytes]:
+        if num in self._objstm_cache:
+            return self._objstm_cache[num]
+        out: dict[int, bytes] = {}
+        ent = self.xref.get(num)
+        if ent and ent[0] == "n":
+            d, body = self._parse_obj_at(ent[1])
+            if d is not None and body is not None and \
+                    _dict_name(d, b"Type") == b"ObjStm":
+                raw = _decode_stream_body(d, body)
+                n = _dict_num(d, b"N") or 0
+                first = _dict_num(d, b"First") or 0
+                header = [int(x) for x in raw[:first].split()]
+                offs = list(zip(header[::2], header[1::2]))
+                for k, (onum, ooff) in enumerate(offs):
+                    end = (first + offs[k + 1][1]) if k + 1 < len(offs) else len(raw)
+                    out[onum] = raw[first + ooff:end].strip()
+        self._objstm_cache[num] = out
+        return out
+
+    def obj(self, num: int):
+        """(dict_or_value_bytes, stream_body|None) for object ``num``."""
+        ent = self.xref.get(num)
+        if ent is None:
+            return None
+        if ent[0] == "n":
+            return self._parse_obj_at(ent[1])
+        return self._objstm(ent[1]).get(num), None
+
+    # -- page tree ----------------------------------------------------------
+    def page_contents(self) -> list[bytes]:
+        """Decoded content bytes per page, in page-tree order."""
+        if self.root is None:
+            raise ValueError("no /Root")
+        cat = self.obj(self.root)
+        if not cat or cat[0] is None:
+            raise ValueError("bad catalog")
+        pages_ref = _dict_ref(cat[0], b"Pages")
+        out: list[bytes] = []
+        self._walk_pages(pages_ref, out, depth=0)
+        if not out:
+            raise ValueError("empty page tree")
+        return out
+
+    def _walk_pages(self, num: int | None, out: list[bytes], depth: int):
+        if num is None or depth > 32:
+            return
+        node = self.obj(num)
+        if not node or node[0] is None:
+            raise ValueError(f"missing page-tree node {num}")
+        d = node[0]
+        typ = _dict_name(d, b"Type")
+        if typ == b"Pages":
+            kids = _dict_arr(d, b"Kids") or b""
+            for km in re.finditer(rb"(\d+)\s+\d+\s+R\b", kids):
+                self._walk_pages(int(km.group(1)), out, depth + 1)
+        elif typ == b"Page":
+            parts: list[bytes] = []
+            carr = _dict_arr(d, b"Contents")
+            refs = ([int(m.group(1)) for m in
+                     re.finditer(rb"(\d+)\s+\d+\s+R\b", carr)]
+                    if carr is not None
+                    else ([_dict_ref(d, b"Contents")]
+                          if _dict_ref(d, b"Contents") is not None else []))
+            for ref in refs:
+                c = self.obj(ref)
+                if not c or c[1] is None:
+                    raise ValueError(f"missing content stream {ref}")
+                parts.append(_decode_stream_body(c[0], c[1]))
+            out.append(b"\n".join(parts))
+
+
+def _structured_page_contents(data: bytes) -> list[str] | None:
+    """Xref-driven page-ordered decoded content strings, or None when the
+    document has no parseable structure (raw fragments, corrupt xref) —
+    callers then fall back to the positional stream scan."""
+    try:
+        return [c.decode("latin-1") for c in _Doc(data).page_contents()]
+    except Exception:
+        return None
 
 # one token: PDF string (literal or hex), array, number, or operator name
 _TOK_RE = re.compile(
@@ -200,10 +523,18 @@ def tokenize_pdf(data: bytes, cfg: ExtractConfig = DEFAULT) -> tuple[list[TextRu
 
     Streams whose object dictionary declares ``/Filter /FlateDecode``
     (the overwhelmingly common real-world encoding) are zlib-inflated
-    before tokenizing; raw streams are parsed as-is."""
+    before tokenizing; raw streams are parsed as-is.
+
+    Page discovery is STRUCTURED first (xref-driven — classic tables and
+    PDF 1.5 xref/object streams, page order from the page tree), falling
+    back to the positional stream scan for raw fragments or documents
+    whose structure fails to parse."""
     runs: list[TextRun] = []
     figures: list[tuple[int, float, float, float, float]] = []
-    for page, content in enumerate(_stream_contents(data)):
+    contents = _structured_page_contents(data)
+    if contents is None:
+        contents = list(_stream_contents(data))
+    for page, content in enumerate(contents):
         r, f = _parse_content(content, [], [], cfg)
         for tr in r:
             tr.page = page
@@ -212,11 +543,19 @@ def tokenize_pdf(data: bytes, cfg: ExtractConfig = DEFAULT) -> tuple[list[TextRu
     return runs, figures
 
 
+# container-stream types whose bodies are NOT page content — the
+# positional fallback must never tokenize them
+_CONTAINER_TYPE_RE = re.compile(rb"/Type\s*/(ObjStm|XRef)\b")
+
+
 def _stream_contents(data: bytes):
-    """Decoded (inflated if /FlateDecode) content string per stream."""
+    """Decoded (inflated if /FlateDecode) content string per stream —
+    the positional fallback path (no xref needed)."""
     import zlib
 
     for sdict, raw in _stream_segments(data):
+        if _CONTAINER_TYPE_RE.search(sdict):
+            continue  # object/xref container, not page content
         if _is_flate(sdict):
             try:
                 raw = zlib.decompress(raw)
@@ -425,21 +764,29 @@ def _stream_obj(content: str, compress: bool) -> str:
     return f"<< /Length {len(content)} >>\nstream\n{content}\nendstream"
 
 
-def write_pdf(blocks: list[dict], compress: bool = False) -> bytes:
+def write_pdf(blocks: list[dict], compress: bool = False,
+              xref_stream: bool = False) -> bytes:
     """Serialize blocks → a minimal well-formed single-page PDF.
 
     Each block dict: {"kind": "text"|"table"|"header"|"footer"|"figure",
     "lines": [str, ...], "x": float, "y": float}  (y = top line baseline).
     ``compress=True`` flate-encodes the content stream (the real-world
-    default for PDF producers); the extractor handles both.
+    default for PDF producers); ``xref_stream=True`` emits the PDF 1.5+
+    layout (cross-reference stream + catalog/page objects packed into a
+    compressed object stream — the modern-producer default); the
+    extractor handles all combinations.
     """
-    return write_pdf_pages([blocks], compress=compress)
+    return write_pdf_pages([blocks], compress=compress,
+                           xref_stream=xref_stream)
 
 
-def write_pdf_pages(pages: list[list[dict]], compress: bool = False) -> bytes:
+def write_pdf_pages(pages: list[list[dict]], compress: bool = False,
+                    xref_stream: bool = False) -> bytes:
     """Multi-page variant: one content stream per page, each page its
     own coordinate space (the standard producer layout the per-stream
     extractor ordering relies on)."""
+    if xref_stream:
+        return _write_pdf_xref_stream(pages, compress)
     n = len(pages)
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n))
     objs = [
@@ -467,3 +814,80 @@ def write_pdf_pages(pages: list[list[dict]], compress: bool = False) -> bytes:
     out.append(f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
                f"startxref\n{xref_pos}\n%%EOF\n")
     return "".join(out).encode("latin-1")
+
+
+def _write_pdf_xref_stream(pages: list[list[dict]], compress: bool) -> bytes:
+    """PDF 1.5+ layout: catalog/pages/page objects live in ONE
+    FlateDecode /ObjStm (type-2 xref entries); content streams stay
+    top-level (streams cannot nest in an object stream); the
+    cross-reference is a /Type /XRef stream with /W [1 2 2] and the
+    trailer fields in its own dict.  Object numbering matches the
+    classic writer (1=catalog, 2=pages, 3+2i=page, 4+2i=content) so the
+    two layouts of one document differ only structurally."""
+    import zlib
+
+    n = len(pages)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n))
+    packed = [
+        (1, "<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, f"<< /Type /Pages /Kids [{kids}] /Count {n} >>"),
+    ] + [
+        (3 + 2 * i,
+         f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+         f"/Contents {4 + 2 * i} 0 R >>")
+        for i in range(n)
+    ]
+    bodies = [o.encode("latin-1") for _, o in packed]
+    offs, pos = [], 0
+    for b in bodies:
+        offs.append(pos)
+        pos += len(b) + 1
+    header = " ".join(f"{num} {off}"
+                      for (num, _), off in zip(packed, offs)) + "\n"
+    objstm_payload = header.encode("latin-1") + b"\n".join(bodies) + b"\n"
+    objstm_body = zlib.compress(objstm_payload)
+    objstm_num = 2 * n + 3
+    xref_num = 2 * n + 4
+
+    out = [b"%PDF-1.5\n"]
+    pos = len(out[0])
+    offsets: dict[int, int] = {}
+
+    def emit(num: int, payload: str):
+        nonlocal pos
+        s = f"{num} 0 obj\n{payload}\nendobj\n".encode("latin-1")
+        offsets[num] = pos
+        out.append(s)
+        pos += len(s)
+
+    for i, blocks in enumerate(pages):
+        emit(4 + 2 * i, _stream_obj(_page_content(blocks), compress))
+    emit(objstm_num,
+         f"<< /Type /ObjStm /N {len(packed)} "
+         f"/First {len(header)} /Length {len(objstm_body)} "
+         f"/Filter /FlateDecode >>\nstream\n"
+         + objstm_body.decode("latin-1") + "\nendstream")
+
+    # xref stream: W=[1,2,2]; entries 0..xref_num in order
+    size = xref_num + 1
+    rows = bytearray()
+    for num in range(size):
+        if num == 0:
+            t, f2, f3 = 0, 0, 65535
+        elif num in offsets:
+            t, f2, f3 = 1, offsets[num], 0
+        elif num == xref_num:
+            t, f2, f3 = 1, pos, 0  # the xref stream itself (emitted next)
+        else:  # packed into the object stream
+            t = 2
+            f2 = objstm_num
+            f3 = next(k for k, (pn, _) in enumerate(packed) if pn == num)
+        rows += bytes([t]) + f2.to_bytes(2, "big") + f3.to_bytes(2, "big")
+    xref_body = zlib.compress(bytes(rows))
+    xref_off = pos
+    emit(xref_num,
+         f"<< /Type /XRef /Size {size} /W [1 2 2] /Root 1 0 R "
+         f"/Length {len(xref_body)} /Filter /FlateDecode >>\nstream\n"
+         + xref_body.decode("latin-1") + "\nendstream")
+    out.append(f"startxref\n{xref_off}\n%%EOF\n".encode("latin-1"))
+    return b"".join(out)

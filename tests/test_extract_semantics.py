@@ -315,6 +315,27 @@ def test_pdf_multi_stream_no_phantom_segment():
     assert [r.text for r in runs] == ["first", "second"], [r.text for r in runs]
 
 
+def test_pdf_stream_keyword_inside_body_not_a_segment():
+    """Regression (ADVICE r2): 'stream\\n' bytes INSIDE a /Length-sliced
+    body (compressed payloads contain arbitrary bytes) must not start a
+    phantom segment — that injected garbage runs AND shifted the
+    positional page index of every later real stream."""
+    from ocr_spark.functions.pdfx import tokenize_pdf
+
+    # body1 carries a literal 'stream\n' byte sequence mid-payload
+    c1 = "BT /F1 12 Tf 1 0 0 1 72 700 Tm (first) Tj ET\nstream\n(junk) Tj\n"
+    c2 = "BT /F1 12 Tf 1 0 0 1 72 600 Tm (second) Tj ET\n"
+    doc = (f"1 0 obj\n<< /Length {len(c1)} >>\nstream\n{c1}\nendstream\nendobj\n"
+           f"2 0 obj\n<< /Length {len(c2)} >>\nstream\n{c2}\nendstream\nendobj\n"
+           ).encode("latin-1")
+    runs, _ = tokenize_pdf(doc)
+    # exactly two segments; '(junk)' sits after ET inside body1 so it is
+    # never emitted; page 2's text stays on page index 1 (no shift)
+    assert [(r.text, r.page) for r in runs] == [("first", 0), ("second", 1)], [
+        (r.text, r.page) for r in runs
+    ]
+
+
 def test_verify_handles_mixed_chunked_and_plain_runs(spark, tmp_path):
     """A table can hold doc-granular runs AND chunk runs (restart with a
     different chunk_max_spans processes only missing buckets).  The
@@ -470,3 +491,94 @@ def test_chunking_bounds_straggler_weight(spark):
     # split, no partition may dominate
     assert max(weights) <= 0.35 * total, f"straggler partition: {weights}"
     assert chunked.agg(F.max(F.size("spans"))).collect()[0][0] <= 16
+
+
+def test_xref_stream_corpus_extracts_identically(spark):
+    """Corpus-wide A/B for the PDF 1.5+ layout: writing every PDF span
+    with a cross-reference stream + object stream (xref_every=1, half of
+    them also flate-compressed) must not change a single extracted span
+    vs the classic-xref corpus."""
+    from ocr_spark.sources.corpus import make_docs
+
+    classic = make_docs(80, seed=21, mega_every=40, compress_every=2)
+    modern = make_docs(80, seed=21, mega_every=40, compress_every=2,
+                       xref_every=1)
+    n_changed = sum(
+        1 for dp, dc in zip(classic, modern)
+        for sp, sc in zip(dp["spans"], dc["spans"]) if sp["text"] != sc["text"]
+    )
+    assert n_changed > 0, "fixture rewrote nothing in the 1.5 layout"
+
+    out = {}
+    for tag, docs in (("classic", classic), ("modern", modern)):
+        df = spark.createDataFrame(
+            [(d["doc_id"], [tuple(s.values()) for s in d["spans"]]) for d in docs],
+            SPAN_SCHEMA_DDL,
+        ).repartition(5)
+        rows = extract_stage(df).collect()
+        out[tag] = _canonical([r.asDict(recursive=True) for r in rows])
+    assert out["classic"] == out["modern"]
+
+
+def test_xref_stream_multipage_order_and_fallback():
+    """PDF 1.5 layout: (a) the structured parse orders pages by the page
+    tree; (b) with the xref deliberately corrupted, the positional
+    fallback must still extract the content streams WITHOUT tokenizing
+    the /ObjStm or /XRef container bodies as page content."""
+    import re
+
+    from ocr_spark.functions.pdfx import extract_pdf_blocks, write_pdf_pages
+
+    p1 = [{"kind": "text", "x": 72, "y": 300,
+           "lines": ["page one low block words here ok"]}]
+    p2 = [{"kind": "text", "x": 72, "y": 760,
+           "lines": ["page two top block content words"]}]
+    doc = write_pdf_pages([p1, p2], xref_stream=True)
+    texts = [b.text for b in extract_pdf_blocks(doc) if b.text]
+    assert texts == ["page one low block words here ok",
+                     "page two top block content words"], texts
+
+    broken = re.sub(rb"startxref\s+\d+", b"startxref\n999999999", doc)
+    fb = [b.text for b in extract_pdf_blocks(broken) if b.text]
+    assert fb == texts, f"fallback mangled content: {fb}"
+
+
+def test_xref_stream_with_png_predictor_decodes():
+    """Real producers PNG-predict xref streams (/DecodeParms /Predictor
+    12); the decoder must invert Up-filtered rows."""
+    import zlib
+
+    from ocr_spark.functions.pdfx import extract_pdf_blocks, write_pdf_pages
+
+    doc = write_pdf_pages(
+        [[{"kind": "text", "x": 72, "y": 300,
+           "lines": ["predictor page words content here ok"]}]],
+        xref_stream=True)
+    # rewrite the xref stream with Up-predicted rows
+    import re as _re
+    m = _re.search(
+        rb"(\d+) 0 obj\n<< /Type /XRef /Size (\d+) /W \[1 2 2\] /Root 1 0 R "
+        rb"/Length (\d+) /Filter /FlateDecode >>\nstream\n", doc)
+    assert m, "fixture: xref stream dict not found"
+    body_start = m.end()
+    body = doc[body_start:body_start + int(m.group(3))]
+    rows = zlib.decompress(body)
+    W = 5
+    out, prev = bytearray(), bytes(W)
+    for i in range(0, len(rows), W):
+        row = rows[i:i + W]
+        out += bytes([2]) + bytes((row[j] - prev[j]) & 0xFF for j in range(W))
+        prev = row
+    new_body = zlib.compress(bytes(out))
+    new_dict = (
+        f"<< /Type /XRef /Size {int(m.group(2))} /W [1 2 2] /Root 1 0 R "
+        f"/Length {len(new_body)} /Filter /FlateDecode "
+        f"/DecodeParms << /Predictor 12 /Columns 5 >> >>\nstream\n"
+    ).encode("latin-1")
+    prefix = doc[:m.start()] + m.group(1) + b" 0 obj\n"
+    suffix = doc[body_start + int(m.group(3)):]
+    new_doc = prefix + new_dict + new_body + suffix
+    # startxref offset unchanged: the xref obj is the last object and the
+    # bytes BEFORE it are untouched
+    texts = [b.text for b in extract_pdf_blocks(new_doc) if b.text]
+    assert texts == ["predictor page words content here ok"], texts

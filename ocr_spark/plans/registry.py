@@ -36,45 +36,79 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-# The driver's CORRECTNESS check walks queries() in registration order and
-# covered only the first 50 entries in round 1 (CORRECTNESS_r01.json), so
-# everything registered after `map_funcs` got no driver row despite being
-# oracle-green in tests/.  Registration order is therefore an explicit,
-# reviewed list: operators with no driver row yet come FIRST (so round 2
-# verifies them), then entries whose implementation changed this round,
-# then rows-only sketches, then the operators already driver-verified in
-# round 1 (their r01 rows stand; the in-repo oracle-parity suite re-checks
-# all of them every run regardless).
-_CHECK_PRIORITY = [
-    # -- no driver row yet (r01 cutoff) — oracle-backed --
-    "map_funcs", "pivot_wide", "events_tumbling_window",
-    "events_sliding_window", "events_sessionize", "agg_salted_twophase",
-    "join_bucketed", "filter_null_safe", "join_right_outer",
-    "grouped_map_zscore", "text_token_count", "text_lang_id",
-    "text_quality_score", "text_fingerprint", "dedup_exact",
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "vec_array_hof",
-    "ann_bruteforce_topk", "vec_cosine_neardup", "vec_centroids",
-    # -- new or reworked this round --
-    "udf_scalar_pandas", "agg_percentile", "agg_percentile_approx",
-    "extract_split_restitch", "ann_ivf_topk",
-    "sample_deterministic", "split_train_holdout", "sample_cap_per_source",
-    "vocab_topk", "pack_token_budget", "decontaminate_vs_holdout",
-    "text_pii_scrub", "text_repetition_score",
-    "sink_roundtrip_orc", "streaming_static_join",
-    "streaming_stream_stream_join", "window_range_frame",
-    # -- no driver row yet — rows-only by design --
-    "dedup_simhash", "ann_lsh_bucketed",
+# The driver's per-round CORRECTNESS check walks queries() in
+# registration order and covers only the FIRST ~50 entries
+# (CORRECTNESS_r01/r02.json each hold exactly 50 rows).  Registration
+# order is therefore derived from the RECORDED CHECK HISTORY, not a
+# hand-maintained list (round-2 ADVICE): operators whose implementation
+# changed this round come first (their prior rows are stale), then
+# never-checked operators, then everything else ordered by the round of
+# its newest row ascending — so no operator's newest row ever goes more
+# than (registry_size/50) rounds stale, and a future round that edits a
+# query only has to add its name to _CHANGED_THIS_ROUND (asserted in
+# tests/test_registry_window.py).
+DRIVER_WINDOW = 50
+
+#: names whose implementation (or shared helper) changed this round —
+#: reviewed each round; the window test fails if any falls outside the
+#: first DRIVER_WINDOW slots.
+_CHANGED_THIS_ROUND = [
+    # round 3: rows-only → oracle-checked conversions
+    "dedup_simhash", "ann_lsh_bucketed", "agg_percentile_approx",
+    "agg_approx_count_distinct", "multimodal_decode_stub",
+    "multimodal_frame_sample",
+    # round 3: IVF assignment rework (max_by) + new k-means fit entry
+    "ann_ivf_topk", "ann_ivf_kmeans",
+    # round 3: LSH bucket join narrowed (shared lsh_pairs helper)
+    # (ann_lsh_bucketed already listed)
+    # round 3: pdfx stream-cursor fix + xref/objstm (extraction payload)
+    "extract_pipeline",
 ]
-#: round-1 rows-only entries (already have their rows-only row) — last.
-_ROWS_ONLY_DONE = [
-    "extract_pipeline", "multimodal_decode_stub", "multimodal_frame_sample",
-    "agg_approx_count_distinct",
-]
+
+
+def _check_history() -> dict[str, int]:
+    """name → newest round with a driver CORRECTNESS row, parsed from
+    the repo-root CORRECTNESS_r*.json files the driver writes each
+    round.  Missing/unreadable files degrade to 'never checked'."""
+    import json
+    import re as _re
+    from pathlib import Path
+
+    newest: dict[str, int] = {}
+    root = Path(__file__).resolve().parents[2]
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = _re.search(r"_r(\d+)\.json$", p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(p.read_text())
+        except Exception:
+            continue
+        for name in data:
+            newest[name] = max(newest.get(name, 0), rnd)
+    return newest
+
+
+def check_order(names) -> list[str]:
+    """The driver-check ordering for ``names``: changed-this-round
+    first (stale rows), then never-checked, then oldest-rowed first;
+    registration index breaks ties deterministically."""
+    newest = _check_history()
+    changed = {n: i for i, n in enumerate(_CHANGED_THIS_ROUND)}
+    orig = {n: i for i, n in enumerate(names)}
+
+    def key(n):
+        if n in changed:
+            return (0, changed[n], 0)
+        return (1, newest.get(n, 0), orig[n])
+
+    return sorted(names, key=key)
 
 
 def load_all() -> None:
     """Import every query module (side effect: fills QUERIES/ORACLES),
-    then reorder into the explicit driver-check priority above."""
+    then reorder into the history-derived driver-check priority."""
     from ocr_spark.plans import (  # noqa: F401
         queries_data,
         queries_extract,
@@ -83,13 +117,7 @@ def load_all() -> None:
         queries_text,
         queries_vec,
     )
-    rank = {n: i for i, n in enumerate(_CHECK_PRIORITY)}
-    tail = {n: i for i, n in enumerate(_ROWS_ONLY_DONE)}
-    orig = {n: i for i, n in enumerate(QUERIES)}
-    names = sorted(QUERIES, key=lambda n: (
-        (0, rank[n]) if n in rank
-        else (2, tail[n]) if n in tail
-        else (1, orig[n])))
+    names = check_order(list(QUERIES))
     for d in (QUERIES, ORACLES):
         ordered = {n: d[n] for n in names if n in d}
         d.clear()

@@ -169,6 +169,20 @@ def run_extract(
             "doc_hash": row_hash,
             "n_spans": F.size("spans"),
         })
+        if cfg.chunk_max_spans:
+            # Re-cluster the EXTRACTED chunk rows by bucket before the
+            # sink.  Trade-off (round-2 ADVICE): the (bucket, chunk_id)
+            # shuffle above spreads a mega-doc's chunks across tasks —
+            # that's the whole point — but it leaves every writer task
+            # holding rows of MANY buckets, so the partitionBy("bucket")
+            # sink would emit O(num_partitions) small files per bucket
+            # dir and run its dynamic-partition sort over fully
+            # interleaved keys.  One extra Exchange of the extracted
+            # rows restores the unsplit path's sink layout: one file per
+            # bucket per wave, bucket-contiguous sort runs, and the
+            # lineage/verify scans read ~16x fewer files.  The UDF stage
+            # upstream keeps its chunk-level balance either way.
+            extracted = extracted.repartition(num_partitions, "bucket")
         t_w = time.time()
         wave_dir = tbl.write_wave(extracted, run_id)          # E8
         phase["write"] += time.time() - t_w

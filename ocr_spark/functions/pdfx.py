@@ -28,6 +28,11 @@ Supported PDF subset (documented per SURVEY.md §7 "hard parts"):
   - hex strings ``<4869>`` (whitespace ignored, odd length zero-padded)
   - UTF-16BE text strings (FE FF BOM), literal or hex — the standard
     real-producer encoding for non-ASCII text
+  - Type0/CID composite fonts (the subset-embedded-font form): 2-byte
+    Identity-H show strings decoded through the font's /ToUnicode CMap
+    (bfchar + both bfrange forms), font resolved per page via
+    /Resources /Font — structured-parse path only (the positional
+    fallback has no font table, so CID strings stay byte-literal there)
   - multi-page documents: one content stream per page, classified per
     stream so document order never interleaves pages
   - path ops ``x y w h re`` followed by ``f``/``S``/``B`` outside BT..ET
@@ -378,21 +383,47 @@ class _Doc:
         return self._objstm(ent[1]).get(num), None
 
     # -- page tree ----------------------------------------------------------
-    def page_contents(self) -> list[bytes]:
-        """Decoded content bytes per page, in page-tree order."""
+    def page_contents(self) -> list[tuple[bytes, dict]]:
+        """(decoded content bytes, font map) per page in page-tree order.
+        Font map: font resource name (str, e.g. 'F1') → ToUnicode CMap
+        dict for Type0/CID fonts that carry one; empty for simple
+        fonts."""
         if self.root is None:
             raise ValueError("no /Root")
         cat = self.obj(self.root)
         if not cat or cat[0] is None:
             raise ValueError("bad catalog")
         pages_ref = _dict_ref(cat[0], b"Pages")
-        out: list[bytes] = []
+        out: list[tuple[bytes, dict]] = []
         self._walk_pages(pages_ref, out, depth=0)
         if not out:
             raise ValueError("empty page tree")
         return out
 
-    def _walk_pages(self, num: int | None, out: list[bytes], depth: int):
+    def _page_fonts(self, d: bytes) -> dict:
+        """Type0 font name → {cid: unicode} from the page's /Resources
+        /Font dict (fonts without a /ToUnicode CMap are omitted — their
+        strings keep byte-literal semantics)."""
+        fonts: dict[str, dict[int, str]] = {}
+        rm = re.search(rb"/Font\s*<<(.*?)>>", d, re.DOTALL)
+        if not rm:
+            return fonts
+        for fm in re.finditer(rb"/(\w+)\s+(\d+)\s+\d+\s+R\b", rm.group(1)):
+            fobj = self.obj(int(fm.group(2)))
+            if not fobj or fobj[0] is None:
+                continue
+            if _dict_name(fobj[0], b"Subtype") != b"Type0":
+                continue
+            tu = _dict_ref(fobj[0], b"ToUnicode")
+            if tu is None:
+                continue
+            cm = self.obj(tu)
+            if cm and cm[1] is not None:
+                fonts[fm.group(1).decode("latin-1")] = parse_tounicode_cmap(
+                    _decode_stream_body(cm[0], cm[1]))
+        return fonts
+
+    def _walk_pages(self, num: int | None, out: list, depth: int):
         if num is None or depth > 32:
             return
         node = self.obj(num)
@@ -417,15 +448,54 @@ class _Doc:
                 if not c or c[1] is None:
                     raise ValueError(f"missing content stream {ref}")
                 parts.append(_decode_stream_body(c[0], c[1]))
-            out.append(b"\n".join(parts))
+            out.append((b"\n".join(parts), self._page_fonts(d)))
 
 
-def _structured_page_contents(data: bytes) -> list[str] | None:
-    """Xref-driven page-ordered decoded content strings, or None when the
-    document has no parseable structure (raw fragments, corrupt xref) —
-    callers then fall back to the positional stream scan."""
+def parse_tounicode_cmap(data: bytes) -> dict[int, str]:
+    """/ToUnicode CMap subset real producers emit: ``bfchar`` pairs and
+    ``bfrange`` runs (contiguous and array-destination forms), source
+    codes 1–2 bytes, destinations UTF-16BE hex strings."""
+    cmap: dict[int, str] = {}
+    txt = data.decode("latin-1", errors="replace")
+
+    def _u(hexstr: str) -> str:
+        raw = bytes.fromhex(hexstr)
+        try:
+            return raw.decode("utf-16-be")
+        except Exception:
+            return raw.decode("latin-1")
+
+    for block in re.findall(
+            r"beginbfchar(.*?)endbfchar", txt, re.DOTALL):
+        for src, dst in re.findall(r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>",
+                                   block):
+            cmap[int(src, 16)] = _u(dst)
+    for block in re.findall(
+            r"beginbfrange(.*?)endbfrange", txt, re.DOTALL):
+        for m in re.finditer(
+                r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+                r"(?:<([0-9A-Fa-f]+)>|\[((?:\s*<[0-9A-Fa-f]+>)+)\s*\])",
+                block):
+            lo, hi = int(m.group(1), 16), int(m.group(2), 16)
+            if m.group(3) is not None:  # contiguous run from a base dst
+                base = int(m.group(3), 16)
+                for c in range(lo, hi + 1):
+                    cmap[c] = chr(base + (c - lo))
+            else:  # explicit per-code destination array
+                dsts = re.findall(r"<([0-9A-Fa-f]+)>", m.group(4))
+                for c, dst in zip(range(lo, hi + 1), dsts):
+                    cmap[c] = _u(dst)
+    return cmap
+
+
+def _structured_page_contents(data: bytes) -> list[tuple[str, dict]] | None:
+    """Xref-driven page-ordered (decoded content string, font map) pairs,
+    or None when the document has no parseable structure (raw fragments,
+    corrupt xref) — callers then fall back to the positional stream
+    scan (which has no font map: Type0 decode needs the structure)."""
     try:
-        return [c.decode("latin-1") for c in _Doc(data).page_contents()]
+        return [(c.decode("latin-1"), fonts)
+                for c, fonts in _Doc(data).page_contents()]
     except Exception:
         return None
 
@@ -531,11 +601,11 @@ def tokenize_pdf(data: bytes, cfg: ExtractConfig = DEFAULT) -> tuple[list[TextRu
     whose structure fails to parse."""
     runs: list[TextRun] = []
     figures: list[tuple[int, float, float, float, float]] = []
-    contents = _structured_page_contents(data)
-    if contents is None:
-        contents = list(_stream_contents(data))
-    for page, content in enumerate(contents):
-        r, f = _parse_content(content, [], [], cfg)
+    pages = _structured_page_contents(data)
+    if pages is None:
+        pages = [(content, {}) for content in _stream_contents(data)]
+    for page, (content, fonts) in enumerate(pages):
+        r, f = _parse_content(content, [], [], cfg, fonts)
         for tr in r:
             tr.page = page
         runs.extend(r)
@@ -567,7 +637,21 @@ def _stream_contents(data: bytes):
             continue
 
 
-def _parse_content(content, runs, figures, cfg):
+def _cid_decode(raw: str, cmap: dict[int, str]) -> str:
+    """Type0/CID show-string: consecutive 2-byte codes through the
+    font's ToUnicode CMap (Identity-H byte order); unmapped codes keep
+    their code point (the Identity fallback)."""
+    b = raw.encode("latin-1")
+    out = []
+    for i in range(0, len(b) - 1, 2):
+        code = (b[i] << 8) | b[i + 1]
+        out.append(cmap.get(code, chr(code)))
+    if len(b) % 2:  # stray trailing byte: keep as-is
+        out.append(chr(b[-1]))
+    return "".join(out)
+
+
+def _parse_content(content, runs, figures, cfg, fonts=None):
     toks = _TOK_RE.findall(content)
     x = y = 0.0
     size = 12.0
@@ -575,6 +659,12 @@ def _parse_content(content, runs, figures, cfg):
     in_text = False
     stack: list = []  # operand stack (numbers / strings / arrays)
     arr: list | None = None
+    last_name = None
+    cur_cmap: dict[int, str] | None = None
+
+    def decode_str(raw: str) -> str:
+        return _cid_decode(raw, cur_cmap) if cur_cmap else _pdf_text(raw)
+
     for t in toks:
         if t == "[":
             arr = []
@@ -584,7 +674,7 @@ def _parse_content(content, runs, figures, cfg):
             arr = None
             continue
         if t.startswith("("):
-            s = _pdf_text(_unescape(t[1:-1]))
+            s = decode_str(_unescape(t[1:-1]))
             if arr is not None:
                 arr.append(s)
             else:
@@ -595,14 +685,15 @@ def _parse_content(content, runs, figures, cfg):
             hx = re.sub(r"\s", "", t[1:-1])
             if len(hx) % 2:
                 hx += "0"
-            s = _pdf_text(bytes.fromhex(hx).decode("latin-1"))
+            s = decode_str(bytes.fromhex(hx).decode("latin-1"))
             if arr is not None:
                 arr.append(s)
             else:
                 stack.append(s)
             continue
         if t.startswith("/"):
-            continue  # names (font ids) — ignored
+            last_name = t[1:]  # remembered for Tf (font selection)
+            continue
         if t[0] in "-+.0123456789":  # _TOK_RE guarantees a valid number here
             v = float(t)
             if arr is not None:
@@ -617,6 +708,7 @@ def _parse_content(content, runs, figures, cfg):
             in_text = False
         elif t == "Tf" and len(stack) >= 1:
             size = float(stack[-1])
+            cur_cmap = (fonts or {}).get(last_name)
         elif t == "TL" and stack:
             leading = float(stack[-1])
         elif t in ("Td", "TD") and len(stack) >= 2:
@@ -735,7 +827,38 @@ def _esc(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def _page_content(blocks: list[dict]) -> str:
+def _char_table(pages: list[list[dict]]) -> dict[str, int]:
+    """Distinct characters across every text line → CID, 1-based in
+    first-appearance order (the synthetic Type0 font's code space)."""
+    table: dict[str, int] = {}
+    for blocks in pages:
+        for b in blocks:
+            for line in b.get("lines", []):
+                for ch in line:
+                    if ch not in table:
+                        table[ch] = len(table) + 1
+    return table
+
+
+def _cmap_text(table: dict[str, int]) -> str:
+    """ToUnicode CMap for the synthetic font: bfchar blocks (≤100
+    entries each, per the CMap spec), UTF-16BE destinations."""
+    items = sorted(table.items(), key=lambda kv: kv[1])
+    blocks = []
+    for i in range(0, len(items), 100):
+        chunk = items[i:i + 100]
+        entries = "\n".join(
+            f"<{cid:04X}> <{ch.encode('utf-16-be').hex().upper()}>"
+            for ch, cid in chunk)
+        blocks.append(f"{len(chunk)} beginbfchar\n{entries}\nendbfchar")
+    return ("/CIDInit /ProcSet findresource begin\nbegincmap\n"
+            + "\n".join(blocks) + "\nendcmap\nend end\n")
+
+
+def _page_content(blocks: list[dict], cmap: dict[str, int] | None = None) -> str:
+    """``cmap`` set → Type0 form: every show string is a hex string of
+    2-byte CIDs (Identity-H), decodable only through the font's
+    ToUnicode CMap."""
     parts = ["BT /F1 12 Tf 14 TL\n"]
     figs = []
     for b in blocks:
@@ -747,7 +870,11 @@ def _page_content(blocks: list[dict]) -> str:
         for i, line in enumerate(b["lines"]):
             if i > 0:
                 parts.append("T* ")
-            parts.append(f"({_esc(line)}) Tj\n")
+            if cmap is not None:
+                hx = "".join(f"{cmap[ch]:04X}" for ch in line)
+                parts.append(f"<{hx}> Tj\n")
+            else:
+                parts.append(f"({_esc(line)}) Tj\n")
     parts.append("ET\n")
     for b in figs:
         parts.append(f"{b['x']:g} {b['y']:g} {b.get('w', 100):g} {b.get('h', 80):g} re f\n")
@@ -765,7 +892,7 @@ def _stream_obj(content: str, compress: bool) -> str:
 
 
 def write_pdf(blocks: list[dict], compress: bool = False,
-              xref_stream: bool = False) -> bytes:
+              xref_stream: bool = False, type0: bool = False) -> bytes:
     """Serialize blocks → a minimal well-formed single-page PDF.
 
     Each block dict: {"kind": "text"|"table"|"header"|"footer"|"figure",
@@ -773,21 +900,28 @@ def write_pdf(blocks: list[dict], compress: bool = False,
     ``compress=True`` flate-encodes the content stream (the real-world
     default for PDF producers); ``xref_stream=True`` emits the PDF 1.5+
     layout (cross-reference stream + catalog/page objects packed into a
-    compressed object stream — the modern-producer default); the
-    extractor handles all combinations.
+    compressed object stream — the modern-producer default);
+    ``type0=True`` shows all text through a synthetic Type0/Identity-H
+    font whose CIDs resolve only via its /ToUnicode CMap (how real
+    producers embed subset fonts).  The extractor handles all
+    combinations (Type0 requires the structured xref-driven parse).
     """
     return write_pdf_pages([blocks], compress=compress,
-                           xref_stream=xref_stream)
+                           xref_stream=xref_stream, type0=type0)
 
 
 def write_pdf_pages(pages: list[list[dict]], compress: bool = False,
-                    xref_stream: bool = False) -> bytes:
+                    xref_stream: bool = False, type0: bool = False) -> bytes:
     """Multi-page variant: one content stream per page, each page its
     own coordinate space (the standard producer layout the per-stream
     extractor ordering relies on)."""
     if xref_stream:
-        return _write_pdf_xref_stream(pages, compress)
+        return _write_pdf_xref_stream(pages, compress, type0)
     n = len(pages)
+    cmap = _char_table(pages) if type0 else None
+    font_num, tounicode_num = 3 + 2 * n, 4 + 2 * n
+    res = (f" /Resources << /Font << /F1 {font_num} 0 R >> >>"
+           if type0 else "")
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n))
     objs = [
         "<< /Type /Catalog /Pages 2 0 R >>",
@@ -796,9 +930,14 @@ def write_pdf_pages(pages: list[list[dict]], compress: bool = False,
     for i, blocks in enumerate(pages):
         objs.append(
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            f"/Contents {4 + 2 * i} 0 R >>"
+            f"/Contents {4 + 2 * i} 0 R{res} >>"
         )
-        objs.append(_stream_obj(_page_content(blocks), compress))
+        objs.append(_stream_obj(_page_content(blocks, cmap), compress))
+    if type0:
+        objs.append(
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /Synth "
+            f"/Encoding /Identity-H /ToUnicode {tounicode_num} 0 R >>")
+        objs.append(_stream_obj(_cmap_text(cmap), compress))
     out = ["%PDF-1.4\n"]
     offsets = []
     pos = len(out[0])
@@ -816,17 +955,24 @@ def write_pdf_pages(pages: list[list[dict]], compress: bool = False,
     return "".join(out).encode("latin-1")
 
 
-def _write_pdf_xref_stream(pages: list[list[dict]], compress: bool) -> bytes:
+def _write_pdf_xref_stream(pages: list[list[dict]], compress: bool,
+                           type0: bool = False) -> bytes:
     """PDF 1.5+ layout: catalog/pages/page objects live in ONE
     FlateDecode /ObjStm (type-2 xref entries); content streams stay
     top-level (streams cannot nest in an object stream); the
     cross-reference is a /Type /XRef stream with /W [1 2 2] and the
     trailer fields in its own dict.  Object numbering matches the
     classic writer (1=catalog, 2=pages, 3+2i=page, 4+2i=content) so the
-    two layouts of one document differ only structurally."""
+    two layouts of one document differ only structurally.  With
+    ``type0`` the synthetic font dict joins the ObjStm and its
+    ToUnicode CMap is a top-level stream."""
     import zlib
 
     n = len(pages)
+    cmap = _char_table(pages) if type0 else None
+    font_num, tounicode_num = 2 * n + 3, 2 * n + 4
+    res = (f" /Resources << /Font << /F1 {font_num} 0 R >> >>"
+           if type0 else "")
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n))
     packed = [
         (1, "<< /Type /Catalog /Pages 2 0 R >>"),
@@ -834,9 +980,14 @@ def _write_pdf_xref_stream(pages: list[list[dict]], compress: bool) -> bytes:
     ] + [
         (3 + 2 * i,
          f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-         f"/Contents {4 + 2 * i} 0 R >>")
+         f"/Contents {4 + 2 * i} 0 R{res} >>")
         for i in range(n)
     ]
+    if type0:
+        packed.append((
+            font_num,
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /Synth "
+            f"/Encoding /Identity-H /ToUnicode {tounicode_num} 0 R >>"))
     bodies = [o.encode("latin-1") for _, o in packed]
     offs, pos = [], 0
     for b in bodies:
@@ -846,8 +997,8 @@ def _write_pdf_xref_stream(pages: list[list[dict]], compress: bool) -> bytes:
                       for (num, _), off in zip(packed, offs)) + "\n"
     objstm_payload = header.encode("latin-1") + b"\n".join(bodies) + b"\n"
     objstm_body = zlib.compress(objstm_payload)
-    objstm_num = 2 * n + 3
-    xref_num = 2 * n + 4
+    objstm_num = 2 * n + 3 + (2 if type0 else 0)
+    xref_num = objstm_num + 1
 
     out = [b"%PDF-1.5\n"]
     pos = len(out[0])
@@ -861,7 +1012,9 @@ def _write_pdf_xref_stream(pages: list[list[dict]], compress: bool) -> bytes:
         pos += len(s)
 
     for i, blocks in enumerate(pages):
-        emit(4 + 2 * i, _stream_obj(_page_content(blocks), compress))
+        emit(4 + 2 * i, _stream_obj(_page_content(blocks, cmap), compress))
+    if type0:
+        emit(tounicode_num, _stream_obj(_cmap_text(cmap), compress))
     emit(objstm_num,
          f"<< /Type /ObjStm /N {len(packed)} "
          f"/First {len(header)} /Length {len(objstm_body)} "

@@ -77,7 +77,8 @@ def _html_payload(rng: random.Random, doc_id: str, heft: int = 1) -> str:
 
 
 def _pdf_payload(rng: random.Random, heft: int = 1,
-                 compress: bool = False, xref_stream: bool = False) -> str:
+                 compress: bool = False, xref_stream: bool = False,
+                 type0: bool = False) -> str:
     blocks = [
         {"kind": "header", "x": 72, "y": 760, "lines": [f"Page header {_words(rng, 2)}"]},
     ]
@@ -101,13 +102,13 @@ def _pdf_payload(rng: random.Random, heft: int = 1,
     if rng.random() < 0.3:
         blocks.append({"kind": "figure", "x": 100, "y": max(y - 90, 60), "w": 120, "h": 80})
     blocks.append({"kind": "footer", "x": 72, "y": 30, "lines": ["p. 1"]})
-    return write_pdf(blocks, compress=compress,
-                     xref_stream=xref_stream).decode("latin-1")
+    return write_pdf(blocks, compress=compress, xref_stream=xref_stream,
+                     type0=type0).decode("latin-1")
 
 
 def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
              heft: int = 1, compress_every: int = 0,
-             xref_every: int = 0) -> dict:
+             xref_every: int = 0, type0_every: int = 0) -> dict:
     """Pure function (seed, i) → one interleaved document row.
 
     ``heft`` multiplies per-payload content volume (paragraphs / PDF text
@@ -122,7 +123,11 @@ def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
     (tests/test_extract_semantics.py asserts it corpus-wide).
     ``xref_every=N`` likewise writes every Nth PDF span in the PDF 1.5+
     layout (cross-reference stream + object stream — the modern-producer
-    default); 0 = never (corpus bit-identical to the pinned goldens)."""
+    default) and ``type0_every=N`` shows every Nth PDF span's text
+    through a synthetic Type0/Identity-H font + ToUnicode CMap (subset
+    embedded fonts — requires the structured parse, so type0 spans are
+    always also written xref_stream); 0 = never (corpus bit-identical
+    to the pinned goldens)."""
     doc_id = f"doc{i:08d}"
     rng = _rng(seed, "doc", i)
     n = 1 + min(int(rng.lognormvariate(0.8, 0.7)), 40)
@@ -142,9 +147,10 @@ def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
         elif r < 0.85:
             comp = bool(compress_every) and (i + j) % compress_every == 0
             xrs = bool(xref_every) and (i + j) % xref_every == 0
+            t0f = bool(type0_every) and (i + j) % type0_every == 0
             sp = {"kind": "pdf_bytes",
                   "text": _pdf_payload(srng, heft, compress=comp,
-                                       xref_stream=xrs),
+                                       xref_stream=xrs or t0f, type0=t0f),
                   "media_ref": None, "offset": offset}
         else:
             sp = {"kind": "media", "text": None,
@@ -155,9 +161,10 @@ def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
 
 def make_docs(n_docs: int, seed: int = 42, mega_every: int = 1000,
               heft: int = 1, compress_every: int = 0,
-              xref_every: int = 0) -> list[dict]:
+              xref_every: int = 0, type0_every: int = 0) -> list[dict]:
     """Driver-side generation for small test fixtures (pure Python)."""
-    return [make_doc(i, seed, mega_every, heft, compress_every, xref_every)
+    return [make_doc(i, seed, mega_every, heft, compress_every, xref_every,
+                     type0_every)
             for i in range(n_docs)]
 
 

@@ -582,3 +582,96 @@ def test_xref_stream_with_png_predictor_decodes():
     # bytes BEFORE it are untouched
     texts = [b.text for b in extract_pdf_blocks(new_doc) if b.text]
     assert texts == ["predictor page words content here ok"], texts
+
+
+def test_type0_cid_font_decodes_via_tounicode():
+    """Type0/Identity-H show strings (2-byte CIDs) must decode through
+    the font's /ToUnicode CMap — including non-latin-1 text, which the
+    plain literal-string writer can't even represent — identically
+    across classic/xref-stream layout and compression."""
+    from ocr_spark.functions.pdfx import extract_pdf_blocks, write_pdf_pages
+
+    p1 = [
+        {"kind": "text", "x": 72, "y": 300,
+         "lines": ["page one low block words here ok",
+                   "ünïcode héllo wörld çontent"]},
+    ]
+    p2 = [{"kind": "text", "x": 72, "y": 700,
+           "lines": ["page two words", "second line content here"]}]
+    base = None
+    for xrs in (False, True):
+        for compress in (False, True):
+            doc = write_pdf_pages([p1, p2], compress=compress,
+                                  xref_stream=xrs, type0=True)
+            got = [(b.kind, b.text, b.page) for b in extract_pdf_blocks(doc)]
+            if base is None:
+                base = got
+            assert got == base, (xrs, compress, got)
+    texts = "\n".join(t for _, t, _ in base)
+    assert "ünïcode héllo wörld çontent" in texts, base
+
+
+def test_type0_equals_plain_for_ascii():
+    """For latin-1-representable text the Type0 rendering is a pure
+    encoding change: extraction must equal the literal-string twin."""
+    from ocr_spark.functions.pdfx import extract_pdf_blocks, write_pdf_pages
+
+    pages = [[
+        {"kind": "header", "x": 72, "y": 760, "lines": ["hdr alpha"]},
+        {"kind": "text", "x": 72, "y": 300,
+         "lines": ["plain ascii words here ok", "and a second line too"]},
+    ]]
+    plain = [(b.kind, b.text, b.page)
+             for b in extract_pdf_blocks(write_pdf_pages(pages))]
+    t0 = [(b.kind, b.text, b.page)
+          for b in extract_pdf_blocks(write_pdf_pages(pages, type0=True))]
+    assert plain == t0, (plain, t0)
+
+
+def test_tounicode_cmap_parser_forms():
+    """bfchar pairs, contiguous bfrange, and array-destination bfrange —
+    the three forms real producers emit."""
+    from ocr_spark.functions.pdfx import parse_tounicode_cmap
+
+    cmap = parse_tounicode_cmap(b"""
+    /CIDInit /ProcSet findresource begin
+    begincmap
+    2 beginbfchar
+    <0001> <0041>
+    <0002> <00E9>
+    endbfchar
+    1 beginbfrange
+    <0010> <0012> <0061>
+    endbfrange
+    1 beginbfrange
+    <0020> <0021> [<0058> <005A>]
+    endbfrange
+    endcmap end end
+    """)
+    assert cmap[1] == "A" and cmap[2] == "é"
+    assert (cmap[0x10], cmap[0x11], cmap[0x12]) == ("a", "b", "c")
+    assert (cmap[0x20], cmap[0x21]) == ("X", "Z")
+
+
+def test_type0_corpus_extracts_identically(spark):
+    """Corpus-wide A/B: rendering every PDF span through the synthetic
+    Type0 font (ASCII corpus, so the plain twin exists) must not change
+    a single extracted span."""
+    from ocr_spark.sources.corpus import make_docs
+
+    plain = make_docs(60, seed=23, mega_every=30)
+    t0 = make_docs(60, seed=23, mega_every=30, type0_every=1)
+    n_changed = sum(
+        1 for dp, dc in zip(plain, t0)
+        for sp, sc in zip(dp["spans"], dc["spans"]) if sp["text"] != sc["text"]
+    )
+    assert n_changed > 0, "fixture rendered nothing through Type0"
+    out = {}
+    for tag, docs in (("plain", plain), ("t0", t0)):
+        df = spark.createDataFrame(
+            [(d["doc_id"], [tuple(s.values()) for s in d["spans"]]) for d in docs],
+            SPAN_SCHEMA_DDL,
+        ).repartition(5)
+        rows = extract_stage(df).collect()
+        out[tag] = _canonical([r.asDict(recursive=True) for r in rows])
+    assert out["plain"] == out["t0"]

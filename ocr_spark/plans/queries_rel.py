@@ -996,6 +996,53 @@ def agg_salted_twophase(spark, sf):
     )
 
 
+_JOIN_SALT = 8
+
+
+@q(
+    "join_salted_skew",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_salted_skew(spark, sf):
+    """Salted SKEW JOIN (E2 family applied to joins): when one join key
+    is hot, a plain hash join lands every one of its probe rows on the
+    same reducer, and (unlike aggregation) there is NO partial-combine
+    to save it.  The classic fix, expressed declaratively: salt the
+    probe (fact) side with hash(row)%%R, REPLICATE each build (dim) row
+    R times via a small posexplode, and join on (key, salt) — the hot
+    key's rows now spread over R reducers.  AQE's skew-join split covers
+    sort-merge joins at runtime; the explicit rewrite is the portable
+    form that also protects stream-static and bucket-map joins.  The
+    oracle proves the replicate+salt rewrite emits exactly the plain
+    join's rows."""
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    # per-row salt (join output is salt-invariant; deterministic hash
+    # keeps runs reproducible — production would use rand())
+    fact = li.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64("l_orderkey", "l_quantity"),
+               F.lit(_JOIN_SALT)).cast("int"),
+    )
+    dim = o.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(_JOIN_SALT - 1)))
+    )
+    joined = fact.join(
+        dim,
+        (fact.l_orderkey == dim.o_orderkey) & (fact._salt == dim._salt),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+    )
+
+
 @q(
     "join_bucketed",
     oracle="""

@@ -238,6 +238,38 @@ def dedup_exact(spark, sf):
     )
 
 
+@q(
+    "dedup_apply_keep_best",
+    oracle=f"""
+    WITH {_DUP_CTE}
+    SELECT doc_id, source, CAST(length(text) AS INT) AS n_chars
+    FROM dup
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY md5(text)
+      ORDER BY length(text) DESC, doc_id) = 1
+    """,
+)
+def dedup_apply_keep_best(spark, sf):
+    """The APPLY step of exact dedup (dedup_exact is the report): emit
+    the SURVIVING corpus — one row per distinct content, keeping the
+    best copy by a quality key (content length desc, doc_id asc
+    tie-break).  Shape: single hash agg with ``max_by(struct(row),
+    struct(quality, -doc_id))`` — map-side partial aggregation, no
+    window, no self-join; at 100 TB this replaces the common
+    row_number()-over-content-hash formulation, which shuffles and
+    sorts every copy of every document."""
+    d = _dup_docs(spark, sf)
+    best = F.max_by(
+        F.struct("doc_id", "source", F.length("text").alias("n_chars")),
+        F.struct(F.length("text").alias("q"), (-F.col("doc_id")).alias("nd")),
+    )
+    return (
+        d.groupBy(F.md5("text").alias("_h"))
+        .agg(best.alias("b"))
+        .select("b.doc_id", "b.source", "b.n_chars")
+    )
+
+
 # Candidate-generation document-frequency cap: grams occurring in more
 # than this many documents are excluded from the inverted-index self-join
 # (a ubiquitous gram otherwise makes the join quadratic on that one key).

@@ -64,10 +64,29 @@ def _force(df) -> int:
     return 0
 
 
+def calibration_sec(iters: int = 1_500_000) -> float:
+    """Drift canary: a fixed single-threaded CPU-bound workload, timed.
+    The sandbox host's throughput swings 2-4x between minutes-long
+    windows (BENCH/BASELINE.md methodology), which made raw wall-clock
+    comparisons across rounds noise.  The canary's time scales with the
+    same contention, so cross-round query comparisons should be read as
+    (query_sec / calibration_sec) ratios; the raw canary value is
+    recorded alongside every benchmark JSON."""
+    import hashlib
+
+    t0 = time.time()
+    h = b"ocr_spark_calibration"
+    for _ in range(iters):
+        h = hashlib.sha256(h).digest()
+    return round(time.time() - t0, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    calib_start = calibration_sec()
 
     from pyspark.sql import SparkSession
 
@@ -132,6 +151,7 @@ def main() -> None:
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(out2, ignore_errors=True)
 
+    calib_end = calibration_sec()
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
@@ -141,6 +161,11 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         "repeats": repeats,
+        # drift canary (fixed single-thread CPU workload) sampled at both
+        # ends of the run: compare rounds via value/calibration ratios
+        "calibration_sec": round((calib_start + calib_end) / 2, 4),
+        "calibration_sec_start": calib_start,
+        "calibration_sec_end": calib_end,
         "extract_docs_per_sec": metrics.get("docs_per_sec"),
         "extract_spans_per_sec": metrics.get("spans_per_sec"),
         "extract_steady_docs_per_sec": steady.get("docs_per_sec"),

@@ -32,6 +32,45 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)  # runnable as `python bench/run_scaling.py`
 
 
+
+_PRIOR_ROUNDS = """
+## Prior-round results (kept for round-over-round comparison)
+
+Round 2 (2026-08-17, adjacent non-interleaved pairs): best (1,4) pairs
+0.833 / 0.814 PASS at 300 k docs; all (1,4) pair efficiencies 0.796,
+0.814, 1.003*, 0.746, 0.594*, 0.833, 0.700, 0.718 (* = leg in a
+hypervisor-throttled window), unthrottled mean ≈ 0.78; (2,8)
+max-per-level 0.768.  Phase scaling of the best (1,4) pair: write
+75.1 s → 24.0 s (3.13×), lineage 4.3 s → 1.9 s (2.3×), commit ≈ 0 — no
+serial phase.  Round 1: (1,4) adjacent pair 0.834 PASS at 400 k docs;
+(2,8) max-per-level 0.801 PASS at 800 k docs; unthrottled (2,8) mean
+≈ 0.86.  Peak single-run throughput: r1 local[32] 23,547 docs/s /
+149,644 spans/s (800 k docs); r2 local[32] 24,534 docs/s / 155,675
+spans/s (400 k docs).
+
+## Measurement methodology & host-contention analysis
+
+**Why small-N level pairs (not 8 vs 32).** The driver instruction
+permits "N and 4N cores". On this single-box VM, per-task CPU cost
+INFLATES as concurrency rises for this memory-heavy workload: the
+identical write phase costs ~426 core-seconds at local[8] but ~932
+core-seconds at local[32] (2.2× more CPU per document for the same
+work) — the signature of memory-bus/LLC saturation, which a real
+4N-executor cluster does not have (bandwidth scales with node count).
+A pure multiprocessing integer-burn loop scales 28× on 32 procs on the
+same host, so the ceiling is workload-class-specific, not a scheduler
+limit. The (1,4) pairs stay below that ceiling and therefore measure
+the JOB's parallel fraction — one shuffle, one fused Python stage, no
+driver-side loops — rather than the box's memory bus.
+
+**Variance discipline.** The VM's deliverable throughput drifts 2–4× in
+minutes-long windows (hypervisor contention; identical back-to-back
+runs have produced 15 s and 56 s).  All I/O stays on tmpfs so
+virtio-disk burst latency is excluded.  Round 3 adds the interleaved
+bracketing + per-leg canary above; every measured pair is reported.
+"""
+
+
 def _gen_corpus(n_docs: int, path: str, heft: int = 1) -> None:
     from ocr_spark.session import get_spark
     from ocr_spark.sources.corpus import generate_interleaved
@@ -93,58 +132,100 @@ def main() -> None:
                    check=True, capture_output=True)
     zip_path = os.path.join(REPO, "ocr_spark.zip")
 
-    # The sandbox VM's throughput drifts in minutes-long windows (hypervisor
-    # contention), so levels are run in adjacent PAIRS and the efficiency is
-    # taken from the best pair — never from two runs in different windows.
+    # The sandbox VM's throughput drifts in minutes-long windows
+    # (hypervisor contention).  Round-2 verdict #1: run INTERLEAVED legs
+    # (N, 4N, N, 4N, ..., N) so every 4N leg is BRACKETED by two N legs
+    # inside the same drift window, and report the MEDIAN of bracketed
+    # pair efficiencies as the primary number (best pair + max-per-level
+    # stay as secondary estimators).  A fixed CPU-bound canary is timed
+    # before each leg so throttled windows are visible in the log.
+    from bench import calibration_sec  # repo-root bench.py canary
+
     lo, hi = args.levels
     assert hi == 4 * lo, "levels must be N and 4N"
-    pairs: list[tuple[dict, dict]] = []
-    for r in range(args.repeats):
-        ms = {}
-        for cores in (lo, hi):
-            out = os.path.join(args.workdir, f"out_{cores}_{r}")
-            shutil.rmtree(out, ignore_errors=True)
-            ms[cores] = _run_level(cores, corpus, out, zip_path)
-        pairs.append((ms[lo], ms[hi]))
-        eff_r = ms[hi]["docs_per_sec"] / (4 * ms[lo]["docs_per_sec"])
-        sys.stderr.write(
-            f"pair {r}: local{lo}={ms[lo]['docs_per_sec']} local{hi}="
-            f"{ms[hi]['docs_per_sec']} docs/s eff={eff_r:.3f}\n"
-        )
+    legs: list[int] = []
+    for _ in range(args.repeats):
+        legs += [lo, hi]
+    legs.append(lo)  # trailing N leg closes the last bracket
 
-    # Symmetric least-throttled estimator: take each level's BEST run of
-    # the session (the run least depressed by the VM's throughput
-    # windows) and compute efficiency from those.  Cherry-picking a
-    # throttled N run would inflate the ratio (super-linear nonsense);
-    # cherry-picking a throttled 4N run would deflate it — max-per-level
-    # biases neither side.  Per-pair efficiencies are also reported.
-    best_lo = max((pr[0] for pr in pairs), key=lambda m: m["docs_per_sec"])
-    best_hi = max((pr[1] for pr in pairs), key=lambda m: m["docs_per_sec"])
-    results = {lo: best_lo, hi: best_hi}
-    eff_docs = results[hi]["docs_per_sec"] / (4 * results[lo]["docs_per_sec"])
-    eff_spans = results[hi]["spans_per_sec"] / (4 * results[lo]["spans_per_sec"])
-    all_effs = [
-        round(p32["docs_per_sec"] / (4 * p8["docs_per_sec"]), 3)
-        for p8, p32 in pairs
-    ]
+    runs: list[dict] = []
+    for idx, cores in enumerate(legs):
+        canary = calibration_sec()
+        out = os.path.join(args.workdir, f"out_{cores}_{idx}")
+        shutil.rmtree(out, ignore_errors=True)
+        m = _run_level(cores, corpus, out, zip_path)
+        runs.append({"idx": idx, "cores": cores, "canary_sec": canary, **m})
+        sys.stderr.write(
+            f"leg {idx}: local[{cores}] {m['docs_per_sec']} docs/s "
+            f"(canary {canary:.3f}s)\n")
+
+    # bracketed efficiency per 4N leg: thr(4N) / (4 * mean of the two
+    # surrounding N legs) — drift that moves both N legs the same way
+    # cancels; drift INSIDE the bracket shows up as lo-leg disagreement
+    bracketed = []
+    for p_ in range(1, len(runs), 2):
+        hi_run = runs[p_]
+        lo_a, lo_b = runs[p_ - 1], runs[p_ + 1]
+        lo_mean = (lo_a["docs_per_sec"] + lo_b["docs_per_sec"]) / 2
+        bracketed.append({
+            "hi_leg": p_,
+            "eff": round(hi_run["docs_per_sec"] / (4 * lo_mean), 3),
+            "eff_vs_before": round(
+                hi_run["docs_per_sec"] / (4 * lo_a["docs_per_sec"]), 3),
+            "eff_vs_after": round(
+                hi_run["docs_per_sec"] / (4 * lo_b["docs_per_sec"]), 3),
+            "lo_spread": round(
+                abs(lo_a["docs_per_sec"] - lo_b["docs_per_sec"]) / lo_mean, 3),
+        })
+    effs = sorted(b["eff"] for b in bracketed)
+    median_eff = effs[len(effs) // 2] if len(effs) % 2 else round(
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3)
+    best_eff = max(effs)
+
+    # secondary: symmetric least-throttled estimator (best run per level)
+    best_lo = max((r for r in runs if r["cores"] == lo),
+                  key=lambda m: m["docs_per_sec"])
+    best_hi = max((r for r in runs if r["cores"] == hi),
+                  key=lambda m: m["docs_per_sec"])
+    eff_maxlevel = round(best_hi["docs_per_sec"] / (4 * best_lo["docs_per_sec"]), 3)
+    eff_spans = round(best_hi["spans_per_sec"] / (4 * best_lo["spans_per_sec"]), 3)
+
     summary = {
         "metric": "scaling_efficiency_docs_per_sec",
-        "value": round(eff_docs, 3),
+        "value": median_eff,
         "unit": "ratio",
-        "pass_0.8": eff_docs >= 0.8,
+        "estimator": "median of bracketed (N,4N,N) pair efficiencies",
+        "pass_0.8": median_eff >= 0.8,
+        "best_pair_eff": best_eff,
+        "max_per_level_eff": eff_maxlevel,
+        "eff_spans_max_per_level": eff_spans,
         "docs": args.docs,
         "levels": [lo, hi],
-        f"local{lo}": results[lo],
-        f"local{hi}": results[hi],
-        "eff_spans": round(eff_spans, 3),
-        "pair_efficiencies": all_effs,
+        "bracketed_pairs": bracketed,
+        "legs": [
+            {k: r[k] for k in
+             ("idx", "cores", "docs_per_sec", "spans_per_sec",
+              "elapsed_sec", "canary_sec")}
+            for r in runs
+        ],
+        f"local{lo}_best": best_lo,
+        f"local{hi}_best": best_hi,
     }
     print(json.dumps(summary))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    leg_rows = "\n".join(
+        f"| {r['idx']} | local[{r['cores']}] | {r['docs_per_sec']} | "
+        f"{r['spans_per_sec']} | {r['elapsed_sec']} | {r['canary_sec']:.3f} |"
+        for r in runs)
+    pair_rows = "\n".join(
+        f"| {b['hi_leg']} | {b['eff']} | {b['eff_vs_before']} | "
+        f"{b['eff_vs_after']} | {b['lo_spread']} |"
+        for b in bracketed)
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
-    with open(md, "w") as f:
-        f.write(f"""# BENCH/BASELINE — scaling efficiency evidence
+    body = f"""# BENCH/BASELINE — scaling efficiency evidence
 
 North-rule scaling criterion (BASELINE.json:2/:14): throughput(4N) /
 (4·throughput(N)) ≥ **0.8** across two cluster sizes. In-sandbox proxy
@@ -152,24 +233,49 @@ North-rule scaling criterion (BASELINE.json:2/:14): throughput(4N) /
 vs `local[{hi}]` (4N) on the 32-core host, each in a fresh JVM via
 `spark-submit --py-files ocr_spark.zip` (the production packaging).
 
-- Input: {args.docs} fixed-seed synthetic interleaved docs (heft={args.heft})
-  ({results[lo]["spans"]} spans), pre-written to parquet and shared by
-  both runs. Skewed span counts incl. mega-docs (exercises E2 salting).
+- Input: {args.docs} fixed-seed synthetic interleaved docs (heft={args.heft}),
+  pre-written to parquet and shared by all legs. Skewed span counts
+  incl. mega-docs (exercises E2 salting).
 - Job: full E1→E9 pipeline — scan → salted repartition → fused Arrow
   extract stage → partitioned parquet write + atomic lineage commit.
 - Timing: the job's internal E11 metrics (excludes JVM startup).
-- {args.repeats} adjacent (N, 4N) pairs; best pair reported; all pair\n  efficiencies: {all_effs}. Date: {time.strftime("%Y-%m-%d")}.
+- Methodology (round-3): INTERLEAVED legs N, 4N, N, 4N, …, N — every 4N
+  leg is bracketed by two N legs in the same drift window; efficiency
+  per 4N leg = thr(4N) / (4 · mean of its two N brackets).  PRIMARY
+  number = median of bracketed efficiencies.  `canary_sec` is a fixed
+  single-thread CPU workload timed before each leg — a jump marks a
+  throttled hypervisor window.  `lo_spread` = relative disagreement of
+  the two N brackets (large ⇒ drift crossed the bracket).
+  Date: {time.strftime("%Y-%m-%d")}.
 
-| parallelism | docs/sec | spans/sec | elapsed (s) |
-| --- | --- | --- | --- |
-| local[{lo}]  (N)  | {results[lo]["docs_per_sec"]} | {results[lo]["spans_per_sec"]} | {results[lo]["elapsed_sec"]} |
-| local[{hi}] (4N) | {results[hi]["docs_per_sec"]} | {results[hi]["spans_per_sec"]} | {results[hi]["elapsed_sec"]} |
+## Leg log
 
-**Scaling efficiency (docs/sec): `{eff_docs:.3f}`** — {"PASS" if eff_docs >= 0.8 else "FAIL"} vs the 0.8 gate.
-Scaling efficiency (spans/sec): `{eff_spans:.3f}`.
+| leg | level | docs/sec | spans/sec | elapsed (s) | canary (s) |
+| --- | --- | --- | --- | --- | --- |
+{leg_rows}
 
-Reproduce: `python bench/run_scaling.py --docs {args.docs} --heft {args.heft} --levels {lo} {hi}`.
-""")
+## Bracketed pair efficiencies
+
+| 4N leg | eff (bracketed) | vs N-before | vs N-after | lo spread |
+| --- | --- | --- | --- | --- |
+{pair_rows}
+
+**Scaling efficiency (docs/sec), median of bracketed pairs:
+`{median_eff:.3f}`** — {"PASS" if median_eff >= 0.8 else "FAIL"} vs the 0.8 gate.
+Best bracketed pair: `{best_eff:.3f}`.  Max-per-level estimator:
+`{eff_maxlevel:.3f}` (docs/sec), `{eff_spans:.3f}` (spans/sec).
+
+Reproduce: `python bench/run_scaling.py --docs {args.docs} --heft {args.heft} --levels {lo} {hi} --repeats {args.repeats}`.
+"""
+    body = body.rstrip() + "\n" + _PRIOR_ROUNDS
+    straggler_json = os.path.join(REPO, "BENCH", "straggler.json")
+    if os.path.exists(straggler_json):
+        from measure_straggler import straggler_md
+
+        body = body.rstrip() + "\n\n" + straggler_md(
+            json.load(open(straggler_json)))
+    with open(md, "w") as f:
+        f.write(body)
     sys.stderr.write(f"wrote {md}\n")
 
 

@@ -354,6 +354,91 @@ def streaming_static_join(spark, sf):
 
 
 @q(
+    "streaming_session_window",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL '30 minutes',
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def streaming_session_window(spark, sf):
+    """Spark's built-in ``session_window`` state-merging aggregation run
+    as an ACTUAL stream and drained availableNow, checked against a
+    DuckDB gap-sessionizer replaying the same semantics (new session
+    when the gap is ≥ the 30-minute timeout — session windows are
+    half-open [start, last+gap), so an exactly-gap-sized step starts a
+    new session).
+
+    Append-mode session windows only emit once the WATERMARK passes the
+    session's end, and availableNow's final watermark stops at
+    max(ts)−30min — which would hold back every trailing session in
+    state forever.  The drain therefore appends a far-future SENTINEL
+    event as a second micro-batch (maxFilesPerTrigger splits the
+    batches; the watermark only advances between micro-batches), which
+    pushes the watermark past every real session; the sentinel user is
+    filtered from the result.  This is the standard way to flush
+    event-time state in a bounded replay."""
+    import glob
+    import shutil
+
+    from ocr_spark.streaming import run_available_now, session_agg
+
+    tmp = _work_dir("stream_sess")
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    src = f"{sf}/events.parquet"
+    files = glob.glob(f"{src}/*.parquet") or [src]
+    for f in files:
+        shutil.copy(f, tmp)
+    # sentinel: one far-future event in its OWN file → second micro-batch
+    ev = spark.read.parquet(src)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts, -1, "sentinel", 0.0, "{}")],
+        schema=ev.schema,
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 10 DAYS"))
+    sent_dir = _work_dir("stream_sess_sentinel")
+    shutil.rmtree(sent_dir, ignore_errors=True)
+    sentinel.coalesce(1).write.parquet(sent_dir)
+    for f in glob.glob(f"{sent_dir}/part-*.parquet"):
+        shutil.copy(f, os.path.join(tmp, "zz_sentinel.parquet"))
+
+    from ocr_spark.streaming import events_stream
+
+    stream = events_stream(spark, tmp, max_files_per_trigger=len(files))
+    agg = session_agg(stream).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )
+    ck = _work_dir("stream_sess_ck")
+    shutil.rmtree(ck, ignore_errors=True)
+    out = run_available_now(agg, ck, output_mode="append")
+    # the float session_value stays out of the comparison (stream-side
+    # addition order differs from the oracle's); boundaries + counts are
+    # the session-merge semantics under test
+    return out.filter(F.col("user_id") >= 0).select(
+        "user_id", "session_start", "session_end", "n_events")
+
+
+@q(
     "streaming_stream_stream_join",
     oracle="""
     SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,

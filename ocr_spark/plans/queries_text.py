@@ -481,13 +481,22 @@ def dedup_simhash(spark, sf):
     and hamming exactly 0 — so the oracle enumerates one row per
     document from the planting rule alone; the xxhash64 seed never
     reaches the output.  Non-planted near-dup pairs (seed-specific) are
-    covered by the recall/precision gates in tests/test_dedup.py.
+    covered by the recall/precision gates in tests/test_dedup.py; the
+    UNPRUNED sweep (simhash_pairs) is what bench.py times.
     """
+    return simhash_pairs(_dup_docs(spark, sf)).filter(
+        F.col("doc_b") == F.col("doc_a") + DUP_SHIFT
+    )
+
+
+def simhash_pairs(d):
+    """The full SimHash near-dup sweep over a (doc_id, text, …) frame:
+    sketch → 4×16-bit band self-join → exact hamming ≤ 3 verify."""
     # repartition before the sketch: single-file inputs would otherwise
     # compute the 64-bit majority vote at file parallelism, twice (once
     # per self-join side)
-    d = _dup_docs(spark, sf).repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    d = d.repartition(
+        d.sparkSession.sparkContext.defaultParallelism, "doc_id"
     )
     sk = with_simhash(d).select("doc_id", "sh")
     bands = sk.select(
@@ -518,8 +527,5 @@ def dedup_simhash(spark, sf):
     )
     # hamming distance via popcount of xor (bit_count is JVM-side)
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        pairs.filter(ham <= 3)
-        .filter(F.col("doc_b") == F.col("doc_a") + DUP_SHIFT)
-        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
-    )
+    return pairs.filter(ham <= 3).select(
+        "doc_a", "doc_b", ham.cast("int").alias("hamming"))

@@ -141,6 +141,17 @@ def main() -> None:
     # before each leg so throttled windows are visible in the log.
     from bench import calibration_sec  # repo-root bench.py canary
 
+    def mp_canary(procs: int = 4) -> float:
+        """Multi-core availability instrument: ``procs`` concurrent
+        single-thread canaries; returns the SLOWEST.  Under hypervisor
+        contention a 1-core canary can stay fast while four concurrent
+        ones cannot all get cores — exactly the asymmetry that
+        suppresses the 4N legs, measured independently of the job."""
+        import multiprocessing as mp
+
+        with mp.Pool(procs) as pool:
+            return round(max(pool.map(calibration_sec, [400_000] * procs)), 4)
+
     lo, hi = args.levels
     assert hi == 4 * lo, "levels must be N and 4N"
     legs: list[int] = []
@@ -151,13 +162,15 @@ def main() -> None:
     runs: list[dict] = []
     for idx, cores in enumerate(legs):
         canary = calibration_sec()
+        canary4 = mp_canary(4)
         out = os.path.join(args.workdir, f"out_{cores}_{idx}")
         shutil.rmtree(out, ignore_errors=True)
         m = _run_level(cores, corpus, out, zip_path)
-        runs.append({"idx": idx, "cores": cores, "canary_sec": canary, **m})
+        runs.append({"idx": idx, "cores": cores, "canary_sec": canary,
+                     "canary4_sec": canary4, **m})
         sys.stderr.write(
             f"leg {idx}: local[{cores}] {m['docs_per_sec']} docs/s "
-            f"(canary {canary:.3f}s)\n")
+            f"(canary {canary:.3f}s, canary4 {canary4:.3f}s)\n")
 
     # bracketed efficiency per 4N leg: thr(4N) / (4 * mean of the two
     # surrounding N legs) — drift that moves both N legs the same way
@@ -205,7 +218,7 @@ def main() -> None:
         "legs": [
             {k: r[k] for k in
              ("idx", "cores", "docs_per_sec", "spans_per_sec",
-              "elapsed_sec", "canary_sec")}
+              "elapsed_sec", "canary_sec", "canary4_sec")}
             for r in runs
         ],
         f"local{lo}_best": best_lo,
@@ -218,7 +231,8 @@ def main() -> None:
         json.dump(summary, f, indent=1)
     leg_rows = "\n".join(
         f"| {r['idx']} | local[{r['cores']}] | {r['docs_per_sec']} | "
-        f"{r['spans_per_sec']} | {r['elapsed_sec']} | {r['canary_sec']:.3f} |"
+        f"{r['spans_per_sec']} | {r['elapsed_sec']} | {r['canary_sec']:.3f} | "
+        f"{r['canary4_sec']:.3f} |"
         for r in runs)
     pair_rows = "\n".join(
         f"| {b['hi_leg']} | {b['eff']} | {b['eff_vs_before']} | "
@@ -250,8 +264,8 @@ vs `local[{hi}]` (4N) on the 32-core host, each in a fresh JVM via
 
 ## Leg log
 
-| leg | level | docs/sec | spans/sec | elapsed (s) | canary (s) |
-| --- | --- | --- | --- | --- | --- |
+| leg | level | docs/sec | spans/sec | elapsed (s) | canary (s) | canary×4 (s) |
+| --- | --- | --- | --- | --- | --- | --- |
 {leg_rows}
 
 ## Bracketed pair efficiencies

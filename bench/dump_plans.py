@@ -23,7 +23,9 @@ PICKS = {
     "sort_limit_topk": "global top-k as TakeOrderedAndProject (no full sort)",
     "dedup_simhash": "pure-JVM sketch: no Python stage anywhere",
     "agg_percentile": "exact percentile via distinct-value counting — partial agg, bounded per-group state (no buffering percentile())",
-    "ann_ivf_topk": "IVF ANN: broadcast centroid assignment, cluster-pruned exact scoring",
+    "ann_ivf_topk": "IVF ANN: broadcast centroid assignment via map-side max_by (no Window over the corpus join), cluster-pruned exact scoring",
+    "join_salted_skew": "salted skew join: replicated dim x salted fact on (key, salt)",
+    "dedup_apply_keep_best": "keep-best dedup apply: one max_by hash agg, no window over copies",
 }
 
 

@@ -37,6 +37,11 @@ Supported PDF subset (documented per SURVEY.md §7 "hard parts"):
     stream so document order never interleaves pages
   - path ops ``x y w h re`` followed by ``f``/``S``/``B`` outside BT..ET
     are figure regions (drawings)
+  - inline images ``BI <dict> ID <binary> EI``: the binary payload is
+    stripped before tokenizing (its bytes would otherwise parse as
+    phantom strings/operators) and the image becomes a figure region
+    placed by the current ``cm`` matrix (the ``q w 0 0 h x y cm BI…EI Q``
+    producer idiom)
 
 Everything here is pure Python over bytes/str — it runs vectorized over
 Arrow batches inside mapInPandas (no Spark imports in this module).
@@ -637,6 +642,13 @@ def _stream_contents(data: bytes):
             continue
 
 
+# Inline images (BI <dict> ID <binary> EI): the binary payload must be
+# removed BEFORE tokenizing — its bytes would otherwise parse as phantom
+# strings/numbers/operators.  Per spec EI follows whitespace; the dict
+# part never contains ID as a token.
+_INLINE_IMG_RE = re.compile(r"\bBI\b.*?\bID[ \r\n].*?\sEI(?=[\s]|$)", re.DOTALL)
+
+
 def _cid_decode(raw: str, cmap: dict[int, str]) -> str:
     """Type0/CID show-string: consecutive 2-byte codes through the
     font's ToUnicode CMap (Identity-H byte order); unmapped codes keep
@@ -652,10 +664,15 @@ def _cid_decode(raw: str, cmap: dict[int, str]) -> str:
 
 
 def _parse_content(content, runs, figures, cfg, fonts=None):
+    # inline images → placeholder operator; placement taken from the
+    # current transformation matrix (the standard `q w 0 0 h x y cm
+    # BI … EI Q` producer idiom)
+    content = _INLINE_IMG_RE.sub(" INLIMG ", content)
     toks = _TOK_RE.findall(content)
     x = y = 0.0
     size = 12.0
     leading = 14.0
+    ctm = (1.0, 1.0, 0.0, 0.0)  # (a, d, e, f) of the last cm seen
     in_text = False
     stack: list = []  # operand stack (numbers / strings / arrays)
     arr: list | None = None
@@ -741,6 +758,13 @@ def _parse_content(content, runs, figures, cfg, fonts=None):
             rx, ry, rw, rh = (float(v) for v in stack[-4:])
             if not in_text:
                 figures.append((rx, ry, rw, rh))
+        elif t == "cm" and len(stack) >= 6:
+            a, _b, _c, d, e, f_ = (float(v) for v in stack[-6:])
+            ctm = (a, d, e, f_)
+        elif t == "INLIMG":
+            if not in_text:
+                # unit image square scaled by (a, d), placed at (e, f)
+                figures.append((ctm[2], ctm[3], ctm[0], ctm[1]))
         if t not in ("[", "]"):
             stack = stack[-8:]  # bound the stack; operands are consumed loosely
     return runs, figures
@@ -877,7 +901,17 @@ def _page_content(blocks: list[dict], cmap: dict[str, int] | None = None) -> str
                 parts.append(f"({_esc(line)}) Tj\n")
     parts.append("ET\n")
     for b in figs:
-        parts.append(f"{b['x']:g} {b['y']:g} {b.get('w', 100):g} {b.get('h', 80):g} re f\n")
+        w, h = b.get("w", 100), b.get("h", 80)
+        if b.get("inline"):
+            # inline image: unit square scaled/placed by cm; payload is
+            # deliberately adversarial binary-ish bytes (fake strings,
+            # numbers, operators) — the tokenizer must strip it whole
+            payload = "(fake) Tj 99 0 0 (x\\) 12 re f BT"
+            parts.append(
+                f"q {w:g} 0 0 {h:g} {b['x']:g} {b['y']:g} cm "
+                f"BI /W 4 /H 4 /BPC 8 /CS /G ID\n{payload}\nEI Q\n")
+        else:
+            parts.append(f"{b['x']:g} {b['y']:g} {w:g} {h:g} re f\n")
     return "".join(parts)
 
 

@@ -675,3 +675,33 @@ def test_type0_corpus_extracts_identically(spark):
         rows = extract_stage(df).collect()
         out[tag] = _canonical([r.asDict(recursive=True) for r in rows])
     assert out["plain"] == out["t0"]
+
+
+def test_inline_image_strips_payload_and_places_figure():
+    """BI…ID <binary> EI: the binary payload (which deliberately contains
+    fake strings, numbers, and operators) must never produce phantom
+    text runs, and the image must land as a figure at its cm placement —
+    bbox-identical to the `re f` rendering of the same block, across all
+    four layout combinations."""
+    from ocr_spark.functions.pdfx import extract_pdf_blocks, write_pdf
+
+    blocks = [
+        {"kind": "text", "x": 72, "y": 700,
+         "lines": ["alpha bravo charlie delta words",
+                   "echo foxtrot golf hotel more"]},
+        {"kind": "figure", "x": 100, "y": 400, "w": 120, "h": 80},
+        {"kind": "text", "x": 72, "y": 250,
+         "lines": ["below the image text here ok"]},
+    ]
+    inline = [dict(b, inline=True) if b["kind"] == "figure" else b
+              for b in blocks]
+    for xrs in (False, True):
+        for compress in (False, True):
+            a = [(b.kind, b.text, b.bbox) for b in extract_pdf_blocks(
+                write_pdf(blocks, compress=compress, xref_stream=xrs))]
+            b2 = [(b.kind, b.text, b.bbox) for b in extract_pdf_blocks(
+                write_pdf(inline, compress=compress, xref_stream=xrs))]
+            assert a == b2, (xrs, compress, a, b2)
+    texts = " ".join(t for _, t, _ in a)
+    assert "fake" not in texts and "99" not in texts
+    assert any(k == "figure" for k, _, _ in a)

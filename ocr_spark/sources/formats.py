@@ -104,7 +104,13 @@ class ParquetManifestTable:
             m = self._load()
             if append_runs:
                 have = {(e["bucket"], e["run_id"]) for e in m["entries"]}
-                new = [e for e in entries if (e["bucket"], e["run_id"]) not in have]
+                # a zombie committer (crashed between write and commit,
+                # resumed after a compaction absorbed its run) must not
+                # resurrect entries pointing at vacuumed directories
+                gone = set(m.get("absorbed_runs", []))
+                new = [e for e in entries
+                       if (e["bucket"], e["run_id"]) not in have
+                       and e["run_id"] not in gone]
             else:
                 have = {e["bucket"] for e in m["entries"]}
                 new = [e for e in entries if e["bucket"] not in have]
@@ -112,7 +118,114 @@ class ParquetManifestTable:
             self._store(m)
 
     def committed_runs(self) -> set[str]:
-        return {e["run_id"] for e in self._load()["entries"]}
+        """Run ids with committed data, INCLUDING runs whose files were
+        absorbed by a compaction — a retried streaming micro-batch whose
+        run was compacted away must still see itself as committed."""
+        m = self._load()
+        return {e["run_id"] for e in m["entries"]} | set(
+            m.get("absorbed_runs", []))
+
+    # -- maintenance ---------------------------------------------------------
+    def compact(self, spark: SparkSession,
+                num_partitions: int | None = None) -> dict:
+        """Rewrite all committed data into ONE run with one file set per
+        bucket, then swap the manifest atomically — the small-files
+        maintenance every long-lived wave/micro-batch table needs (the
+        Iceberg path gets this from rewrite_data_files).
+
+        Correctness properties (tests/test_formats.py):
+        - snapshot-isolated: readers see either the old entries or the
+          new ones, never a mix of old and new files for one bucket;
+          entries committed by OTHER writers between our snapshot and
+          the swap are preserved untouched;
+        - lineage-preserving: the per-bucket doc/span counts are summed
+          and the order-insensitive xor checksums FOLD (xor of the old
+          entries' checksums == checksum of the merged rows), so the
+          compacted entries still verify() against a full payload rehash
+          without recomputing anything at compact time;
+        - streaming-idempotent: absorbed run ids are recorded so a
+          retried micro-batch stays a no-op after its files are gone;
+        - crash-safe: a crash before the swap leaves the manifest (and
+          readers) untouched; the orphan half-written run dir is removed
+          by vacuum().
+        """
+        import fcntl
+        import uuid
+
+        from pyspark.sql import functions as F  # noqa: F401
+
+        entries = self._load()["entries"]
+        if not entries:
+            return {"compacted_entries": 0, "run_id": None}
+        run_id = f"compact{uuid.uuid4().hex[:12]}"
+        df = spark.read.option("basePath", self.data_dir).option(
+            "mergeSchema", "true").parquet(*[e["path"] for e in entries])
+        n = num_partitions or spark.sparkContext.defaultParallelism
+        out = self.run_dir(run_id)
+        codec = os.environ.get("OCR_SPARK_CODEC", "zstd")
+        # "run" is a DISCOVERED partition column (dir layout run=<id>) —
+        # persisting it as a data column would collide with discovery on
+        # the next read of the compacted files; "bucket" stays because
+        # partitionBy consumes it back into the directory layout
+        (df.drop("run")
+         .repartition(n, "bucket")  # cluster: one file set per bucket
+         .write.mode("append").option("compression", codec)
+         .partitionBy("bucket").parquet(out))
+
+        by_bucket: dict[int, dict] = {}
+        for e in entries:
+            b = by_bucket.setdefault(e["bucket"], {
+                "doc_count": 0, "span_count": 0, "ck": 0,
+                "watermark": e["watermark"]})
+            b["doc_count"] += e["doc_count"]
+            b["span_count"] += e["span_count"]
+            b["ck"] ^= int(e["checksum"], 16)  # xor folds across runs
+            b["watermark"] = max(b["watermark"], e["watermark"])
+        new_entries = [
+            {
+                "bucket": k,
+                "run_id": run_id,
+                "path": f"{out}/bucket={k}",
+                "doc_count": b["doc_count"],
+                "span_count": b["span_count"],
+                "checksum": format(b["ck"] & (2**64 - 1), "016x"),
+                "watermark": b["watermark"],
+            }
+            for k, b in sorted(by_bucket.items())
+        ]
+        snap_keys = {(e["bucket"], e["run_id"]) for e in entries}
+        with open(os.path.join(self.root, "_manifest.lock"), "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            m = self._load()
+            # entries committed since our snapshot survive untouched
+            keep = [e for e in m["entries"]
+                    if (e["bucket"], e["run_id"]) not in snap_keys]
+            absorbed = sorted(
+                {e["run_id"] for e in entries}
+                | set(m.get("absorbed_runs", [])))
+            self._store({"entries": keep + new_entries,
+                         "absorbed_runs": absorbed})
+        return {"compacted_entries": len(entries),
+                "buckets": len(new_entries), "run_id": run_id}
+
+    def vacuum(self) -> list[str]:
+        """Delete run directories no longer referenced by the manifest
+        (post-compaction cleanup; also removes half-written runs left by
+        a crash BEFORE their commit).  Must not race a live writer whose
+        wave is written but not yet committed — run it from the
+        maintenance job, not concurrently with ingestion (the Iceberg
+        path gets retention semantics from expire_snapshots)."""
+        import glob as _glob
+        import shutil
+
+        live = {os.path.normpath(e["path"]).rsplit("/bucket=", 1)[0]
+                for e in self._load()["entries"]}
+        removed = []
+        for d in _glob.glob(os.path.join(self.data_dir, "run=*")):
+            if os.path.normpath(d) not in live:
+                shutil.rmtree(d, ignore_errors=True)
+                removed.append(d)
+        return removed
 
     # -- I/O ----------------------------------------------------------------
     def write_wave(self, df: DataFrame, run_id: str) -> str:

@@ -56,7 +56,15 @@ HEADLINE = [
     "vocab_topk",
     "pack_token_budget",
     "decontaminate_vs_holdout",
+    "text_tfidf_topk",
+    "events_funnel",
 ]
+
+# Iterative operators run their rounds EAGERLY at build time (hash-min
+# propagation materializes each round via localCheckpoint), so timing
+# only the returned frame would skip the real work — these re-invoke
+# the builder inside the timed region instead.
+BUILDER_TIMED = ["dedup_connected_components"]
 
 
 def _force(df) -> int:
@@ -127,6 +135,18 @@ def main() -> None:
         fn = registry.QUERIES.get(name)
         if fn is not None:
             timed(name, fn(spark, sf_dir))
+
+    for name in BUILDER_TIMED:
+        fn = registry.QUERIES.get(name)
+        if fn is None:
+            continue
+        _force(fn(spark, sf_dir))  # warm
+        runs = []
+        for _ in range(repeats):
+            t0 = time.time()
+            _force(fn(spark, sf_dir))
+            runs.append(time.time() - t0)
+        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
 
     # FULL-SWEEP variants of the planted-projection queries: the
     # registered dedup_simhash / ann_lsh_bucketed prune to the planted

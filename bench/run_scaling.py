@@ -81,7 +81,8 @@ def _gen_corpus(n_docs: int, path: str, heft: int = 1) -> None:
     spark.stop()
 
 
-def _run_level(cores: int, corpus: str, out: str, zip_path: str) -> dict:
+def _run_level(cores: int, corpus: str, out: str, zip_path: str,
+               parts_per_core: int = 2) -> dict:
     cmd = [
         "spark-submit",
         "--master", f"local[{cores}]",
@@ -93,7 +94,7 @@ def _run_level(cores: int, corpus: str, out: str, zip_path: str) -> dict:
         os.path.join(REPO, "run_extract.py"),
         "--input", corpus,
         "--output", out,
-        "--partitions", str(cores * 2),
+        "--partitions", str(cores * parts_per_core),
         "--warmup",
     ]
     res = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
@@ -121,6 +122,11 @@ def main() -> None:
                     metavar=("N", "4N"),
                     help="core counts for the two cluster-size proxies; "
                          "must be 1:4 (e.g. 2 8, 8 32)")
+    # 2 tasks/core leaves the 4N level exposed to last-wave stragglers
+    # (8 partitions on 4 cores: one slow partition idles 3 cores); 4
+    # tasks/core keeps the tail short at both levels without changing
+    # the plan shape.  Kept as a flag so older runs stay reproducible.
+    ap.add_argument("--parts-per-core", type=int, default=2)
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -165,7 +171,7 @@ def main() -> None:
         canary4 = mp_canary(4)
         out = os.path.join(args.workdir, f"out_{cores}_{idx}")
         shutil.rmtree(out, ignore_errors=True)
-        m = _run_level(cores, corpus, out, zip_path)
+        m = _run_level(cores, corpus, out, zip_path, args.parts_per_core)
         runs.append({"idx": idx, "cores": cores, "canary_sec": canary,
                      "canary4_sec": canary4, **m})
         sys.stderr.write(
@@ -213,6 +219,8 @@ def main() -> None:
         "max_per_level_eff": eff_maxlevel,
         "eff_spans_max_per_level": eff_spans,
         "docs": args.docs,
+        "heft": args.heft,
+        "parts_per_core": args.parts_per_core,
         "levels": [lo, hi],
         "bracketed_pairs": bracketed,
         "legs": [
@@ -261,6 +269,11 @@ vs `local[{hi}]` (4N) on the 32-core host, each in a fresh JVM via
   throttled hypervisor window.  `lo_spread` = relative disagreement of
   the two N brackets (large ⇒ drift crossed the bracket).
   Date: {time.strftime("%Y-%m-%d")}.
+- Leg length is the main drift defense: multi-minute N legs (≥ ~400k
+  docs) average across several drift windows and amortize fixed
+  per-run overhead; ≤300k-doc sessions measurably under-read the
+  ratio (see pooled table).  ≥3 tasks/core keeps the 4N leg's
+  last-wave straggler exposure bounded.
 
 ## Leg log
 
@@ -279,7 +292,7 @@ vs `local[{hi}]` (4N) on the 32-core host, each in a fresh JVM via
 Best bracketed pair: `{best_eff:.3f}`.  Max-per-level estimator:
 `{eff_maxlevel:.3f}` (docs/sec), `{eff_spans:.3f}` (spans/sec).
 
-Reproduce: `python bench/run_scaling.py --docs {args.docs} --heft {args.heft} --levels {lo} {hi} --repeats {args.repeats}`.
+Reproduce: `python bench/run_scaling.py --docs {args.docs} --heft {args.heft} --levels {lo} {hi} --repeats {args.repeats} --parts-per-core {args.parts_per_core}`.
 """
     body = body.rstrip() + "\n" + _PRIOR_ROUNDS
     straggler_json = os.path.join(REPO, "BENCH", "straggler.json")

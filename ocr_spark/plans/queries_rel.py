@@ -1188,3 +1188,88 @@ def udf_scalar_pandas(spark, sf):
     d = t(spark, sf, "documents").filter(F.col("doc_id") < 2000)
     out = d.select("doc_id", norm_text("text").alias("norm_text"))
     return out.withColumn("n_chars_norm", F.length("norm_text"))
+
+
+@q(
+    "events_funnel",
+    oracle="""
+    WITH base AS (SELECT DISTINCT user_id FROM events),
+    v AS (
+      SELECT user_id, min(ts) AS ts_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS ts_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.ts_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS ts_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.ts_click
+      GROUP BY e.user_id
+    )
+    SELECT b.user_id,
+           strftime(v.ts_view, '%Y-%m-%d %H:%M:%S') AS ts_view,
+           strftime(c.ts_click, '%Y-%m-%d %H:%M:%S') AS ts_click,
+           strftime(p.ts_purchase, '%Y-%m-%d %H:%M:%S') AS ts_purchase,
+           CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                     WHEN c.user_id IS NOT NULL THEN 2
+                     WHEN v.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS stage
+    FROM base b
+    LEFT JOIN v ON b.user_id = v.user_id
+    LEFT JOIN c ON b.user_id = c.user_id
+    LEFT JOIN p ON b.user_id = p.user_id
+    """,
+)
+def events_funnel(spark, sf):
+    """Ordered-step funnel (view → click ≥ ts_view → purchase ≥
+    ts_click) per user, via CHAINED conditional window minima: each
+    step's timestamp is min(ts | type=step ∧ ts ≥ previous step), where
+    the previous step's value is a whole-partition window min — null
+    comparisons make out-of-order steps fall out for free (ts ≥ NULL is
+    NULL → excluded from the conditional min).
+
+    Scale shape: ONE hash exchange on user_id feeds all three Window
+    nodes (same partition spec → Catalyst plans a single Exchange+Sort
+    with stacked windows) plus the final per-user aggregation — no
+    self-joins, no per-step shuffles; the common join-per-step funnel
+    formulation shuffles the event table k times for a k-step funnel."""
+    e = t(spark, sf, "events")
+    w = W.partitionBy("user_id")
+    typ = F.col("event_type")
+    d = e.withColumn(
+        "ts_view", F.min(F.when(typ == "view", F.col("ts"))).over(w)
+    )
+    d = d.withColumn(
+        "ts_click",
+        F.min(
+            F.when((typ == "click") & (F.col("ts") >= F.col("ts_view")), F.col("ts"))
+        ).over(w),
+    )
+    d = d.withColumn(
+        "ts_purchase",
+        F.min(
+            F.when((typ == "purchase") & (F.col("ts") >= F.col("ts_click")), F.col("ts"))
+        ).over(w),
+    )
+    agg = d.groupBy("user_id").agg(
+        F.min("ts_view").alias("tv"),
+        F.min("ts_click").alias("tc"),
+        F.min("ts_purchase").alias("tp"),
+    )
+    stage = (
+        F.when(F.col("tp").isNotNull(), 3)
+        .when(F.col("tc").isNotNull(), 2)
+        .when(F.col("tv").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return agg.select(
+        "user_id",
+        F.date_format("tv", "yyyy-MM-dd HH:mm:ss").alias("ts_view"),
+        F.date_format("tc", "yyyy-MM-dd HH:mm:ss").alias("ts_click"),
+        F.date_format("tp", "yyyy-MM-dd HH:mm:ss").alias("ts_purchase"),
+        stage.cast("int").alias("stage"),
+    )

@@ -420,6 +420,198 @@ def dedup_minhash_lsh(spark, sf):
     return pairs.filter(jac >= 1.0).select("doc_a", "doc_b")
 
 
+def connected_components(edges, nodes, max_iters: int = 20):
+    """Connected components over an undirected edge list via hash-min
+    label propagation on DataFrames — the clustering step that turns
+    near-dup PAIRS into dedup GROUPS (a doc may be 0.8-similar to A and
+    B without A~B; keep-best-per-pair would then keep inconsistent
+    survivors, so production dedup contracts the pair graph first).
+
+    ``edges``: (doc_a, doc_b) one row per undirected pair;
+    ``nodes``: (doc_id) every document (singletons keep themselves).
+    Returns (doc_id, component) with component = min doc_id reachable.
+
+    Scale shape: each round is one equi-join + one map-side-partial
+    ``min`` aggregation (both key-partitioned — no windows, no
+    driver-side graph), and ``localCheckpoint`` truncates the logical
+    plan so N rounds cost N joins, not an exponentially growing tree.
+    Rounds needed = graph diameter; near-dup graphs are shallow (dup
+    clusters, not long paths).  For adversarially long chains swap in
+    the large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce", SOCC'14) — same per-round join shape,
+    O(log n) rounds."""
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = nodes.select(
+        F.col("doc_id").alias("id"), F.col("doc_id").alias("comp")
+    ).localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        neigh = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src").agg(F.min("comp").alias("ncomp"))
+        )
+        new = (
+            labels.join(neigh, labels.id == neigh.src, "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n").join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp")).count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "comp")
+
+
+@q(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE {_DUP_CTE},
+    toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS ws FROM dup
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(ws) - 2, 0)),
+               i -> array_to_string(ws[i:i+2], ' ')
+             )) AS gset
+      FROM toks
+    ),
+    ex AS (SELECT doc_id, unnest(gset) AS g FROM grams),
+    rare AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= {NGRAM_DF_CAP}),
+    rex AS (SELECT ex.doc_id, ex.g FROM ex JOIN rare USING (g)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM rex a JOIN rex b ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    e0 AS (
+      SELECT doc_a, doc_b
+      FROM cand
+      JOIN grams ga ON ga.doc_id = doc_a
+      JOIN grams gb ON gb.doc_id = doc_b
+      WHERE CAST(len(list_intersect(ga.gset, gb.gset)) AS DOUBLE)
+            / (len(ga.gset) + len(gb.gset)
+               - len(list_intersect(ga.gset, gb.gset))) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM e0
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM e0
+    ),
+    reach(u, v) AS (
+      SELECT doc_id, doc_id FROM dup
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(component AS BIGINT) AS component,
+           COUNT(*) OVER (PARTITION BY component) AS csize
+    FROM comp
+    """,
+)
+def dedup_connected_components(spark, sf):
+    """Dedup clustering: contract the verified near-dup pair graph
+    (word-3-gram Jaccard ≥ 0.8 — the dedup_ngram_jaccard edge set) into
+    connected components; every doc gets (component, csize), singletons
+    included.  The oracle computes the same components with a recursive
+    transitive-closure CTE — exact only because the edge set itself is
+    oracle-exact (df-capped candidates + exact Jaccard on full gram
+    sets).  At sf0.01 the graph has 476 components up to size 6, with
+    23 components that merge MULTIPLE pairs — the hash-min propagation
+    is exercised past its first round."""
+    g = _grams_df(spark, sf)
+    cand = ngram_candidates(g, NGRAM_DF_CAP)
+    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("gset").alias("gs_a"))
+    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("gset").alias("gs_b"))
+    inter = F.size(F.array_intersect("gs_a", "gs_b"))
+    jac = inter.cast("double") / (F.size("gs_a") + F.size("gs_b") - inter)
+    edges = (
+        cand.join(ga, "doc_a").join(gb, "doc_b")
+        .filter(jac >= 0.8).select("doc_a", "doc_b")
+    )
+    nodes = _dup_docs(spark, sf).select("doc_id")
+    labels = connected_components(edges, nodes)
+    sizes = labels.groupBy("comp").agg(F.count("*").alias("csize"))
+    return labels.join(sizes, "comp").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("comp").cast("bigint").alias("component"),
+        "csize",
+    )
+
+
+@q(
+    "text_tfidf_topk",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    ranked AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rk
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, CAST(tf AS INT) AS tf, CAST(df AS INT) AS df, tfidf
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def text_tfidf_topk(spark, sf):
+    """Top-3 characteristic terms per document, tf-first: ranking key
+    (tf DESC, df ASC, term ASC) — deliberately integers + strings, not
+    the float score, so BOTH engines select identical rows even where
+    ln() differs in the last ulp (ranking by the float is not portable
+    across engines; the tfidf value is computed and REPORTED, rounded).
+    Shape: explode → two hash aggs (map-side partial) → broadcast df
+    back onto tf → per-doc window top-k (partition key = doc_id, so no
+    global sort; the window never sees more rows than one doc's
+    vocabulary)."""
+    d = t(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.trim("text"), " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+        )
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4),
+        )
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", F.col("tf").cast("int").alias("tf"),
+                F.col("df").cast("int").alias("df"), "tfidf")
+    )
+
+
 def with_simhash(df, text_col: str = "text", out: str = "sh"):
     """64-bit SimHash of the distinct-word set, entirely JVM-side:
     xxhash64 per word, per-bit majority vote via nested higher-order

@@ -67,9 +67,25 @@ class ParquetManifestTable:
 
     def _store(self, m: dict) -> None:
         os.makedirs(self.root, exist_ok=True)
+        # snapshot history (Iceberg snapshot-log semantics): every
+        # committed manifest version is archived under _snapshots/<id>,
+        # so read(as_of=<id>) can time-travel until vacuum() expires the
+        # snapshot.  _store only runs under the writer lock, so the id
+        # increment cannot race.
+        m["snapshot_id"] = self._load().get("snapshot_id", 0) + 1
         fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest.tmp")
         with os.fdopen(fd, "w") as f:
             json.dump(m, f, indent=1)
+        snap_dir = os.path.join(self.root, "_snapshots")
+        os.makedirs(snap_dir, exist_ok=True)
+        snap = os.path.join(snap_dir, f"{m['snapshot_id']:08d}.json")
+        fd2, tmp2 = tempfile.mkstemp(dir=snap_dir, suffix=".snap.tmp")
+        with os.fdopen(fd2, "w") as f:
+            json.dump(m, f, indent=1)
+        # archive first: a crash between the two renames leaves an orphan
+        # snapshot file with an id the next commit recomputes and
+        # overwrites — never a manifest pointing at a missing snapshot
+        os.replace(tmp2, snap)
         os.replace(tmp, self.manifest_path)  # atomic swap = commit point
 
     def committed_buckets(self) -> set[int]:
@@ -116,6 +132,37 @@ class ParquetManifestTable:
                 new = [e for e in entries if e["bucket"] not in have]
             m["entries"].extend(new)
             self._store(m)
+
+    def snapshots(self) -> list[dict]:
+        """Available snapshot versions, oldest first: one dict per
+        archived manifest (id, entry count, run ids) — the Iceberg
+        snapshot-log equivalent.  Snapshots expired by vacuum() are
+        absent."""
+        import glob as _glob
+
+        out = []
+        for p in sorted(_glob.glob(
+                os.path.join(self.root, "_snapshots", "*.json"))):
+            try:
+                with open(p) as f:
+                    m = json.load(f)
+            except Exception:
+                continue
+            out.append({
+                "snapshot_id": m.get("snapshot_id"),
+                "n_entries": len(m["entries"]),
+                "runs": sorted({e["run_id"] for e in m["entries"]}),
+            })
+        return out
+
+    def _snapshot_entries(self, snapshot_id: int) -> list[dict]:
+        p = os.path.join(self.root, "_snapshots", f"{snapshot_id:08d}.json")
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"snapshot {snapshot_id} not found (expired by vacuum, or "
+                f"never committed) in {self.root}")
+        with open(p) as f:
+            return json.load(f)["entries"]
 
     def committed_runs(self) -> set[str]:
         """Run ids with committed data, INCLUDING runs whose files were
@@ -225,6 +272,21 @@ class ParquetManifestTable:
             if os.path.normpath(d) not in live:
                 shutil.rmtree(d, ignore_errors=True)
                 removed.append(d)
+        # expire snapshots whose entries reference a removed run dir —
+        # they can no longer be read as-of (Iceberg: expire_snapshots
+        # precedes orphan-file deletion; here file deletion drives the
+        # expiry, same end state)
+        gone = {os.path.normpath(d) for d in removed}
+        for p in _glob.glob(os.path.join(self.root, "_snapshots", "*.json")):
+            try:
+                with open(p) as f:
+                    snap_entries = json.load(f)["entries"]
+            except Exception:
+                continue
+            refs = {os.path.normpath(e["path"]).rsplit("/bucket=", 1)[0]
+                    for e in snap_entries}
+            if refs & gone:
+                os.remove(p)
         return removed
 
     # -- I/O ----------------------------------------------------------------
@@ -238,10 +300,16 @@ class ParquetManifestTable:
          .partitionBy("bucket").parquet(out))
         return out
 
-    def read(self, spark: SparkSession) -> DataFrame:
+    def read(self, spark: SparkSession,
+             as_of: int | None = None) -> DataFrame:
         """Union of committed (bucket, run) paths only — uncommitted files
-        are invisible (snapshot isolation)."""
-        entries = self._load()["entries"]
+        are invisible (snapshot isolation).  ``as_of`` time-travels to an
+        archived snapshot version (``snapshots()`` lists them); valid
+        until vacuum() expires snapshots whose files a compaction
+        absorbed — exactly Iceberg's read-as-of + expire_snapshots
+        contract."""
+        entries = (self._load()["entries"] if as_of is None
+                   else self._snapshot_entries(as_of))
         if not entries:
             raise FileNotFoundError(f"no committed data in {self.root}")
         paths = [e["path"] for e in entries]

@@ -72,3 +72,28 @@ def test_simhash_is_pure_jvm_plan(spark, sf_dir):
     plan = registry.QUERIES["dedup_simhash"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert marker not in plan, f"Python stage {marker} in simhash plan"
+
+
+def test_connected_components_merges_multi_pair_clusters(spark, sf_dir):
+    """The CC operator must do real propagation, not just echo pairs:
+    (a) every planted (doc, doc+DUP_SHIFT) pair lands in one component,
+    (b) at least one component merges MULTIPLE near-dup pairs (size > 2
+    with a csize consistent across members), (c) component ids are the
+    min doc_id of the member set (canonical, partitioning-invariant)."""
+    rows = registry.QUERIES["dedup_connected_components"](
+        spark, sf_dir).collect()
+    comp = {int(r["doc_id"]): int(r["component"]) for r in rows}
+    csize = {int(r["doc_id"]): int(r["csize"]) for r in rows}
+    planted = _planted_ids(spark, sf_dir)
+    assert all(comp[d] == comp[d + DUP_SHIFT] for d in planted)
+
+    from collections import Counter
+    sizes = Counter(comp.values())
+    assert max(sizes.values()) > 2  # real multi-pair merge happened
+    # csize column agrees with the actual component extents
+    assert all(csize[d] == sizes[comp[d]] for d in comp)
+    # canonical label = min member id
+    members = {}
+    for d, c in comp.items():
+        members.setdefault(c, []).append(d)
+    assert all(c == min(ms) for c, ms in members.items())

@@ -150,3 +150,53 @@ def test_compact_is_repeatable_and_append_continues(spark, tmp_path):
 def test_compact_empty_table_is_noop(spark, tmp_path):
     tbl = ParquetManifestTable(str(tmp_path / "t"))
     assert tbl.compact(spark) == {"compacted_entries": 0, "run_id": None}
+
+
+# -- snapshot history / time travel ------------------------------------------
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """Every commit archives a manifest version; read(as_of=id) sees the
+    table exactly as of that commit (Iceberg read-as-of)."""
+    tbl = ParquetManifestTable(str(tmp_path / "t"))
+    _commit_wave(spark, tbl, "batch000000001", 0, 30)
+    after_w1 = _table_key(spark, tbl)
+    s1 = tbl.snapshots()[-1]["snapshot_id"]
+    _commit_wave(spark, tbl, "batch000000002", 30, 50)
+    after_w2 = _table_key(spark, tbl)
+    s2 = tbl.snapshots()[-1]["snapshot_id"]
+
+    assert s2 > s1 and len(after_w1) == 30 and len(after_w2) == 50
+    trav1 = sorted(
+        (r["doc_id"], tuple(tuple(s) for s in r["spans"]))
+        for r in tbl.read(spark, as_of=s1).select("doc_id", "spans").collect())
+    assert trav1 == after_w1
+    trav2 = sorted(
+        (r["doc_id"], tuple(tuple(s) for s in r["spans"]))
+        for r in tbl.read(spark, as_of=s2).select("doc_id", "spans").collect())
+    assert trav2 == after_w2
+
+
+def test_vacuum_expires_snapshots(spark, tmp_path):
+    """Pre-compaction snapshots stay readable until vacuum() deletes the
+    absorbed run files, then raise a clear expiry error — Iceberg's
+    expire_snapshots contract."""
+    import pytest
+
+    tbl = ParquetManifestTable(str(tmp_path / "t"))
+    _commit_wave(spark, tbl, "batch000000001", 0, 30)
+    s1 = tbl.snapshots()[-1]["snapshot_id"]
+    before = _table_key(spark, tbl)
+    tbl.compact(spark, num_partitions=2)
+
+    # between compact and vacuum: both current and as-of reads work
+    assert _table_key(spark, tbl) == before
+    assert tbl.read(spark, as_of=s1).count() == 30
+
+    tbl.vacuum()
+    ids = [s["snapshot_id"] for s in tbl.snapshots()]
+    assert s1 not in ids and ids  # compacted snapshot survives
+    with pytest.raises(FileNotFoundError, match="expired"):
+        tbl.read(spark, as_of=s1)
+    assert _table_key(spark, tbl) == before
+    assert tbl.verify(spark) == []

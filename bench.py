@@ -63,7 +63,11 @@ HEADLINE = [
 # Iterative operators run their rounds EAGERLY at build time (hash-min
 # propagation materializes each round via localCheckpoint), so timing
 # only the returned frame would skip the real work — these re-invoke
-# the builder inside the timed region instead.
+# the builder inside the timed region instead.  One timed pass (after a
+# warm build), not a median of 3: the cost is dominated by the edge
+# build (the dedup_ngram_jaccard pipeline, the repo's costliest text
+# op at sf0.1 — the propagation rounds are sub-second), and tripling a
+# ~20s composite would double the whole bench for one line.
 BUILDER_TIMED = ["dedup_connected_components"]
 
 
@@ -141,12 +145,9 @@ def main() -> None:
         if fn is None:
             continue
         _force(fn(spark, sf_dir))  # warm
-        runs = []
-        for _ in range(repeats):
-            t0 = time.time()
-            _force(fn(spark, sf_dir))
-            runs.append(time.time() - t0)
-        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+        t0 = time.time()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
 
     # FULL-SWEEP variants of the planted-projection queries: the
     # registered dedup_simhash / ann_lsh_bucketed prune to the planted

@@ -63,6 +63,8 @@ _CHANGED_THIS_ROUND = [
     # (ann_lsh_bucketed already listed)
     # round 3: pdfx stream-cursor fix + xref/objstm (extraction payload)
     "extract_pipeline",
+    # round 3: count-filtering candidate bound in ngram_candidates
+    "dedup_ngram_jaccard",
 ]
 
 

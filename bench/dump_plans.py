@@ -26,6 +26,8 @@ PICKS = {
     "ann_ivf_topk": "IVF ANN: broadcast centroid assignment via map-side max_by (no Window over the corpus join), cluster-pruned exact scoring",
     "join_salted_skew": "salted skew join: replicated dim x salted fact on (key, salt)",
     "dedup_apply_keep_best": "keep-best dedup apply: one max_by hash agg, no window over copies",
+    "events_funnel": "ordered-step funnel: ONE hash exchange feeding stacked Window nodes (no per-step self-joins)",
+    "dedup_ngram_jaccard": "count-filtering candidate bound: pair-count agg prunes before the array-verify join",
 }
 
 

@@ -42,6 +42,12 @@ Supported PDF subset (documented per SURVEY.md §7 "hard parts"):
     phantom strings/operators) and the image becomes a figure region
     placed by the current ``cm`` matrix (the ``q w 0 0 h x y cm BI…EI Q``
     producer idiom)
+  - XObjects via ``/Name Do`` (structured-parse path, classic layout):
+    /Subtype /Image → figure placed by the current ``cm``; /Subtype
+    /Form → the form's content stream is tokenized recursively with the
+    FORM's own /Resources (fonts + nested XObjects, depth-bounded) and
+    its runs/figures translated by the ``cm`` translation — the
+    letterhead/stamp/imposition layout real producers emit
 
 Everything here is pure Python over bytes/str — it runs vectorized over
 Arrow batches inside mapInPandas (no Spark imports in this module).
@@ -388,11 +394,11 @@ class _Doc:
         return self._objstm(ent[1]).get(num), None
 
     # -- page tree ----------------------------------------------------------
-    def page_contents(self) -> list[tuple[bytes, dict]]:
-        """(decoded content bytes, font map) per page in page-tree order.
-        Font map: font resource name (str, e.g. 'F1') → ToUnicode CMap
-        dict for Type0/CID fonts that carry one; empty for simple
-        fonts."""
+    def page_contents(self) -> list[tuple[bytes, dict, dict]]:
+        """(decoded content bytes, font map, xobject map) per page in
+        page-tree order.  Font map: font resource name (str, e.g. 'F1')
+        → ToUnicode CMap dict for Type0/CID fonts that carry one; empty
+        for simple fonts.  XObject map: see _page_xobjects."""
         if self.root is None:
             raise ValueError("no /Root")
         cat = self.obj(self.root)
@@ -404,6 +410,32 @@ class _Doc:
         if not out:
             raise ValueError("empty page tree")
         return out
+
+    def _page_xobjects(self, d: bytes, depth: int = 0) -> dict:
+        """XObject resource name → ('form', content str, fonts, nested
+        xobjects) for /Subtype /Form, or ('image',) for /Subtype /Image,
+        from a page (or form) dict's /Resources /XObject table.  Forms
+        carry their own resources, so fonts/xobjects recurse (bounded)."""
+        xobjs: dict[str, tuple] = {}
+        if depth > 8:
+            return xobjs
+        rm = re.search(rb"/XObject\s*<<(.*?)>>", d, re.DOTALL)
+        if not rm:
+            return xobjs
+        for xm in re.finditer(rb"/(\w+)\s+(\d+)\s+\d+\s+R\b", rm.group(1)):
+            xo = self.obj(int(xm.group(2)))
+            if not xo or xo[0] is None:
+                continue
+            sub = _dict_name(xo[0], b"Subtype")
+            name = xm.group(1).decode("latin-1")
+            if sub == b"Image":
+                xobjs[name] = ("image",)
+            elif sub == b"Form" and xo[1] is not None:
+                content = _decode_stream_body(xo[0], xo[1]).decode("latin-1")
+                xobjs[name] = ("form", content,
+                               self._page_fonts(xo[0]),
+                               self._page_xobjects(xo[0], depth + 1))
+        return xobjs
 
     def _page_fonts(self, d: bytes) -> dict:
         """Type0 font name → {cid: unicode} from the page's /Resources
@@ -453,7 +485,8 @@ class _Doc:
                 if not c or c[1] is None:
                     raise ValueError(f"missing content stream {ref}")
                 parts.append(_decode_stream_body(c[0], c[1]))
-            out.append((b"\n".join(parts), self._page_fonts(d)))
+            out.append((b"\n".join(parts), self._page_fonts(d),
+                        self._page_xobjects(d)))
 
 
 def parse_tounicode_cmap(data: bytes) -> dict[int, str]:
@@ -493,14 +526,16 @@ def parse_tounicode_cmap(data: bytes) -> dict[int, str]:
     return cmap
 
 
-def _structured_page_contents(data: bytes) -> list[tuple[str, dict]] | None:
-    """Xref-driven page-ordered (decoded content string, font map) pairs,
-    or None when the document has no parseable structure (raw fragments,
-    corrupt xref) — callers then fall back to the positional stream
-    scan (which has no font map: Type0 decode needs the structure)."""
+def _structured_page_contents(
+        data: bytes) -> list[tuple[str, dict, dict]] | None:
+    """Xref-driven page-ordered (decoded content string, font map,
+    xobject map) triples, or None when the document has no parseable
+    structure (raw fragments, corrupt xref) — callers then fall back to
+    the positional stream scan (which has no font or xobject tables:
+    Type0 decode and /Do dispatch need the structure)."""
     try:
-        return [(c.decode("latin-1"), fonts)
-                for c, fonts in _Doc(data).page_contents()]
+        return [(c.decode("latin-1"), fonts, xobjs)
+                for c, fonts, xobjs in _Doc(data).page_contents()]
     except Exception:
         return None
 
@@ -608,9 +643,9 @@ def tokenize_pdf(data: bytes, cfg: ExtractConfig = DEFAULT) -> tuple[list[TextRu
     figures: list[tuple[int, float, float, float, float]] = []
     pages = _structured_page_contents(data)
     if pages is None:
-        pages = [(content, {}) for content in _stream_contents(data)]
-    for page, (content, fonts) in enumerate(pages):
-        r, f = _parse_content(content, [], [], cfg, fonts)
+        pages = [(content, {}, {}) for content in _stream_contents(data)]
+    for page, (content, fonts, xobjs) in enumerate(pages):
+        r, f = _parse_content(content, [], [], cfg, fonts, xobjs)
         for tr in r:
             tr.page = page
         runs.extend(r)
@@ -663,7 +698,8 @@ def _cid_decode(raw: str, cmap: dict[int, str]) -> str:
     return "".join(out)
 
 
-def _parse_content(content, runs, figures, cfg, fonts=None):
+def _parse_content(content, runs, figures, cfg, fonts=None, xobjs=None,
+                   depth=0):
     # inline images → placeholder operator; placement taken from the
     # current transformation matrix (the standard `q w 0 0 h x y cm
     # BI … EI Q` producer idiom)
@@ -765,6 +801,27 @@ def _parse_content(content, runs, figures, cfg, fonts=None):
             if not in_text:
                 # unit image square scaled by (a, d), placed at (e, f)
                 figures.append((ctm[2], ctm[3], ctm[0], ctm[1]))
+        elif t == "Do" and last_name is not None:
+            # XObject invocation: image → figure placed by the current
+            # cm (as for inline images); Form → recursively tokenize its
+            # content stream with the FORM's own resources, then
+            # translate its runs/figures by the cm translation (the
+            # `q 1 0 0 1 x y cm /Fm Do Q` producer idiom — subset:
+            # translation only, as for all placement here)
+            xo = (xobjs or {}).get(last_name)
+            if xo is not None and not in_text:
+                if xo[0] == "image":
+                    figures.append((ctm[2], ctm[3], ctm[0], ctm[1]))
+                elif xo[0] == "form" and depth < 8:
+                    fr, ff = _parse_content(
+                        xo[1], [], [], cfg, xo[2], xo[3], depth + 1)
+                    dx, dy = ctm[2], ctm[3]
+                    for tr in fr:
+                        tr.x += dx
+                        tr.y += dy
+                    runs.extend(fr)
+                    figures.extend(
+                        (fx + dx, fy + dy, fw, fh) for fx, fy, fw, fh in ff)
         if t not in ("[", "]"):
             stack = stack[-8:]  # bound the stack; operands are consumed loosely
     return runs, figures
@@ -926,7 +983,8 @@ def _stream_obj(content: str, compress: bool) -> str:
 
 
 def write_pdf(blocks: list[dict], compress: bool = False,
-              xref_stream: bool = False, type0: bool = False) -> bytes:
+              xref_stream: bool = False, type0: bool = False,
+              form_xobject: bool = False) -> bytes:
     """Serialize blocks → a minimal well-formed single-page PDF.
 
     Each block dict: {"kind": "text"|"table"|"header"|"footer"|"figure",
@@ -941,37 +999,66 @@ def write_pdf(blocks: list[dict], compress: bool = False,
     combinations (Type0 requires the structured xref-driven parse).
     """
     return write_pdf_pages([blocks], compress=compress,
-                           xref_stream=xref_stream, type0=type0)
+                           xref_stream=xref_stream, type0=type0,
+                           form_xobject=form_xobject)
 
 
 def write_pdf_pages(pages: list[list[dict]], compress: bool = False,
-                    xref_stream: bool = False, type0: bool = False) -> bytes:
+                    xref_stream: bool = False, type0: bool = False,
+                    form_xobject: bool = False) -> bytes:
     """Multi-page variant: one content stream per page, each page its
     own coordinate space (the standard producer layout the per-stream
-    extractor ordering relies on)."""
+    extractor ordering relies on).  ``form_xobject=True`` moves each
+    page's real content into a /Subtype /Form XObject invoked from a
+    thin ``q 1 0 0 1 0 0 cm /Fm1 Do Q`` wrapper stream — the layout
+    letterheads/stamps/imposition tools emit; extraction must be
+    identical to the plain layout (A/B-tested)."""
     if xref_stream:
         return _write_pdf_xref_stream(pages, compress, type0)
     n = len(pages)
     cmap = _char_table(pages) if type0 else None
     font_num, tounicode_num = 3 + 2 * n, 4 + 2 * n
-    res = (f" /Resources << /Font << /F1 {font_num} 0 R >> >>"
-           if type0 else "")
+    form_base = font_num + (2 if type0 else 0)
+    res_parts = []
+    if type0:
+        res_parts.append(f"/Font << /F1 {font_num} 0 R >>")
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n))
     objs = [
         "<< /Type /Catalog /Pages 2 0 R >>",
         f"<< /Type /Pages /Kids [{kids}] /Count {n} >>",
     ]
     for i, blocks in enumerate(pages):
+        page_res = list(res_parts)
+        if form_xobject:
+            page_res.append(f"/XObject << /Fm1 {form_base + i} 0 R >>")
+        res = (" /Resources << " + " ".join(page_res) + " >>"
+               if page_res else "")
         objs.append(
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
             f"/Contents {4 + 2 * i} 0 R{res} >>"
         )
-        objs.append(_stream_obj(_page_content(blocks, cmap), compress))
+        objs.append(_stream_obj(
+            "q 1 0 0 1 0 0 cm /Fm1 Do Q\n" if form_xobject
+            else _page_content(blocks, cmap), compress))
     if type0:
         objs.append(
             f"<< /Type /Font /Subtype /Type0 /BaseFont /Synth "
             f"/Encoding /Identity-H /ToUnicode {tounicode_num} 0 R >>")
         objs.append(_stream_obj(_cmap_text(cmap), compress))
+    if form_xobject:
+        for i, blocks in enumerate(pages):
+            content = _page_content(blocks, cmap)
+            body = _stream_obj(content, compress)
+            # graft the Form XObject keys into the stream's dict; the
+            # form re-declares the page's font resources so its own
+            # /Resources resolve Type0 strings during the recursive parse
+            form_res = (f" /Resources << /Font << /F1 {font_num} 0 R >> >>"
+                        if type0 else "")
+            body = body.replace(
+                "<< /Length",
+                "<< /Type /XObject /Subtype /Form "
+                f"/BBox [0 0 612 792]{form_res} /Length", 1)
+            objs.append(body)
     out = ["%PDF-1.4\n"]
     offsets = []
     pos = len(out[0])

@@ -68,6 +68,33 @@ def split_train_holdout(spark, sf):
 
 
 @q(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {_H4_SQL} % 100 <
+          CASE lang WHEN 'en' THEN 20 WHEN 'de' THEN 50 ELSE 100 END
+    """,
+)
+def sample_stratified(spark, sf):
+    """Stratified sampling with per-class rates (downsample the
+    over-represented language, keep the rare ones whole): the SAME
+    portable hash as sample_deterministic, compared against a per-class
+    threshold — so the strata are mutually consistent (a doc's fate
+    depends only on its id and class), the plan is a pure pushdown-
+    composable filter with zero shuffles, and re-running on a grown
+    corpus never un-samples a previously kept doc.  Common rebalancing
+    shape for multilingual corpora (e.g. 20% of 'en', 50% of 'de', all
+    of everything else)."""
+    d = t(spark, sf, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", 20)
+        .when(F.col("lang") == "de", 50)
+        .otherwise(100)
+    )
+    return d.filter(F.expr(_H4) % 100 < rate).select("doc_id", "lang", "source")
+
+
+@q(
     "sample_cap_per_source",
     oracle=f"""
     SELECT doc_id, source FROM (

@@ -315,6 +315,25 @@ class ParquetManifestTable:
         paths = [e["path"] for e in entries]
         return spark.read.option("basePath", self.data_dir).parquet(*paths)
 
+    def read_incremental(self, spark: SparkSession,
+                         since: int) -> DataFrame:
+        """Rows committed AFTER snapshot ``since`` (Iceberg incremental
+        read): the set difference of manifest entries keyed on
+        (bucket, run), so a downstream consumer can process only new
+        data per poll without replaying the table.  Compacted-away
+        entries never re-appear as 'new': a compaction rewrites OLD rows
+        under a new run id, so consumers should poll between
+        maintenance windows or track doc-level watermarks on top."""
+        have = {(e["bucket"], e["run_id"])
+                for e in self._snapshot_entries(since)}
+        new = [e for e in self._load()["entries"]
+               if (e["bucket"], e["run_id"]) not in have]
+        if not new:
+            raise FileNotFoundError(
+                f"no entries committed after snapshot {since} in {self.root}")
+        return spark.read.option("basePath", self.data_dir).parquet(
+            *[e["path"] for e in new])
+
     def verify(self, spark: SparkSession) -> list[dict]:
         """Integrity audit: RE-COMPUTE each committed (bucket, run)'s
         doc count / span count / order-insensitive checksum from the

@@ -705,3 +705,59 @@ def test_inline_image_strips_payload_and_places_figure():
     texts = " ".join(t for _, t, _ in a)
     assert "fake" not in texts and "99" not in texts
     assert any(k == "figure" for k, _, _ in a)
+
+
+def test_form_xobject_extracts_identically():
+    """/Subtype /Form XObjects invoked via `/Fm1 Do` (the letterhead/
+    stamp/imposition layout): moving each page's real content into a
+    form — with the form carrying its OWN /Resources for fonts — must
+    not change a single extracted block vs the plain layout, across
+    compression and Type0 combinations."""
+    from ocr_spark.functions.pdfx import extract_pdf_blocks, write_pdf_pages
+
+    p1 = [
+        {"kind": "header", "x": 72, "y": 760, "lines": ["hdr alpha"]},
+        {"kind": "text", "x": 72, "y": 300,
+         "lines": ["page one low block words here ok"]},
+        {"kind": "figure", "x": 100, "y": 500, "w": 200, "h": 100},
+    ]
+    p2 = [{"kind": "text", "x": 72, "y": 700,
+           "lines": ["page two words", "second line content here"]}]
+    for type0 in (False, True):
+        for compress in (False, True):
+            plain = write_pdf_pages([p1, p2], compress=compress, type0=type0)
+            form = write_pdf_pages([p1, p2], compress=compress, type0=type0,
+                                   form_xobject=True)
+            assert b"/XObject << /Fm1" in form and b"/Subtype /Form" in form
+            a = [(b.kind, b.text, b.page, b.bbox)
+                 for b in extract_pdf_blocks(plain)]
+            b2 = [(b.kind, b.text, b.page, b.bbox)
+                  for b in extract_pdf_blocks(form)]
+            assert a == b2, (type0, compress, a, b2)
+
+
+def test_form_xobject_translation_places_content():
+    """A form invoked with a nonzero `cm` translation (the stamp idiom
+    `q 1 0 0 1 dx dy cm /Fm1 Do Q`) must shift the form's runs and
+    figures by (dx, dy): a block authored at y=300 inside the form,
+    stamped at dy=+9, places by its EFFECTIVE page position.  (The
+    patch keeps the wrapper stream's byte length constant so /Length
+    and the xref offsets stay valid.)"""
+    from ocr_spark.functions.pdfx import extract_pdf_blocks, write_pdf_pages
+
+    page = [
+        {"kind": "text", "x": 72, "y": 300,
+         "lines": ["stamped block words here ok"]},
+        {"kind": "figure", "x": 100, "y": 100, "w": 50, "h": 40},
+    ]
+    doc = write_pdf_pages([page], form_xobject=True)
+    moved = doc.replace(b"q 1 0 0 1 0 0 cm /Fm1 Do Q",
+                        b"q 1 0 0 1 5 9 cm /Fm1 Do Q")
+    assert moved != doc and len(moved) == len(doc)
+    base = {(b.kind, b.text): b.bbox for b in extract_pdf_blocks(doc)}
+    got = {(b.kind, b.text): b.bbox for b in extract_pdf_blocks(moved)}
+    assert set(got) == set(base)
+    for k, (x0, y0, x1, y1) in base.items():
+        gx0, gy0, gx1, gy1 = got[k]
+        assert (round(gx0 - x0), round(gy0 - y0)) == (5, 9), (k, base[k], got[k])
+        assert (round(gx1 - x1), round(gy1 - y1)) == (5, 9)

@@ -200,3 +200,21 @@ def test_vacuum_expires_snapshots(spark, tmp_path):
         tbl.read(spark, as_of=s1)
     assert _table_key(spark, tbl) == before
     assert tbl.verify(spark) == []
+
+
+def test_incremental_read_between_snapshots(spark, tmp_path):
+    """read_incremental(since=s) returns exactly the rows committed
+    after snapshot s — the Iceberg incremental-read pattern a polling
+    consumer uses to process only new data."""
+    import pytest
+
+    tbl = ParquetManifestTable(str(tmp_path / "t"))
+    _commit_wave(spark, tbl, "batch000000001", 0, 30)
+    s1 = tbl.snapshots()[-1]["snapshot_id"]
+    _commit_wave(spark, tbl, "batch000000002", 30, 50)
+    inc = sorted(r["doc_id"] for r in
+                 tbl.read_incremental(spark, since=s1).collect())
+    assert inc == [f"d{i:04d}" for i in range(30, 50)]
+    s2 = tbl.snapshots()[-1]["snapshot_id"]
+    with pytest.raises(FileNotFoundError, match="no entries committed"):
+        tbl.read_incremental(spark, since=s2)

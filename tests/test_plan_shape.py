@@ -114,3 +114,16 @@ def test_no_row_at_a_time_python(name, spark, sf_dir):
         pytest.skip("streaming query executes on construction")
     plan = _plan(registry.QUERIES[name](spark, sf_dir))
     assert "BatchEvalPython" not in plan, f"row-at-a-time Python UDF in {name}"
+
+
+def test_funnel_single_exchange_stacked_windows(spark, sf_dir):
+    """events_funnel's claim: the three chained conditional window
+    minima share one partition spec (user_id), so Catalyst plans ONE
+    hash exchange feeding stacked Window nodes, and the final per-user
+    aggregation reuses that partitioning — no per-step self-joins, no
+    extra shuffles (a k-step join-formulated funnel shuffles k+1
+    times)."""
+    plan = _plan(registry.QUERIES["events_funnel"](spark, sf_dir))
+    assert plan.count("Exchange") == 1, f"expected exactly 1 shuffle:\n{plan}"
+    assert plan.count("Window") >= 3  # one node per chained step
+    assert "Join" not in plan

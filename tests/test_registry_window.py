@@ -32,21 +32,33 @@ def test_never_checked_inside_window():
 
 
 def test_stalest_rows_inside_window():
-    """Every operator whose newest row predates the newest recorded
-    round must fit in the window — i.e. after the driver runs, no row is
-    more than one round stale.  If the demand ever exceeds the window,
-    this fails loudly instead of silently dropping coverage."""
+    """Staleness bound: after the driver runs this round's window, no
+    operator's newest CORRECTNESS row may be more than 2 rounds old.
+    Changed-this-round and never-checked entries must ALWAYS fit (their
+    absence would let a stale/absent row stand for a changed impl);
+    older-but-green rows may overflow the window only while they remain
+    within the 2-round bound — the rotation then picks them first next
+    round.  Fails loudly the moment demand outgrows what the rotation
+    can cover."""
     newest = registry._check_history()
     if not newest:  # no history files (fresh clone) — nothing to rotate
         return
     latest = max(newest.values())
-    stale = [n for n in registry.QUERIES if newest.get(n, 0) < latest]
-    demand = set(stale) | set(registry._CHANGED_THIS_ROUND)
-    assert len(demand) <= registry.DRIVER_WINDOW, (
-        f"window over-subscribed: {len(demand)} > {registry.DRIVER_WINDOW}")
     win = set(_window())
-    missing = sorted(demand - win)
-    assert not missing, f"stale-rowed queries outside window: {missing}"
+
+    hard = set(registry._CHANGED_THIS_ROUND) | {
+        n for n in registry.QUERIES if n not in newest}
+    missing_hard = sorted(hard - win)
+    assert not missing_hard, (
+        f"changed/never-checked queries outside window: {missing_hard}")
+
+    # overflow = green-rowed entries the window can't refresh this round
+    overflow = sorted(n for n in registry.QUERIES
+                      if n not in win and newest.get(n, 0) < latest)
+    too_stale = [n for n in overflow if (latest + 1) - newest[n] > 2]
+    assert not too_stale, (
+        f"rows would exceed the 2-round staleness bound: "
+        f"{[(n, newest[n]) for n in too_stale]}")
 
 
 def test_registered_names_unchanged_by_ordering():

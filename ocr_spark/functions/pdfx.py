@@ -776,7 +776,10 @@ def _parse_content(content, runs, figures, cfg, fonts=None, xobjs=None,
         elif t == "Tj" and stack and isinstance(stack[-1], str):
             if in_text and stack[-1]:
                 runs.append(TextRun(x, y, stack[-1], size))
-        elif t == "'" and stack and isinstance(stack[-1], str):
+        elif t in ("'", '"') and stack and isinstance(stack[-1], str):
+            # ' = next-line + show;  " = aw ac string " (word/char
+            # spacing set then next-line + show — spacing ignored here,
+            # as for Tc/Tw generally)
             y -= leading
             if in_text and stack[-1]:
                 runs.append(TextRun(x, y, stack[-1], size))

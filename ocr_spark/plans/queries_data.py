@@ -205,6 +205,131 @@ def pack_token_budget(spark, sf):
 
 
 @q(
+    "dedup_paragraphs",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_H4_SQL} AS h, string_split(trim(text), ' ') AS w
+      FROM documents
+    ),
+    paras AS (
+      SELECT doc_id, h, CAST(ceil(len(w) / 25.0) AS INT) AS n_paras,
+             c AS idx,
+             array_to_string(w[c*25+1 : c*25+25], ' ') AS para
+      FROM base,
+      UNNEST(generate_series(0, CAST(ceil(len(w) / 25.0) AS INT) - 1)) AS t(c)
+    ),
+    keep AS (
+      SELECT doc_id, n_paras, idx, para FROM (
+        SELECT doc_id, n_paras, idx, para,
+               ROW_NUMBER() OVER (PARTITION BY para
+                                  ORDER BY h, doc_id, idx) AS rn
+        FROM paras) WHERE rn = 1
+    )
+    SELECT doc_id, MAX(n_paras) AS n_paras,
+           CAST(COUNT(*) AS INT) AS n_kept,
+           array_to_string(list(para ORDER BY idx), ' ') AS text_dedup
+    FROM keep GROUP BY doc_id
+    """,
+)
+def dedup_paragraphs(spark, sf):
+    """Paragraph-level exact deduplication (CCNet-style): split each
+    document into paragraph units (25-word chunks here — the harness
+    corpus has no newlines), hash-dedup the units CORPUS-WIDE keeping
+    only the globally-first occurrence (first = smallest (doc-hash,
+    doc_id, idx), so the choice is deterministic and
+    partitioning-independent), then restitch each document from its
+    surviving units in original order.  Boilerplate that repeats across
+    a site disappears from every copy but one, while unique prose is
+    untouched — the standard pre-training pass between extraction and
+    exact/near doc-level dedup.
+
+    Plan shape at 100 TB: explode → groupBy(para) with min(struct)
+    (map-side partial agg, no window over the exploded corpus) → slim
+    4-column semi join back → groupBy(doc_id) restitch via
+    sort_array/array_join HOFs.  Two hash shuffles (para, doc_id), both
+    on well-distributed keys; the only wide rows are the final per-doc
+    reassembly."""
+    P = 25
+    d = t(spark, sf, "documents")
+    base = d.select(
+        "doc_id", F.expr(_H4).alias("h"), F.split(F.trim("text"), " ").alias("w")
+    )
+    paras = base.select(
+        "doc_id", "h",
+        F.ceil(F.size("w") / P).cast("int").alias("n_paras"),
+        F.posexplode(
+            F.expr(f"transform(sequence(0, cast(ceil(size(w) / {P}.0) as int) - 1),"
+                   f" c -> array_join(slice(w, c * {P} + 1, {P}), ' '))")
+        ).alias("idx", "para"),
+    )
+    first = (
+        paras.groupBy("para")
+        .agg(F.min(F.struct("h", "doc_id", "idx")).alias("win"))
+        .select("para", F.col("win.h").alias("h"),
+                F.col("win.doc_id").alias("doc_id"),
+                F.col("win.idx").alias("idx"))
+    )
+    keep = paras.join(first, ["para", "h", "doc_id", "idx"], "left_semi")
+    return keep.groupBy("doc_id").agg(
+        F.max("n_paras").alias("n_paras"),
+        F.count("*").cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("idx", "para"))),
+                        lambda s: s["para"]),
+            " ",
+        ).alias("text_dedup"),
+    )
+
+
+@q(
+    "filter_length_outliers",
+    oracle="""
+    SELECT doc_id, n_chars, b.lo, b.hi
+    FROM documents,
+         (SELECT quantile_disc(n_chars, 0.05) AS lo,
+                 quantile_disc(n_chars, 0.95) AS hi
+          FROM documents) b
+    WHERE n_chars BETWEEN b.lo AND b.hi
+    """,
+)
+def filter_length_outliers(spark, sf):
+    """Stats-gated length filter — the two-pass curation shape: pass 1
+    computes corpus length quantiles (p5/p95), pass 2 keeps documents
+    inside the band.  Truncated/empty shards and concatenation
+    accidents sit in the tails, and a RELATIVE band is robust where a
+    fixed threshold drifts as the corpus mix changes.
+
+    Exact type-1 quantiles (= DuckDB quantile_disc: first value whose
+    cumulative count reaches ceil(p*n)) via the same distinct-value
+    counting as agg_percentile: groupBy(n_chars) shrinks the corpus to
+    one row per distinct length BEFORE the single ordered window — the
+    window's input is bounded by value cardinality (hundreds for a
+    length-like column), never by corpus row count.  The one-row bounds
+    then broadcast back over the scan as a plain filter."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf, "documents")
+    counts = d.groupBy("n_chars").agg(F.count("*").alias("cnt"))
+    w_cum = (Window.orderBy("n_chars")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    e = (counts.withColumn("cum", F.sum("cnt").over(w_cum))
+         .withColumn("n", F.sum("cnt").over(
+             Window.rowsBetween(Window.unboundedPreceding,
+                                Window.unboundedFollowing))))
+    bounds = e.agg(
+        F.min(F.when(F.col("cum") >= F.ceil(F.lit(0.05) * F.col("n")),
+                     F.col("n_chars"))).alias("lo"),
+        F.min(F.when(F.col("cum") >= F.ceil(F.lit(0.95) * F.col("n")),
+                     F.col("n_chars"))).alias("hi"),
+    )
+    return (
+        d.join(F.broadcast(bounds))
+        .filter(F.col("n_chars").between(F.col("lo"), F.col("hi")))
+        .select("doc_id", "n_chars", "lo", "hi")
+    )
+
+
+@q(
     "text_pii_scrub",
     oracle=r"""
     SELECT doc_id,

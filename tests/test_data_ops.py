@@ -176,3 +176,55 @@ def test_multimodal_frame_raw_surface(spark):
         assert len({f["frame_sha"] for f in frames}) == len(frames)
         ts = [f["ts_ms"] for f in frames]
         assert ts == sorted(ts) and ts[0] >= 0 and ts[-1] < 60000
+
+
+def test_dedup_paragraphs_removes_shared_boilerplate(spark, tmp_path):
+    """Plant a shared 25-word boilerplate paragraph across three docs:
+    exactly one copy survives (in the doc that wins the deterministic
+    (hash, doc_id, idx) order), unique prose is untouched, and restitch
+    preserves each doc's original paragraph order."""
+    import os
+
+    boiler = " ".join(f"b{i}" for i in range(25))
+    uniq = {k: " ".join(f"u{k}w{i}" for i in range(25)) for k in (1, 2, 3)}
+    d = spark.createDataFrame(
+        [(1, boiler + " " + uniq[1]),
+         (2, boiler + " " + uniq[2]),
+         (3, uniq[3] + " " + boiler)],
+        "doc_id long, text string",
+    )
+    d.write.parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    out = {r["doc_id"]: r for r in
+           registry.QUERIES["dedup_paragraphs"](spark, str(tmp_path)).collect()}
+    assert {k: r["n_paras"] for k, r in out.items()} == {1: 2, 2: 2, 3: 2}
+    survivors = [k for k, r in out.items() if boiler in r["text_dedup"]]
+    assert len(survivors) == 1, survivors
+    for k in (1, 2, 3):
+        assert uniq[k] in out[k]["text_dedup"], k
+        assert out[k]["n_kept"] == (2 if k in survivors else 1)
+    # restitch order: the winner keeps its ORIGINAL order
+    w = survivors[0]
+    want = (uniq[3] + " " + boiler) if w == 3 else (boiler + " " + uniq[w])
+    assert out[w]["text_dedup"] == want
+
+
+def test_dedup_paragraphs_nonvacuous_on_corpus(spark, sf_dir):
+    out = registry.QUERIES["dedup_paragraphs"](spark, sf_dir)
+    agg = out.agg(F.sum("n_paras").alias("t"), F.sum("n_kept").alias("k")).collect()[0]
+    assert agg["t"] > agg["k"], "corpus has no duplicate paragraphs - vacuous"
+
+
+def test_length_filter_band_is_exact_quantiles(spark, sf_dir):
+    import duckdb
+
+    out = registry.QUERIES["filter_length_outliers"](spark, sf_dir)
+    row = out.select("lo", "hi").distinct().collect()
+    assert len(row) == 1
+    lo, hi = row[0]["lo"], row[0]["hi"]
+    want = duckdb.sql(
+        f"SELECT quantile_disc(n_chars, 0.05), quantile_disc(n_chars, 0.95) "
+        f"FROM '{sf_dir}/documents.parquet'").fetchall()[0]
+    assert (lo, hi) == want
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    kept = out.count()
+    assert 0 < kept < n_docs, "band kept everything (or nothing) - vacuous"

@@ -761,3 +761,20 @@ def test_form_xobject_translation_places_content():
         gx0, gy0, gx1, gy1 = got[k]
         assert (round(gx0 - x0), round(gy0 - y0)) == (5, 9), (k, base[k], got[k])
         assert (round(gx1 - x1), round(gy1 - y1)) == (5, 9)
+
+
+def test_quote_show_operators_advance_line():
+    """' (next-line + show) and " (spacing + next-line + show) must each
+    advance by the leading and emit the string — real producers use them
+    for line-by-line text."""
+    from ocr_spark.config import DEFAULT
+    from ocr_spark.functions.pdfx import _parse_content
+
+    content = ('BT /F1 12 Tf 14 TL 72 700 Td (first line here) Tj '
+               '0.25 0.1 (second via quote) " (third) \' ET')
+    runs, _ = _parse_content(content, [], [], DEFAULT)
+    assert [(r.y, r.text) for r in runs] == [
+        (700.0, "first line here"),
+        (686.0, "second via quote"),
+        (672.0, "third"),
+    ]

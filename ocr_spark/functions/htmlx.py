@@ -13,8 +13,10 @@ independent test oracle implement):
     boilerplate wholesale (never emitted)
   - text binds to the innermost open block; ``<a>`` text also counts
     toward the block's link-char total
-  - ``<img src=...>`` emits a media item at its position in the block
-    stream, media_ref = the src attribute
+  - resource-bearing elements (``img``, ``video``, ``audio``,
+    ``source``) emit a media item at their position in the block
+    stream, media_ref = the src attribute (else the first ``srcset``
+    candidate URL); non-img tags emit only when they carry a reference
   - keep a block iff  link_ratio <= html_max_link_ratio AND
     words >= html_min_words,  OR tag in h1..h6 AND
     words >= html_heading_min_words
@@ -38,8 +40,24 @@ BLOCK_TAGS = {
 }
 SKIP_TAGS = {"nav", "header", "footer", "aside", "script", "style", "noscript"}
 HEADING_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
+#: resource-bearing elements that emit media items.  <img> emits
+#: unconditionally (legacy/golden behavior); the others only when they
+#: actually carry a reference, so a bare <video> container wrapping
+#: <source> children adds no empty item.  A <picture> fallback chain
+#: (<source srcset> + <img src>) therefore emits one item per candidate
+#: resource — downstream dedup by media_ref collapses them.
+MEDIA_TAGS = {"img", "video", "audio", "source"}
 
 _WS = re.compile(r"\s+")
+
+
+def _media_ref(attrs: dict) -> str:
+    """src, else the first srcset candidate URL ('url 640w, ...')."""
+    src = attrs.get("src") or ""
+    if src:
+        return src
+    srcset = (attrs.get("srcset") or "").strip()
+    return srcset.split(",")[0].split()[0] if srcset else ""
 
 
 @dataclass
@@ -87,16 +105,17 @@ class _BlockParser(HTMLParser):
             return
         if tag == "a":
             self._link += 1
-        if tag == "img":
-            src = dict(attrs).get("src") or ""
-            self.items.append((self._seq, "media", src))
-            self._seq += 1
+        if tag in MEDIA_TAGS:
+            ref = _media_ref(dict(attrs))
+            if ref or tag == "img":
+                self.items.append((self._seq, "media", ref))
+                self._seq += 1
         if tag in BLOCK_TAGS:
             self._open_block(tag)
 
     def handle_startendtag(self, tag, attrs):
         self.handle_starttag(tag, attrs)
-        if tag not in SKIP_TAGS and tag not in ("img",):
+        if tag not in SKIP_TAGS and tag not in ("img", "source"):
             self.handle_endtag(tag)
 
     def handle_endtag(self, tag):
@@ -139,6 +158,8 @@ _SCAN = re.compile(
     re.S,
 )
 _SRC = re.compile(r"""\bsrc\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
+_SRCSET = re.compile(
+    r"""\bsrcset\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
 
 
 def _scan_events(fragment: str, sink: "_BlockParser") -> None:
@@ -161,12 +182,16 @@ def _scan_events(fragment: str, sink: "_BlockParser") -> None:
         if closing:
             sink.handle_endtag(tag)
         else:
-            # attrs parsed lazily: only <img> needs one (src)
+            # attrs parsed lazily: only media tags need any (src/srcset)
             attrs = []
-            if tag == "img" and "src" in attrs_s.lower():
+            if tag in MEDIA_TAGS and "src" in attrs_s.lower():
                 a = _SRC.search(attrs_s)
                 if a:
-                    attrs = [("src", a.group(1) or a.group(2) or a.group(3))]
+                    attrs.append(("src", a.group(1) or a.group(2) or a.group(3)))
+                ss = _SRCSET.search(attrs_s)
+                if ss:
+                    attrs.append(
+                        ("srcset", ss.group(1) or ss.group(2) or ss.group(3)))
             if selfclose:
                 sink.handle_startendtag(tag, attrs)
             else:

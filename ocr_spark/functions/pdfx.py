@@ -48,6 +48,11 @@ Supported PDF subset (documented per SURVEY.md §7 "hard parts"):
     FORM's own /Resources (fonts + nested XObjects, depth-bounded) and
     its runs/figures translated by the ``cm`` translation — the
     letterhead/stamp/imposition layout real producers emit
+  - page ``/Rotate`` 90/180/270 (inheritable, resolved down the page
+    tree like /MediaBox): runs/figures are remapped into DISPLAY space
+    so reading order and header/footer band classification match what a
+    viewer shows (the scanned-sideways/upside-down case); position
+    mapping only — glyph orientation is not modeled
 
 Everything here is pure Python over bytes/str — it runs vectorized over
 Arrow batches inside mapInPandas (no Spark imports in this module).
@@ -394,19 +399,23 @@ class _Doc:
         return self._objstm(ent[1]).get(num), None
 
     # -- page tree ----------------------------------------------------------
-    def page_contents(self) -> list[tuple[bytes, dict, dict]]:
-        """(decoded content bytes, font map, xobject map) per page in
-        page-tree order.  Font map: font resource name (str, e.g. 'F1')
-        → ToUnicode CMap dict for Type0/CID fonts that carry one; empty
-        for simple fonts.  XObject map: see _page_xobjects."""
+    def page_contents(self) -> list[tuple[bytes, dict, dict, int, tuple]]:
+        """(decoded content bytes, font map, xobject map, rotate,
+        (media W, media H)) per page in page-tree order.  Font map: font
+        resource name (str, e.g. 'F1') → ToUnicode CMap dict for
+        Type0/CID fonts that carry one; empty for simple fonts.  XObject
+        map: see _page_xobjects.  /Rotate and /MediaBox are INHERITABLE
+        page attributes (PDF 32000 §7.7.3.4): a value on a /Pages node
+        applies to every descendant page unless overridden."""
         if self.root is None:
             raise ValueError("no /Root")
         cat = self.obj(self.root)
         if not cat or cat[0] is None:
             raise ValueError("bad catalog")
         pages_ref = _dict_ref(cat[0], b"Pages")
-        out: list[tuple[bytes, dict]] = []
-        self._walk_pages(pages_ref, out, depth=0)
+        out: list[tuple] = []
+        self._walk_pages(pages_ref, out, depth=0,
+                         rotate=0, media=(612.0, 792.0))
         if not out:
             raise ValueError("empty page tree")
         return out
@@ -460,18 +469,30 @@ class _Doc:
                     _decode_stream_body(cm[0], cm[1]))
         return fonts
 
-    def _walk_pages(self, num: int | None, out: list, depth: int):
+    def _walk_pages(self, num: int | None, out: list, depth: int,
+                    rotate: int = 0, media: tuple = (612.0, 792.0)):
         if num is None or depth > 32:
             return
         node = self.obj(num)
         if not node or node[0] is None:
             raise ValueError(f"missing page-tree node {num}")
         d = node[0]
+        # inheritable attributes: this node's value (if any) overrides
+        rm = re.search(rb"/Rotate\s+(-?\d+)", d)
+        if rm:
+            rotate = int(rm.group(1)) % 360
+        mb = re.search(
+            rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)"
+            rb"\s+([\d.+-]+)\s*\]", d)
+        if mb:
+            x0, y0, x1, y1 = (float(mb.group(i)) for i in range(1, 5))
+            media = (x1 - x0, y1 - y0)
         typ = _dict_name(d, b"Type")
         if typ == b"Pages":
             kids = _dict_arr(d, b"Kids") or b""
             for km in re.finditer(rb"(\d+)\s+\d+\s+R\b", kids):
-                self._walk_pages(int(km.group(1)), out, depth + 1)
+                self._walk_pages(int(km.group(1)), out, depth + 1,
+                                 rotate, media)
         elif typ == b"Page":
             parts: list[bytes] = []
             carr = _dict_arr(d, b"Contents")
@@ -486,7 +507,7 @@ class _Doc:
                     raise ValueError(f"missing content stream {ref}")
                 parts.append(_decode_stream_body(c[0], c[1]))
             out.append((b"\n".join(parts), self._page_fonts(d),
-                        self._page_xobjects(d)))
+                        self._page_xobjects(d), rotate, media))
 
 
 def parse_tounicode_cmap(data: bytes) -> dict[int, str]:
@@ -534,8 +555,8 @@ def _structured_page_contents(
     the positional stream scan (which has no font or xobject tables:
     Type0 decode and /Do dispatch need the structure)."""
     try:
-        return [(c.decode("latin-1"), fonts, xobjs)
-                for c, fonts, xobjs in _Doc(data).page_contents()]
+        return [(c.decode("latin-1"), fonts, xobjs, rot, media)
+                for c, fonts, xobjs, rot, media in _Doc(data).page_contents()]
     except Exception:
         return None
 
@@ -643,14 +664,49 @@ def tokenize_pdf(data: bytes, cfg: ExtractConfig = DEFAULT) -> tuple[list[TextRu
     figures: list[tuple[int, float, float, float, float]] = []
     pages = _structured_page_contents(data)
     if pages is None:
-        pages = [(content, {}, {}) for content in _stream_contents(data)]
-    for page, (content, fonts, xobjs) in enumerate(pages):
+        pages = [(content, {}, {}, 0, (612.0, 792.0))
+                 for content in _stream_contents(data)]
+    for page, (content, fonts, xobjs, rot, media) in enumerate(pages):
         r, f = _parse_content(content, [], [], cfg, fonts, xobjs)
+        if rot in (90, 180, 270):
+            r, f = _apply_rotation(r, f, rot, media)
         for tr in r:
             tr.page = page
         runs.extend(r)
         figures.extend((page, *fig) for fig in f)
     return runs, figures
+
+
+def _rot_point(x: float, y: float, rot: int, media: tuple) -> tuple:
+    """Content-space point → display-space point under the page's
+    /Rotate (clockwise degrees).  Display dims: (W, H) for 0/180,
+    (H, W) for 90/270."""
+    W, H = media
+    if rot == 90:
+        return (y, W - x)
+    if rot == 180:
+        return (W - x, H - y)
+    if rot == 270:
+        return (H - y, x)
+    return (x, y)
+
+
+def _apply_rotation(runs, figures, rot: int, media: tuple):
+    """Remap runs/figures into DISPLAY space so line grouping, reading
+    order, and header/footer band classification see the page as a
+    viewer does (an upside-down-scanned page with /Rotate 180 keeps its
+    header at the display top).  Subset: POSITION mapping only — glyph
+    orientation is not modeled (text content comes from the show
+    operators either way), consistent with the translation-only
+    placement convention of this parser."""
+    for tr in runs:
+        tr.x, tr.y = _rot_point(tr.x, tr.y, rot, media)
+    out_figs = []
+    for fx, fy, fw, fh in figures:
+        x0, y0 = _rot_point(fx, fy, rot, media)
+        x1, y1 = _rot_point(fx + fw, fy + fh, rot, media)
+        out_figs.append((min(x0, x1), min(y0, y1), abs(x1 - x0), abs(y1 - y0)))
+    return runs, out_figs
 
 
 # container-stream types whose bodies are NOT page content — the
@@ -985,9 +1041,35 @@ def _stream_obj(content: str, compress: bool) -> str:
     return f"<< /Length {len(content)} >>\nstream\n{content}\nendstream"
 
 
+def _rot_author_blocks(blocks: list[dict], rotate: int) -> list[dict]:
+    """Author blocks in rotated content space: inverse-map each DISPLAY
+    position through the page /Rotate so a viewer (and the extractor's
+    display-space remap) sees the original layout.  Multi-line text
+    blocks become per-line blocks with explicit positions — the plain
+    writer steps lines via T* (content -y), which is not the display
+    'down' direction on a rotated page."""
+    W, H = (792.0, 612.0) if rotate in (90, 270) else (612.0, 792.0)
+    inv = {90: lambda x, y: (W - y, x),
+           180: lambda x, y: (W - x, H - y),
+           270: lambda x, y: (y, H - x)}[rotate]
+    out = []
+    for b in blocks:
+        if b["kind"] == "figure":
+            x0, y0 = inv(b["x"], b["y"])
+            x1, y1 = inv(b["x"] + b["w"], b["y"] + b["h"])
+            out.append({"kind": "figure", "x": min(x0, x1), "y": min(y0, y1),
+                        "w": abs(x1 - x0), "h": abs(y1 - y0)})
+        else:
+            for i, line in enumerate(b["lines"]):
+                cx, cy = inv(b["x"], b["y"] - 14.0 * i)
+                out.append({"kind": b["kind"], "x": cx, "y": cy,
+                            "lines": [line]})
+    return out
+
+
 def write_pdf(blocks: list[dict], compress: bool = False,
               xref_stream: bool = False, type0: bool = False,
-              form_xobject: bool = False) -> bytes:
+              form_xobject: bool = False, rotate: int = 0) -> bytes:
     """Serialize blocks → a minimal well-formed single-page PDF.
 
     Each block dict: {"kind": "text"|"table"|"header"|"footer"|"figure",
@@ -1003,21 +1085,31 @@ def write_pdf(blocks: list[dict], compress: bool = False,
     """
     return write_pdf_pages([blocks], compress=compress,
                            xref_stream=xref_stream, type0=type0,
-                           form_xobject=form_xobject)
+                           form_xobject=form_xobject, rotate=rotate)
 
 
 def write_pdf_pages(pages: list[list[dict]], compress: bool = False,
                     xref_stream: bool = False, type0: bool = False,
-                    form_xobject: bool = False) -> bytes:
+                    form_xobject: bool = False, rotate: int = 0) -> bytes:
     """Multi-page variant: one content stream per page, each page its
     own coordinate space (the standard producer layout the per-stream
     extractor ordering relies on).  ``form_xobject=True`` moves each
     page's real content into a /Subtype /Form XObject invoked from a
     thin ``q 1 0 0 1 0 0 cm /Fm1 Do Q`` wrapper stream — the layout
     letterheads/stamps/imposition tools emit; extraction must be
-    identical to the plain layout (A/B-tested)."""
+    identical to the plain layout (A/B-tested).  ``rotate`` ∈ {90, 180,
+    270} authors every page IN ROTATED CONTENT SPACE (the
+    scanned-sideways/upside-down producer case): each display line's
+    position is inverse-mapped into content coordinates, the MediaBox
+    swaps to landscape for 90/270, and /Rotate is declared ONCE on the
+    /Pages node (exercising inheritable-attribute resolution).
+    Classic layout only (not combined with xref_stream/form_xobject)."""
     if xref_stream:
         return _write_pdf_xref_stream(pages, compress, type0)
+    if rotate in (90, 180, 270):
+        pages = [_rot_author_blocks(blocks, rotate) for blocks in pages]
+    media = "0 0 792 612" if rotate in (90, 270) else "0 0 612 792"
+    rot_attr = f" /Rotate {rotate}" if rotate in (90, 180, 270) else ""
     n = len(pages)
     cmap = _char_table(pages) if type0 else None
     font_num, tounicode_num = 3 + 2 * n, 4 + 2 * n
@@ -1028,7 +1120,7 @@ def write_pdf_pages(pages: list[list[dict]], compress: bool = False,
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n))
     objs = [
         "<< /Type /Catalog /Pages 2 0 R >>",
-        f"<< /Type /Pages /Kids [{kids}] /Count {n} >>",
+        f"<< /Type /Pages /Kids [{kids}] /Count {n}{rot_attr} >>",
     ]
     for i, blocks in enumerate(pages):
         page_res = list(res_parts)
@@ -1037,7 +1129,7 @@ def write_pdf_pages(pages: list[list[dict]], compress: bool = False,
         res = (" /Resources << " + " ".join(page_res) + " >>"
                if page_res else "")
         objs.append(
-            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [{media}] "
             f"/Contents {4 + 2 * i} 0 R{res} >>"
         )
         objs.append(_stream_obj(

@@ -78,7 +78,7 @@ def _html_payload(rng: random.Random, doc_id: str, heft: int = 1) -> str:
 
 def _pdf_payload(rng: random.Random, heft: int = 1,
                  compress: bool = False, xref_stream: bool = False,
-                 type0: bool = False) -> str:
+                 type0: bool = False, form_xobject: bool = False) -> str:
     blocks = [
         {"kind": "header", "x": 72, "y": 760, "lines": [f"Page header {_words(rng, 2)}"]},
     ]
@@ -103,12 +103,13 @@ def _pdf_payload(rng: random.Random, heft: int = 1,
         blocks.append({"kind": "figure", "x": 100, "y": max(y - 90, 60), "w": 120, "h": 80})
     blocks.append({"kind": "footer", "x": 72, "y": 30, "lines": ["p. 1"]})
     return write_pdf(blocks, compress=compress, xref_stream=xref_stream,
-                     type0=type0).decode("latin-1")
+                     type0=type0, form_xobject=form_xobject).decode("latin-1")
 
 
 def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
              heft: int = 1, compress_every: int = 0,
-             xref_every: int = 0, type0_every: int = 0) -> dict:
+             xref_every: int = 0, type0_every: int = 0,
+             form_every: int = 0) -> dict:
     """Pure function (seed, i) → one interleaved document row.
 
     ``heft`` multiplies per-payload content volume (paragraphs / PDF text
@@ -127,7 +128,12 @@ def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
     through a synthetic Type0/Identity-H font + ToUnicode CMap (subset
     embedded fonts — requires the structured parse, so type0 spans are
     always also written xref_stream); 0 = never (corpus bit-identical
-    to the pinned goldens)."""
+    to the pinned goldens).  ``form_every=N`` moves every Nth PDF
+    span's page content into a /Subtype /Form XObject invoked from a
+    thin wrapper stream (the letterhead/stamp layout); form spans stay
+    classic-xref — the synthetic writer doesn't emit the
+    form+xref-stream combination, though the READER resolves forms
+    through either xref layout (object lookup is layout-independent)."""
     doc_id = f"doc{i:08d}"
     rng = _rng(seed, "doc", i)
     n = 1 + min(int(rng.lognormvariate(0.8, 0.7)), 40)
@@ -148,9 +154,12 @@ def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
             comp = bool(compress_every) and (i + j) % compress_every == 0
             xrs = bool(xref_every) and (i + j) % xref_every == 0
             t0f = bool(type0_every) and (i + j) % type0_every == 0
+            frm = (bool(form_every) and (i + j) % form_every == 0
+                   and not (xrs or t0f))
             sp = {"kind": "pdf_bytes",
                   "text": _pdf_payload(srng, heft, compress=comp,
-                                       xref_stream=xrs or t0f, type0=t0f),
+                                       xref_stream=xrs or t0f, type0=t0f,
+                                       form_xobject=frm),
                   "media_ref": None, "offset": offset}
         else:
             sp = {"kind": "media", "text": None,
@@ -161,10 +170,11 @@ def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
 
 def make_docs(n_docs: int, seed: int = 42, mega_every: int = 1000,
               heft: int = 1, compress_every: int = 0,
-              xref_every: int = 0, type0_every: int = 0) -> list[dict]:
+              xref_every: int = 0, type0_every: int = 0,
+              form_every: int = 0) -> list[dict]:
     """Driver-side generation for small test fixtures (pure Python)."""
     return [make_doc(i, seed, mega_every, heft, compress_every, xref_every,
-                     type0_every)
+                     type0_every, form_every)
             for i in range(n_docs)]
 
 

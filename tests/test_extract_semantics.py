@@ -778,3 +778,84 @@ def test_quote_show_operators_advance_line():
         (686.0, "second via quote"),
         (672.0, "third"),
     ]
+
+
+def test_form_xobject_corpus_extracts_identically(spark):
+    """Corpus-wide A/B for the form-XObject layout: moving every
+    classic-layout PDF span's page content into a /Subtype /Form
+    invoked via `/Fm1 Do` (half also flate-compressed) must not change
+    a single extracted span vs the plain corpus."""
+    from ocr_spark.sources.corpus import make_docs
+
+    plain = make_docs(80, seed=27, mega_every=40, compress_every=2)
+    formed = make_docs(80, seed=27, mega_every=40, compress_every=2,
+                       form_every=1)
+    n_changed = sum(
+        1 for dp, dc in zip(plain, formed)
+        for sp, sc in zip(dp["spans"], dc["spans"]) if sp["text"] != sc["text"]
+    )
+    assert n_changed > 0, "fixture rewrote nothing in the form layout"
+
+    out = {}
+    for tag, docs in (("plain", plain), ("formed", formed)):
+        df = spark.createDataFrame(
+            [(d["doc_id"], [tuple(s.values()) for s in d["spans"]]) for d in docs],
+            SPAN_SCHEMA_DDL,
+        ).repartition(5)
+        rows = extract_stage(df).collect()
+        out[tag] = _canonical([r.asDict(recursive=True) for r in rows])
+    assert out["plain"] == out["formed"]
+
+
+def test_html_media_tags_emit_refs():
+    """video/audio/source emit media items (src, else first srcset
+    candidate); bare containers add nothing; skip subtrees still
+    suppress; fast scanner ≡ stdlib parser on media-rich fragments."""
+    from ocr_spark.functions.htmlx import tokenize_html
+
+    frag = (
+        '<html><body>'
+        '<p>some real content words here for the block to survive ok</p>'
+        '<video src="vid://a.mp4"></video>'
+        '<audio src="aud://b.ogg"/>'
+        '<picture><source srcset="img://big.png 1280w, img://small.png 640w">'
+        '<img src="img://fallback.png"/></picture>'
+        '<video><source src="vid://c.webm"></video>'
+        '<nav><video src="vid://skipme.mp4"></video></nav>'
+        '</body></html>'
+    )
+    items = tokenize_html(frag)
+    assert items == tokenize_html(frag, use_stdlib=True)
+    media = [it.media_ref for it in items if it.kind == "media"]
+    assert media == ["vid://a.mp4", "aud://b.ogg", "img://big.png",
+                     "img://fallback.png", "vid://c.webm"]
+
+
+def test_rotated_pages_extract_identically():
+    """/Rotate 90/180/270 (declared once on the /Pages node —
+    inheritable-attribute resolution) with content authored in rotated
+    space: extraction must equal the unrotated twin block-for-block,
+    bbox included — reading order and header/footer classification are
+    display-space properties."""
+    from ocr_spark.functions.pdfx import extract_pdf_blocks, write_pdf_pages
+
+    p1 = [
+        {"kind": "header", "x": 72, "y": 760, "lines": ["hdr alpha words"]},
+        {"kind": "text", "x": 72, "y": 300,
+         "lines": ["page one low block words here ok",
+                   "second line content here"]},
+        {"kind": "figure", "x": 100, "y": 500, "w": 200, "h": 100},
+        {"kind": "footer", "x": 72, "y": 30, "lines": ["p. 1"]},
+    ]
+    p2 = [{"kind": "text", "x": 72, "y": 700,
+           "lines": ["page two words", "more words here"]}]
+    base = [(b.kind, b.text, b.page, b.bbox)
+            for b in extract_pdf_blocks(write_pdf_pages([p1, p2]))]
+    assert any(k == "boilerplate" for k, _, _, _ in base)
+    for rot in (90, 180, 270):
+        for compress in (False, True):
+            doc = write_pdf_pages([p1, p2], compress=compress, rotate=rot)
+            assert f"/Rotate {rot}".encode() in doc
+            got = [(b.kind, b.text, b.page, b.bbox)
+                   for b in extract_pdf_blocks(doc)]
+            assert got == base, (rot, compress, got)

@@ -27,6 +27,14 @@ class ExtractConfig:
     table_min_lines: int = 2                # a table block has >= this many lines
     table_col_gap_frac: float = 0.6         # ... and >= this fraction of columnar lines
     tj_space_kern: float = -100.0           # TJ adjustment below this inserts a space
+    # multi-column reading order: a page splits at a vertical gutter —
+    # an x-gap no body run crosses — at least this wide (pt), provided
+    # both sides hold at least column_min_lines runs.  Full-width runs
+    # inside the header/footer bands (titles, page numbers) are excluded
+    # from gutter DETECTION (they span it by design) but still get a
+    # column assigned for ordering.  0 disables detection.
+    column_gutter_min: float = 24.0
+    column_min_lines: int = 3
 
     # ---- skew handling (E2) ----
     # Stable bucket count for lineage/restart AND the salted shuffle key:

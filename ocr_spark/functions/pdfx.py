@@ -23,7 +23,7 @@ Supported PDF subset (documented per SURVEY.md §7 "hard parts"):
       ``Tf`` (font size), ``Td``/``TD`` (translate; TD also sets leading),
       ``TL`` (leading), ``T*`` (next line), ``Tm`` (set matrix — e,f used),
       ``Tj`` (show string), ``TJ`` (show array; kern < tj_space_kern
-      inserts one space), ``'`` (T* + Tj)
+      inserts one space), ``'`` (T* + Tj), ``"`` (spacing + T* + Tj)
   - string escapes: ``\\``, ``\(``, ``\)``, ``\n``, ``\r``, ``\t``, octal
   - hex strings ``<4869>`` (whitespace ignored, odd length zero-padded)
   - UTF-16BE text strings (FE FF BOM), literal or hex — the standard
@@ -53,6 +53,11 @@ Supported PDF subset (documented per SURVEY.md §7 "hard parts"):
     so reading order and header/footer band classification match what a
     viewer shows (the scanned-sideways/upside-down case); position
     mapping only — glyph orientation is not modeled
+  - multi-column reading order: per page, vertical gutters (x-gaps no
+    body run crosses, ≥ column_gutter_min) split runs into columns read
+    left→right before top→bottom; header/footer-band runs are excluded
+    from detection (full-width titles span the gutter by design) but
+    ordered with column 0; single-column pages take the untouched path
 
 Everything here is pure Python over bytes/str — it runs vectorized over
 Arrow batches inside mapInPandas (no Spark imports in this module).
@@ -621,6 +626,7 @@ class TextRun:
     text: str
     size: float
     page: int = 0
+    col: int = 0
 
 
 @dataclass
@@ -631,6 +637,7 @@ class PdfLine:
     text: str
     size: float
     page: int = 0
+    col: int = 0
 
 
 @dataclass
@@ -639,6 +646,7 @@ class PdfBlock:
     lines: list[PdfLine] = field(default_factory=list)
     bbox: tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
     page: int = 0
+    col: int = 0
 
     @property
     def text(self) -> str:
@@ -886,43 +894,119 @@ def _parse_content(content, runs, figures, cfg, fonts=None, xobjs=None,
     return runs, figures
 
 
-def group_lines(runs: list[TextRun]) -> list[PdfLine]:
-    """Group runs by (page, y) (y within 0.5pt) → lines; x-ordered text;
-    line order = page, then top of page first."""
-    lines: list[PdfLine] = []
-    by_key: dict[tuple[int, float], list[TextRun]] = {}
+def assign_columns(runs, figures, cfg: ExtractConfig = DEFAULT):
+    """Multi-column reading order: per page, find vertical gutters — an
+    x-gap at least ``column_gutter_min`` wide that no BODY run's
+    estimated extent crosses — and assign every run/figure a column
+    index (left→right).  Runs inside the header/footer bands (titles,
+    page numbers) are excluded from gutter detection, since full-width
+    banners legitimately span the gutter, but are still assigned a
+    column so a centered title (col 0) precedes both columns' body.
+    Single-column pages (no qualifying gutter) are untouched — the
+    whole synthetic corpus and the pinned goldens take that path.
+
+    Figures in: (page, x, y, w, h); out: (page, col, x, y, w, h)."""
+    by_page: dict[int, list[TextRun]] = {}
     for r in runs:
-        key = (r.page, round(r.y * 2) / 2)
+        by_page.setdefault(r.page, []).append(r)
+    bounds_by_page = {
+        page: _column_bounds(rs, cfg) for page, rs in by_page.items()
+    }
+
+    def col_of(page: int, x: float) -> int:
+        c = 0
+        for b in bounds_by_page.get(page, ()):
+            if x >= b:
+                c += 1
+        return c
+
+    for r in runs:
+        r.col = col_of(r.page, r.x)
+    out_figs = [(pg, col_of(pg, rx), rx, ry, rw, rh)
+                for pg, rx, ry, rw, rh in figures]
+    return runs, out_figs
+
+
+def _column_bounds(rs: list, cfg: ExtractConfig) -> list[float]:
+    """Gutter center x-positions for one page's runs (possibly several —
+    3-column layouts split recursively by construction: every gap in the
+    merged-interval walk is its own boundary)."""
+    if not cfg.column_gutter_min or len(rs) < 2 * cfg.column_min_lines:
+        return []
+    top_band = cfg.page_height * (1.0 - cfg.header_footer_band)
+    bot_band = cfg.page_height * cfg.header_footer_band
+    body = [r for r in rs if bot_band < r.y < top_band]
+    if len(body) < 2 * cfg.column_min_lines:
+        return []
+    ivs = sorted((r.x, r.x + 0.5 * r.size * len(r.text)) for r in body)
+    merged: list[list[float]] = []
+    for a, b in ivs:
+        if merged and a <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], b)
+        else:
+            merged.append([a, b])
+    bounds = []
+    for (_, b0), (a1, _) in zip(merged, merged[1:]):
+        if a1 - b0 < cfg.column_gutter_min:
+            continue
+        center = (b0 + a1) / 2
+        left = sum(1 for r in body if r.x < center)
+        right = sum(1 for r in body if r.x >= center)
+        if left >= cfg.column_min_lines and right >= cfg.column_min_lines:
+            bounds.append(center)
+    return bounds
+
+
+def group_lines(runs: list[TextRun]) -> list[PdfLine]:
+    """Group runs by (page, column, y) (y within 0.5pt) → lines;
+    x-ordered text; line order = page, then column left→right, then top
+    of page first — two runs at the same y in DIFFERENT columns are
+    different lines (merging them interleaves the columns' text)."""
+    lines: list[PdfLine] = []
+    by_key: dict[tuple[int, int, float], list[TextRun]] = {}
+    for r in runs:
+        key = (r.page, r.col, round(r.y * 2) / 2)
         by_key.setdefault(key, []).append(r)
-    for page, y in sorted(by_key, key=lambda k: (k[0], -k[1])):
-        rs = sorted(by_key[(page, y)], key=lambda r: r.x)
+    for page, col, y in sorted(by_key, key=lambda k: (k[0], k[1], -k[2])):
+        rs = sorted(by_key[(page, col, y)], key=lambda r: r.x)
         text = " ".join(r.text for r in rs)
         width = sum(0.5 * r.size * len(r.text) for r in rs)
-        lines.append(PdfLine(y, rs[0].x, rs[0].x + width, text, rs[0].size, page))
+        lines.append(PdfLine(y, rs[0].x, rs[0].x + width, text, rs[0].size,
+                             page, col))
     return lines
 
 
 def group_blocks(lines: list[PdfLine], figures, cfg: ExtractConfig = DEFAULT) -> list[PdfBlock]:
-    """Lines (page-major, top→bottom) → blocks split on page change or
-    y-gap; classify each block; final order (page, descending top-y) —
-    page keys first so multi-page documents never interleave."""
+    """Lines (page/column-major, top→bottom) → blocks split on page or
+    column change or y-gap; classify each block; final order (page,
+    column, descending top-y) — page keys first so multi-page documents
+    never interleave, column next so a two-column page reads the whole
+    left column before the right.  Figure tuples: (page, x, y, w, h)
+    or (page, col, x, y, w, h)."""
     blocks: list[PdfBlock] = []
     cur: list[PdfLine] = []
-    prev_y = prev_page = None
+    prev_y = prev_page = prev_col = None
     for ln in lines:
         if prev_y is not None and (
-            ln.page != prev_page or (prev_y - ln.y) > cfg.block_gap
+            ln.page != prev_page or ln.col != prev_col
+            or (prev_y - ln.y) > cfg.block_gap
         ):
             blocks.append(_finish_block(cur, cfg))
             cur = []
         cur.append(ln)
-        prev_y, prev_page = ln.y, ln.page
+        prev_y, prev_page, prev_col = ln.y, ln.page, ln.col
     if cur:
         blocks.append(_finish_block(cur, cfg))
     for fig in figures:
-        pg, rx, ry, rw, rh = fig if len(fig) == 5 else (0, *fig)
-        blocks.append(PdfBlock("figure", [], (rx, ry, rx + rw, ry + rh), pg))
-    blocks.sort(key=lambda b: (b.page, -b.bbox[3]))
+        if len(fig) == 6:
+            pg, col, rx, ry, rw, rh = fig
+        elif len(fig) == 5:
+            (pg, rx, ry, rw, rh), col = fig, 0
+        else:
+            (rx, ry, rw, rh), pg, col = fig, 0, 0
+        blocks.append(
+            PdfBlock("figure", [], (rx, ry, rx + rw, ry + rh), pg, col))
+    blocks.sort(key=lambda b: (b.page, b.col, -b.bbox[3]))
     return blocks
 
 
@@ -932,7 +1016,8 @@ def _finish_block(lines: list[PdfLine], cfg: ExtractConfig) -> PdfBlock:
     y0 = min(ln.y for ln in lines)
     y1 = max(ln.y for ln in lines) + lines[0].size
     kind = _classify_text_block(lines, (x0, y0, x1, y1), cfg)
-    return PdfBlock(kind, lines, (x0, y0, x1, y1), lines[0].page)
+    return PdfBlock(kind, lines, (x0, y0, x1, y1), lines[0].page,
+                    lines[0].col)
 
 
 def _classify_text_block(lines, bbox, cfg: ExtractConfig) -> str:
@@ -956,6 +1041,7 @@ def extract_pdf_blocks(data: bytes, cfg: ExtractConfig = DEFAULT) -> list[PdfBlo
     the plain composition and single-stream documents (the whole
     synthetic corpus) are unchanged from the historical grouping."""
     runs, figures = tokenize_pdf(data, cfg)
+    runs, figures = assign_columns(runs, figures, cfg)
     return group_blocks(group_lines(runs), figures, cfg)
 
 

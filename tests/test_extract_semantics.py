@@ -859,3 +859,47 @@ def test_rotated_pages_extract_identically():
             got = [(b.kind, b.text, b.page, b.bbox)
                    for b in extract_pdf_blocks(doc)]
             assert got == base, (rot, compress, got)
+
+
+def test_two_column_reading_order():
+    """A two-column page must read the WHOLE left column before the
+    right column — without gutter detection the per-y line grouping
+    interleaves the columns' text word-by-word.  The full-width title
+    sits in the header band (excluded from detection, assigned col 0)
+    so it still precedes both columns."""
+    from ocr_spark.functions.pdfx import extract_pdf_blocks, write_pdf
+
+    left = {"kind": "text", "x": 72, "y": 700,
+            "lines": [f"left col line {i} words here" for i in range(5)]}
+    right = {"kind": "text", "x": 330, "y": 700,
+             "lines": [f"right col line {i} more text" for i in range(5)]}
+    title = {"kind": "header", "x": 180, "y": 765,
+             "lines": ["centered full width title"]}
+    doc = write_pdf([title, left, right])
+    got = [(b.kind, b.text) for b in extract_pdf_blocks(doc)]
+    assert got == [
+        ("boilerplate", "centered full width title"),
+        ("text-block", "\n".join(left["lines"])),
+        ("text-block", "\n".join(right["lines"])),
+    ], got
+    # the same layout rotated (content authored sideways, /Rotate set):
+    # columns are a display-space property, so detection still splits
+    for rot in (90, 180, 270):
+        rdoc = write_pdf([title, left, right], rotate=rot)
+        assert [(b.kind, b.text) for b in extract_pdf_blocks(rdoc)] == got, rot
+
+
+def test_full_width_body_run_suppresses_column_split():
+    """A body line spanning the gutter (single-column prose with a wide
+    ragged-right block) must keep the page single-column — its interval
+    covers any candidate gap, so detection conservatively declines."""
+    from ocr_spark.functions.pdfx import extract_pdf_blocks, write_pdf
+
+    wide = {"kind": "text", "x": 72, "y": 700,
+            "lines": ["this is one long single column prose line that runs"
+                      " all the way across the page body" for _ in range(4)]}
+    narrow = {"kind": "text", "x": 72, "y": 500,
+              "lines": ["short line", "another short", "third short one"]}
+    doc = write_pdf([wide, narrow])
+    blocks = [b for b in extract_pdf_blocks(doc)]
+    assert all(b.col == 0 for b in blocks), [(b.kind, b.col) for b in blocks]

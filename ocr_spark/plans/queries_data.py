@@ -459,3 +459,102 @@ def decontaminate_vs_holdout(spark, sf):
         corpus.join(F.broadcast(bench), "g")
         .groupBy("doc_id").agg(F.count("*").alias("n_hits"))
     )
+
+
+@q(
+    "text_unigram_logprob",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS w
+      FROM documents
+    ),
+    wnz AS (SELECT doc_id, w FROM words WHERE w <> ''),
+    freq AS (SELECT w, COUNT(*) AS cnt FROM wnz GROUP BY w),
+    tot AS (SELECT SUM(cnt) AS n FROM freq),
+    lp AS (
+      SELECT w,
+             CAST(ROUND(ln(CAST(cnt AS DOUBLE) / n) * 1000000) AS BIGINT)
+               AS lp_fix
+      FROM freq, tot
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(lp_fix) AS DOUBLE) / 1000000.0 / COUNT(*)
+             AS avg_logprob
+    FROM wnz JOIN lp USING (w)
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark, sf):
+    """Corpus-LM quality score (the CCNet/perplexity-filter shape with
+    the LM replaced by the corpus's own unigram distribution): score
+    each document by the mean log-probability of its words under the
+    global unigram model, so gibberish / rare-token documents surface
+    with low scores for quality-based filtering.
+
+    Two-pass plan that survives 100 TB: pass 1 builds the word-frequency
+    table with a map-side-combined hash agg (shuffle carries one partial
+    count per distinct token per partition); pass 2 re-attaches per-TYPE
+    log-probs to the exploded corpus via a broadcast join (the vocab is
+    orders of magnitude smaller than the corpus) and reduces per doc.
+    Cross-engine float parity: each word type's log-prob is fixed-pointed
+    to integer micro-nats once, so the per-doc reduction is an exact
+    int64 sum — aggregation order cannot perturb the result."""
+    d = t(spark, sf, "documents")
+    wnz = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    freq = wnz.groupBy("w").agg(F.count("*").alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("n"))
+    lp = freq.crossJoin(F.broadcast(tot)).select(
+        "w",
+        F.round(F.log(F.col("cnt").cast("double") / F.col("n")) * 1000000)
+        .cast("long").alias("lp_fix"),
+    )
+    return (
+        wnz.join(F.broadcast(lp), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            (F.sum("lp_fix").cast("double") / F.lit(1000000.0) / F.count("*"))
+            .alias("avg_logprob"),
+        )
+    )
+
+
+@q(
+    "filter_domain_blocklist",
+    oracle="""
+    WITH blocked AS (
+      SELECT source FROM (SELECT DISTINCT source FROM documents)
+      WHERE CAST(('0x' || substring(md5(source), 1, 4)) AS INTEGER) % 5 = 2
+    )
+    SELECT doc_id, source FROM documents
+    WHERE source NOT IN (SELECT source FROM blocked)
+    """,
+)
+def filter_domain_blocklist(spark, sf):
+    """URL/domain blocklist filtering — the first gate of every crawl
+    curation pipeline: drop all documents from denied domains.  The
+    blocklist here is derived deterministically (sources hashing into
+    bucket 2 of 5 stand in for the denylist file — a bucket verified
+    non-empty on the harness corpus so the check is non-vacuous) so the oracle can
+    reproduce it; in production it is a table read.
+
+    Plan shape for 100 TB: the blocklist (thousands of domains) is
+    broadcast and the corpus is filtered with a broadcast LEFT ANTI
+    join — zero shuffle of the corpus, composes with scan pushdown on
+    other predicates."""
+    d = t(spark, sf, "documents")
+    h4_src = (
+        "CAST(conv(substring(md5(source), 1, 4), 16, 10) AS BIGINT)"
+    )
+    blocked = (
+        d.select("source").distinct()
+        .filter(F.expr(h4_src) % 5 == 2)
+    )
+    return (
+        d.join(F.broadcast(blocked), "source", "left_anti")
+        .select("doc_id", "source")
+    )

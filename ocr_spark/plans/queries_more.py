@@ -10,7 +10,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window as W, functions as F
 
 from ocr_spark.plans.registry import q, t
 
@@ -494,3 +494,135 @@ def streaming_stream_stream_join(spark, sf):
     ck = _work_dir("stream_ssj_ck")
     shutil.rmtree(ck, ignore_errors=True)
     return run_available_now(joined, ck, output_mode="append")
+
+
+# ---------------------------------------------------------------------------
+# cohort analytics / clustering keys / deterministic mode
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "events_retention_cohort",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    firstseen AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id
+    )
+    SELECT cohort_day,
+           CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset,
+           COUNT(DISTINCT act.user_id) AS n_users
+    FROM act JOIN firstseen USING (user_id)
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def events_retention_cohort(spark, sf):
+    """Retention cohort matrix — the standard product-analytics rollup:
+    bucket users by first-seen day, then count how many of each cohort
+    are active N days later.  Plan: per-user distinct activity days
+    (map-side-combined distinct), a tiny first-seen agg joined back on
+    user_id, then a hash agg over (cohort_day, offset).  Every stage
+    keys on user_id or the small cohort grid — no window functions, no
+    global sort, so the shape is unchanged at 10^12 events."""
+    e = t(spark, sf, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    first = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        e.join(first, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("int").alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def _zterms(x: str, y: str, bits: int, spark_dialect: bool) -> str:
+    """Interleave the low ``bits`` bits of integer expressions x and y
+    into a Z-order (Morton) value: bit i of x lands at position 2i, bit
+    i of y at 2i+1.  Same arithmetic emitted for both engines — only the
+    shift syntax differs (Spark: shiftleft/shiftright functions; DuckDB:
+    << / >> operators)."""
+    terms = []
+    for i in range(bits):
+        if spark_dialect:
+            terms.append(f"shiftleft(shiftright({x}, {i}) & 1, {2 * i})")
+            terms.append(f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})")
+        else:
+            terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@q(
+    "zorder_cluster_key",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_partkey % 16 AS INT) AS px,
+           CAST(l_suppkey % 16 AS INT) AS sy,
+           CAST({_zterms('(l_partkey % 16)', '(l_suppkey % 16)', 4, False)}
+                AS INT) AS zkey
+    FROM lineitem WHERE l_orderkey < 2000
+    """,
+)
+def zorder_cluster_key(spark, sf):
+    """Z-order (Morton) clustering key over two join/filter dimensions —
+    the data-layout optimization behind multi-dimensional file pruning
+    (Delta/Iceberg OPTIMIZE ZORDER BY): rows close in (part, supplier)
+    space get close Z-values, so writing with
+    ``repartitionByRange("zkey").sortWithinPartitions("zkey")`` yields
+    files whose min/max stats are tight in BOTH dimensions and a scan
+    filtered on either column prunes most files.  The key itself is pure
+    JVM bit arithmetic (shift/mask/or) inside whole-stage codegen; this
+    query materializes the key on a bounded slice so the oracle can
+    verify the interleave bit-for-bit."""
+    li = t(spark, sf, "lineitem").filter(F.col("l_orderkey") < 2000)
+    z = _zterms("(l_partkey % 16)", "(l_suppkey % 16)", 4, True)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_partkey") % 16).cast("int").alias("px"),
+        (F.col("l_suppkey") % 16).cast("int").alias("sy"),
+        F.expr(z).cast("int").alias("zkey"),
+    )
+
+
+@q(
+    "agg_mode",
+    oracle="""
+    SELECT flag, v AS mode_qty, cnt AS n_occurrences FROM (
+      SELECT flag, v, cnt,
+             ROW_NUMBER() OVER (PARTITION BY flag
+                                ORDER BY cnt DESC, v ASC) AS rn
+      FROM (
+        SELECT l_returnflag AS flag, l_quantity AS v, COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1, 2)
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode(spark, sf):
+    """Deterministic per-group mode: the most frequent l_quantity per
+    return flag, ties broken toward the smallest value (bare ``mode()``
+    is tie-nondeterministic in BOTH engines — unusable for a verified
+    pipeline).  Two-level shape: a map-side-combined (group, value)
+    count agg first, so the window ranks only one row per distinct value
+    per group — its input is bounded by value cardinality, not row
+    count, the same state-bounding trick as the exact-percentile
+    operator."""
+    li = t(spark, sf, "lineitem")
+    counts = (
+        li.groupBy(F.col("l_returnflag").alias("flag"),
+                   F.col("l_quantity").alias("v"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = W.partitionBy("flag").orderBy(F.desc("cnt"), F.asc("v"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("flag", F.col("v").alias("mode_qty"),
+                F.col("cnt").alias("n_occurrences"))
+    )

@@ -28,6 +28,9 @@ PICKS = {
     "dedup_apply_keep_best": "keep-best dedup apply: one max_by hash agg, no window over copies",
     "events_funnel": "ordered-step funnel: ONE hash exchange feeding stacked Window nodes (no per-step self-joins)",
     "dedup_ngram_jaccard": "count-filtering candidate bound: pair-count agg prunes before the array-verify join",
+    "text_unigram_logprob": "two-pass corpus-LM scoring: vocab agg then BROADCAST log-prob re-attach (the corpus is never shuffled)",
+    "filter_domain_blocklist": "blocklist as BroadcastHashJoin LeftAnti — zero corpus shuffle",
+    "zorder_cluster_key": "Morton interleave entirely inside WholeStageCodegen — no exchange, no Python",
 }
 
 

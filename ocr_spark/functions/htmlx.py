@@ -20,6 +20,17 @@ independent test oracle implement):
   - keep a block iff  link_ratio <= html_max_link_ratio AND
     words >= html_min_words,  OR tag in h1..h6 AND
     words >= html_heading_min_words
+  - ``<table>`` subtrees are LINEARIZED, not shredded: all cell text
+    (td/th/caption) collects into one item (tag 'table') with cells
+    joined by `` | `` and rows by `` ; `` — a data table survives as one
+    content span instead of dying cell-by-cell under html_min_words,
+    while a nav/layout table of links fails the link-ratio gate as a
+    unit (the classic boilerplate signal).  Nested tables fold their
+    linearized text into the enclosing cell; block tags inside cells
+    bind their text to the cell; media items inside tables still emit
+    (ordered after the table item, whose order is its open position).
+    Keep rule: link_ratio <= html_max_link_ratio AND cell-word count
+    (separators excluded) >= html_min_words
   - emitted text is whitespace-collapsed
 
 Pure Python / stdlib html.parser — vectorized over Arrow batches in
@@ -80,6 +91,7 @@ class _BlockParser(HTMLParser):
         self._seq = 0
         self._skip = 0
         self._blocks: list[dict] = []   # stack of open blocks
+        self._tables: list[dict] = []   # stack of open <table> collectors
         self._link = 0                  # <a> nesting depth
 
     # -- helpers --
@@ -96,6 +108,36 @@ class _BlockParser(HTMLParser):
         link_ratio = (b["link_chars"] / n_chars) if n_chars else 0.0
         self.items.append((b["seq"], "block", (b["tag"], text, link_ratio)))
 
+    def _close_cell(self, t: dict) -> None:
+        if t["cell"] is not None:
+            text = _WS.sub(" ", "".join(t["cell"])).strip()
+            t["row"].append(text)
+            t["chars"] += len(text)
+            t["cell"] = None
+
+    def _close_row(self, t: dict) -> None:
+        if t["row"] is not None:
+            if any(t["row"]):
+                t["rows"].append(t["row"])
+            t["row"] = None
+
+    def _close_table(self) -> None:
+        t = self._tables.pop()
+        self._close_cell(t)
+        self._close_row(t)
+        text = " ; ".join(" | ".join(r) for r in t["rows"])
+        if self._tables and self._tables[-1]["cell"] is not None:
+            # nested table: fold its linearized text into the enclosing
+            # cell (its link chars carry up so the OUTER table's ratio
+            # still sees nested nav links)
+            parent = self._tables[-1]
+            parent["cell"].append(" " + text + " ")
+            parent["link_chars"] += t["link_chars"]
+            return
+        n_chars = t["chars"]
+        link_ratio = (t["link_chars"] / n_chars) if n_chars else 0.0
+        self.items.append((t["seq"], "table", (text, link_ratio)))
+
     # -- HTMLParser hooks --
     def handle_starttag(self, tag, attrs):
         if tag in SKIP_TAGS:
@@ -110,6 +152,29 @@ class _BlockParser(HTMLParser):
             if ref or tag == "img":
                 self.items.append((self._seq, "media", ref))
                 self._seq += 1
+        if tag == "table":
+            self._tables.append({"seq": self._seq, "rows": [],
+                                 "row": None, "cell": None,
+                                 "chars": 0, "link_chars": 0})
+            self._seq += 1
+            return
+        if self._tables:
+            t = self._tables[-1]
+            if tag == "tr":
+                self._close_cell(t)
+                self._close_row(t)
+                t["row"] = []
+            elif tag in ("td", "th", "caption"):
+                self._close_cell(t)
+                if t["row"] is None:
+                    t["row"] = []
+                t["cell"] = []
+            elif tag in BLOCK_TAGS and t["cell"] is not None:
+                # block tags inside a cell bind their text to the cell;
+                # a block boundary is a visual break, so inject a space
+                # (collapsed later) to keep adjacent </p><p> words apart
+                t["cell"].append(" ")
+            return
         if tag in BLOCK_TAGS:
             self._open_block(tag)
 
@@ -126,13 +191,36 @@ class _BlockParser(HTMLParser):
             return
         if tag == "a":
             self._link = max(0, self._link - 1)
+        if self._tables:
+            t = self._tables[-1]
+            if tag in ("td", "th", "caption"):
+                self._close_cell(t)
+            elif tag == "tr":
+                self._close_cell(t)
+                self._close_row(t)
+            elif tag == "table":
+                self._close_table()
+            elif tag in BLOCK_TAGS and t["cell"] is not None:
+                t["cell"].append(" ")   # block boundary → visual break
+            # other close tags inside a table are ignored (same
+            # nesting-slop tolerance as blocks)
+            return
         if tag in BLOCK_TAGS and self._blocks:
             # close innermost matching block (tolerate mild nesting slop)
             if self._blocks[-1]["tag"] == tag:
                 self._close_block()
 
     def handle_data(self, data):
-        if self._skip or not self._blocks:
+        if self._skip:
+            return
+        if self._tables:
+            t = self._tables[-1]
+            if t["cell"] is not None:
+                t["cell"].append(data)
+                if self._link:
+                    t["link_chars"] += len(_WS.sub(" ", data).strip())
+            return
+        if not self._blocks:
             return
         b = self._blocks[-1]
         b["chars"].append(data)
@@ -141,6 +229,8 @@ class _BlockParser(HTMLParser):
 
     def close(self):
         super().close()
+        while self._tables:
+            self._close_table()
         while self._blocks:
             self._close_block()
 
@@ -211,6 +301,8 @@ def tokenize_html(fragment: str, cfg: ExtractConfig = DEFAULT,
             p.close()
         else:
             _scan_events(fragment, p)
+            while p._tables:
+                p._close_table()
             while p._blocks:
                 p._close_block()
     except Exception:
@@ -219,6 +311,17 @@ def tokenize_html(fragment: str, cfg: ExtractConfig = DEFAULT,
     for _seq, typ, payload in sorted(p.items, key=lambda t: t[0]):
         if typ == "media":
             out.append(HtmlItem("media", "", None, payload or None, 0, 0.0, "media"))
+            continue
+        if typ == "table":
+            text, link_ratio = payload
+            # word count excludes the cell/row separator tokens
+            words = sum(1 for w in text.split() if w not in ("|", ";"))
+            keep = (link_ratio <= cfg.html_max_link_ratio
+                    and words >= cfg.html_min_words)
+            out.append(HtmlItem(
+                "text", "table", text or None, None, words, link_ratio,
+                "content" if keep else "boilerplate",
+            ))
             continue
         tag, text, link_ratio = payload
         words = len(text.split()) if text else 0

@@ -49,7 +49,8 @@ def _words(rng: random.Random, n: int) -> str:
     return " ".join(rng.choice(_VOCAB) for _ in range(n))
 
 
-def _html_payload(rng: random.Random, doc_id: str, heft: int = 1) -> str:
+def _html_payload(rng: random.Random, doc_id: str, heft: int = 1,
+                  table_rng: random.Random | None = None) -> str:
     nav = "".join(f'<li><a href="/x{i}">link {i}</a></li>' for i in range(5))
     paras = []
     for p in range(rng.randint(1, 4) * heft):
@@ -66,11 +67,22 @@ def _html_payload(rng: random.Random, doc_id: str, heft: int = 1) -> str:
         if rng.random() < 0.4 else ""
     )
     short = f"<p>{_words(rng, rng.randint(1, 5))}</p>" if rng.random() < 0.5 else ""
+    # data table drawn from a SEPARATE forked rng so the default
+    # (table_rng=None) path leaves ``rng``'s draw order — and therefore
+    # the pinned goldens — bit-identical
+    tbl = ""
+    if table_rng is not None:
+        rows = "".join(
+            "<tr>" + "".join(
+                f"<td>{_words(table_rng, table_rng.randint(1, 3))}</td>"
+                for _ in range(3)) + "</tr>"
+            for _ in range(table_rng.randint(2, 4)))
+        tbl = f"<table><caption>{_words(table_rng, 2)}</caption>{rows}</table>"
     return (
         f"<html><head><title>t</title></head><body>"
         f"<nav><ul>{nav}</ul></nav>"
         f"<h1>{_words(rng, 4)}</h1>"
-        f"<div class='content'>{paras and ''.join(paras)}{img}{short}</div>"
+        f"<div class='content'>{paras and ''.join(paras)}{tbl}{img}{short}</div>"
         f"<footer><p>copyright {_words(rng, 3)}</p></footer>"
         f"</body></html>"
     )
@@ -109,7 +121,7 @@ def _pdf_payload(rng: random.Random, heft: int = 1,
 def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
              heft: int = 1, compress_every: int = 0,
              xref_every: int = 0, type0_every: int = 0,
-             form_every: int = 0) -> dict:
+             form_every: int = 0, html_table_every: int = 0) -> dict:
     """Pure function (seed, i) → one interleaved document row.
 
     ``heft`` multiplies per-payload content volume (paragraphs / PDF text
@@ -133,7 +145,10 @@ def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
     thin wrapper stream (the letterhead/stamp layout); form spans stay
     classic-xref — the synthetic writer doesn't emit the
     form+xref-stream combination, though the READER resolves forms
-    through either xref layout (object lookup is layout-independent)."""
+    through either xref layout (object lookup is layout-independent).
+    ``html_table_every=N`` inserts a data <table> (caption + 2-4 rows
+    of 3 cells, drawn from a forked rng) into every Nth HTML span's
+    content div; 0 = never (default, goldens bit-identical)."""
     doc_id = f"doc{i:08d}"
     rng = _rng(seed, "doc", i)
     n = 1 + min(int(rng.lognormvariate(0.8, 0.7)), 40)
@@ -148,7 +163,11 @@ def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
             sp = {"kind": "text", "text": _words(srng, srng.randint(5, 30) * heft),
                   "media_ref": None, "offset": offset}
         elif r < 0.70:
-            sp = {"kind": "html", "text": _html_payload(srng, doc_id, heft),
+            trng = (_rng(seed, "tbl", i, j)
+                    if html_table_every and (i + j) % html_table_every == 0
+                    else None)
+            sp = {"kind": "html",
+                  "text": _html_payload(srng, doc_id, heft, table_rng=trng),
                   "media_ref": None, "offset": offset}
         elif r < 0.85:
             comp = bool(compress_every) and (i + j) % compress_every == 0
@@ -171,10 +190,10 @@ def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
 def make_docs(n_docs: int, seed: int = 42, mega_every: int = 1000,
               heft: int = 1, compress_every: int = 0,
               xref_every: int = 0, type0_every: int = 0,
-              form_every: int = 0) -> list[dict]:
+              form_every: int = 0, html_table_every: int = 0) -> list[dict]:
     """Driver-side generation for small test fixtures (pure Python)."""
     return [make_doc(i, seed, mega_every, heft, compress_every, xref_every,
-                     type0_every, form_every)
+                     type0_every, form_every, html_table_every)
             for i in range(n_docs)]
 
 

@@ -903,3 +903,93 @@ def test_full_width_body_run_suppresses_column_split():
     doc = write_pdf([wide, narrow])
     blocks = [b for b in extract_pdf_blocks(doc)]
     assert all(b.col == 0 for b in blocks), [(b.kind, b.col) for b in blocks]
+
+
+def test_html_table_linearized_and_classified():
+    """A data table survives as ONE linearized content item (cells
+    joined ' | ', rows ' ; ', caption first) instead of shredding into
+    sub-min-words cell blocks; a link-farm layout table fails the
+    link-ratio gate AS A UNIT; a nested table folds into its enclosing
+    cell.  Both parser paths must agree item-for-item."""
+    from ocr_spark.functions.htmlx import tokenize_html
+
+    frag = (
+        "<html><body>"
+        "<p>intro paragraph with enough words to clearly survive here</p>"
+        "<table><caption>quarterly numbers</caption>"
+        "<tr><td>alpha</td><td>10</td><td>20</td></tr>"
+        "<tr><td>bravo</td><td>30</td><td>40</td></tr></table>"
+        "<table><tr>"
+        '<td><a href="/a">one</a></td><td><a href="/b">two</a></td>'
+        '<td><a href="/c">three</a></td></tr><tr>'
+        '<td><a href="/d">four</a></td><td><a href="/e">five</a></td>'
+        '<td><a href="/f">six</a></td></tr></table>'
+        "<table><tr><td>outer cell before "
+        "<table><tr><td>inner x</td><td>inner y</td></tr></table>"
+        " after</td><td>second outer with words</td></tr>"
+        "<tr><td>third outer cell text</td><td>fourth outer cell text</td></tr>"
+        "</table>"
+        "</body></html>"
+    )
+    items = tokenize_html(frag)
+    assert items == tokenize_html(frag, use_stdlib=True)
+    tables = [it for it in items if it.tag == "table"]
+    assert len(tables) == 3, [(t.tag, t.text) for t in items]
+    data, linkfarm, nested = tables
+    assert data.text == "quarterly numbers ; alpha | 10 | 20 ; bravo | 30 | 40"
+    assert data.label == "content" and data.words == 8
+    assert linkfarm.label == "boilerplate" and linkfarm.link_ratio == 1.0
+    assert nested.label == "content"
+    assert "inner x | inner y" in nested.text          # folded into cell
+    assert nested.text.startswith("outer cell before")
+    assert nested.text.index("after") < nested.text.index("second outer")
+    # table order = open position: intro paragraph precedes all tables
+    kinds = [(it.tag or it.kind) for it in items if it.label != "boilerplate"]
+    assert kinds.index("p") < kinds.index("table")
+
+
+def test_html_table_block_tags_bind_to_cell():
+    """Block tags inside a cell (the <td><p>..</p></td> producer idiom)
+    must not open separate blocks — their text stays in the cell."""
+    from ocr_spark.functions.htmlx import tokenize_html
+
+    frag = ("<table><tr><td><p>first para words</p><p>second para here</p>"
+            "</td><td>plain cell text words</td></tr></table>")
+    items = tokenize_html(frag)
+    assert items == tokenize_html(frag, use_stdlib=True)
+    assert [it.tag for it in items] == ["table"]
+    assert items[0].text == (
+        "first para words second para here | plain cell text words")
+    assert items[0].words == 10 and items[0].label == "content"
+
+
+def test_html_table_corpus_extracts_identically(spark):
+    """Corpus with html_table_every=2: fast path == stdlib per fragment,
+    Spark pipeline == straight-line extract_doc oracle per document, and
+    the table items actually appear (non-vacuous)."""
+    from ocr_spark.functions.htmlx import tokenize_html
+    from ocr_spark.sources.corpus import SPAN_SCHEMA_DDL
+
+    docs = make_docs(80, seed=7, mega_every=40, html_table_every=2)
+    frags = [s["text"] for d in docs for s in d["spans"]
+             if s["kind"] == "html"]
+    assert any("<table>" in f for f in frags), "knob produced no tables"
+    for f in frags:
+        assert tokenize_html(f, DEFAULT) == tokenize_html(
+            f, DEFAULT, use_stdlib=True)
+
+    want = {}
+    for d in docs:
+        spans = extract_doc(d["doc_id"], d["spans"], DEFAULT)
+        want[d["doc_id"]] = [
+            [s["kind"], s["text"], s["media_ref"], s["order"]] for s in spans
+        ]
+    sdf = spark.createDataFrame(
+        [(d["doc_id"], [tuple(s.values()) for s in d["spans"]])
+         for d in docs], SPAN_SCHEMA_DDL).repartition(9)
+    rows = extract_stage(sdf).collect()
+    got = _canonical([r.asDict(recursive=True) for r in rows])
+    assert got == want
+    linearized = [s for spans in got.values() for s in spans
+                  if s[1] and " ; " in s[1] and " | " in s[1]]
+    assert linearized, "no linearized table spans reached the output"

@@ -44,7 +44,11 @@ def extract_doc(doc_id: str, spans, cfg: ExtractConfig = DEFAULT) -> list[dict]:
             for b in extract_pdf_blocks(data, cfg):
                 if b.kind == "boilerplate":
                     continue
-                if b.kind == "figure":
+                if b.kind == "link":
+                    # hyperlink annotation: the URI itself is the ref
+                    out.append({"kind": "media", "text": None,
+                                "media_ref": b.uri})
+                elif b.kind == "figure":
                     out.append({
                         "kind": "media", "text": None,
                         "media_ref": f"pdf:{doc_id}:{sp['offset']}:fig{fig}",

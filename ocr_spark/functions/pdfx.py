@@ -58,6 +58,21 @@ Supported PDF subset (documented per SURVEY.md §7 "hard parts"):
     left→right before top→bottom; header/footer-band runs are excluded
     from detection (full-width titles span the gutter by design) but
     ordered with column 0; single-column pages take the untouched path
+  - simple-font /Encoding /Differences (structured-parse path): Type1/
+    TrueType fonts whose /Encoding dict (inline or indirect) carries a
+    /Differences array decode show strings byte-by-byte through the
+    mapped codes — glyph names resolved via an AGL subset (European
+    Latin, punctuation, currency) plus algorithmic /uniXXXX; unmapped
+    names keep their byte-literal meaning.  The WinAnsi/Standard base
+    encodings agree with latin-1 on our corpus subset, so only the
+    Differences overrides need mapping
+  - link annotations (structured-parse path): page /Annots whose
+    /Subtype is /Link with a /Rect and a URI action (/A << /S /URI
+    /URI (...) >>, literal-string form) become 'link' blocks placed by
+    their Rect in reading order — downstream they emit media spans
+    whose media_ref is the URI, so hyperlink targets survive
+    main-content extraction.  The positional fallback has no page
+    dicts, so raw fragments carry no links (documented subset)
 
 Everything here is pure Python over bytes/str — it runs vectorized over
 Arrow batches inside mapInPandas (no Spark imports in this module).
@@ -452,10 +467,16 @@ class _Doc:
         return xobjs
 
     def _page_fonts(self, d: bytes) -> dict:
-        """Type0 font name → {cid: unicode} from the page's /Resources
-        /Font dict (fonts without a /ToUnicode CMap are omitted — their
-        strings keep byte-literal semantics)."""
-        fonts: dict[str, dict[int, str]] = {}
+        """Font resource name → tagged decode table from the page's
+        /Resources /Font dict:
+          ('cid', {cid: unicode})   Type0 fonts with a /ToUnicode CMap
+          ('enc', {code: unicode})  simple fonts (Type1/TrueType) whose
+                                    /Encoding carries a /Differences
+                                    array (glyph names resolved via the
+                                    AGL subset + algorithmic /uniXXXX)
+        Fonts with neither are omitted — their strings keep byte-literal
+        semantics."""
+        fonts: dict[str, tuple] = {}
         rm = re.search(rb"/Font\s*<<(.*?)>>", d, re.DOTALL)
         if not rm:
             return fonts
@@ -463,16 +484,51 @@ class _Doc:
             fobj = self.obj(int(fm.group(2)))
             if not fobj or fobj[0] is None:
                 continue
-            if _dict_name(fobj[0], b"Subtype") != b"Type0":
+            name = fm.group(1).decode("latin-1")
+            if _dict_name(fobj[0], b"Subtype") == b"Type0":
+                tu = _dict_ref(fobj[0], b"ToUnicode")
+                if tu is None:
+                    continue
+                cm = self.obj(tu)
+                if cm and cm[1] is not None:
+                    fonts[name] = ("cid", parse_tounicode_cmap(
+                        _decode_stream_body(cm[0], cm[1])))
                 continue
-            tu = _dict_ref(fobj[0], b"ToUnicode")
-            if tu is None:
-                continue
-            cm = self.obj(tu)
-            if cm and cm[1] is not None:
-                fonts[fm.group(1).decode("latin-1")] = parse_tounicode_cmap(
-                    _decode_stream_body(cm[0], cm[1]))
+            enc = self._font_differences(fobj[0])
+            if enc:
+                fonts[name] = ("enc", enc)
         return fonts
+
+    def _font_differences(self, fd: bytes) -> dict[int, str]:
+        """{byte code → unicode} from a simple font's /Encoding
+        /Differences array (inline dict or indirect object).  The array
+        alternates start codes and glyph names: each number sets the
+        next code, each name consumes one code.  Names outside the AGL
+        subset (and not /uniXXXX) are skipped — those codes keep their
+        byte-literal meaning."""
+        er = _dict_ref(fd, b"Encoding")
+        if er is not None:
+            eo = self.obj(er)
+            enc_d = eo[0] if eo else None
+        else:
+            em = re.search(rb"/Encoding\s*<<(.*?)>>", fd, re.DOTALL)
+            enc_d = em.group(0) if em else None
+        if not enc_d:
+            return {}
+        darr = _dict_arr(enc_d, b"Differences")
+        if darr is None:
+            return {}
+        out: dict[int, str] = {}
+        code = 0
+        for tok in re.finditer(rb"(\d+)|/([A-Za-z0-9.]+)", darr):
+            if tok.group(1) is not None:
+                code = int(tok.group(1))
+            else:
+                u = _glyph_to_unicode(tok.group(2).decode("latin-1"))
+                if u is not None:
+                    out[code] = u
+                code += 1
+        return out
 
     def _walk_pages(self, num: int | None, out: list, depth: int,
                     rotate: int = 0, media: tuple = (612.0, 792.0)):
@@ -512,7 +568,95 @@ class _Doc:
                     raise ValueError(f"missing content stream {ref}")
                 parts.append(_decode_stream_body(c[0], c[1]))
             out.append((b"\n".join(parts), self._page_fonts(d),
-                        self._page_xobjects(d), rotate, media))
+                        self._page_xobjects(d), rotate, media,
+                        self._page_links(d)))
+
+    def _page_links(self, d: bytes) -> list[tuple]:
+        """(x, y, w, h, uri) per /Subtype /Link annotation with a /Rect
+        and a literal-string URI action in this page's /Annots array."""
+        links: list[tuple] = []
+        aarr = _dict_arr(d, b"Annots")
+        if aarr is None:
+            return links
+        for am in re.finditer(rb"(\d+)\s+\d+\s+R\b", aarr):
+            ao = self.obj(int(am.group(1)))
+            if not ao or ao[0] is None:
+                continue
+            ad = ao[0]
+            if _dict_name(ad, b"Subtype") != b"Link":
+                continue
+            rm = re.search(
+                rb"/Rect\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)"
+                rb"\s+([\d.+-]+)\s*\]", ad)
+            um = re.search(rb"/URI\s*\(((?:[^()\\]|\\.)*)\)", ad)
+            if not rm or not um:
+                continue
+            x0, y0, x1, y1 = (float(rm.group(i)) for i in range(1, 5))
+            uri = _unescape(um.group(1).decode("latin-1"))
+            links.append((min(x0, x1), min(y0, y1),
+                          abs(x1 - x0), abs(y1 - y0), uri))
+        return links
+
+
+# Adobe Glyph List subset — the names real producers put in
+# /Differences arrays for Latin/European text ([public] AGL spec).
+# /uniXXXX names are handled algorithmically in _glyph_to_unicode.
+_AGL = {
+    "Euro": "€", "bullet": "•", "emdash": "—", "endash": "–",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "ellipsis": "…", "dagger": "†", "daggerdbl": "‡",
+    "perthousand": "‰", "guilsinglleft": "‹", "guilsinglright": "›",
+    "guillemotleft": "«", "guillemotright": "»", "trademark": "™",
+    "copyright": "©", "registered": "®", "degree": "°",
+    "plusminus": "±", "section": "§", "paragraph": "¶",
+    "middot": "·", "periodcentered": "·", "multiply": "×",
+    "divide": "÷", "cent": "¢", "sterling": "£", "yen": "¥",
+    "florin": "ƒ", "fraction": "⁄", "onehalf": "½",
+    "onequarter": "¼", "threequarters": "¾",
+    "exclamdown": "¡", "questiondown": "¿",
+    "agrave": "à", "aacute": "á", "acircumflex": "â", "atilde": "ã",
+    "adieresis": "ä", "aring": "å", "ae": "æ", "ccedilla": "ç",
+    "egrave": "è", "eacute": "é", "ecircumflex": "ê", "edieresis": "ë",
+    "igrave": "ì", "iacute": "í", "icircumflex": "î", "idieresis": "ï",
+    "eth": "ð", "ntilde": "ñ", "ograve": "ò", "oacute": "ó",
+    "ocircumflex": "ô", "otilde": "õ", "odieresis": "ö", "oslash": "ø",
+    "ugrave": "ù", "uacute": "ú", "ucircumflex": "û", "udieresis": "ü",
+    "yacute": "ý", "thorn": "þ", "ydieresis": "ÿ", "germandbls": "ß",
+    "szlig": "ß",
+    "Agrave": "À", "Aacute": "Á", "Acircumflex": "Â", "Atilde": "Ã",
+    "Adieresis": "Ä", "Aring": "Å", "AE": "Æ", "Ccedilla": "Ç",
+    "Egrave": "È", "Eacute": "É", "Ecircumflex": "Ê", "Edieresis": "Ë",
+    "Igrave": "Ì", "Iacute": "Í", "Icircumflex": "Î", "Idieresis": "Ï",
+    "Eth": "Ð", "Ntilde": "Ñ", "Ograve": "Ò", "Oacute": "Ó",
+    "Ocircumflex": "Ô", "Otilde": "Õ", "Odieresis": "Ö", "Oslash": "Ø",
+    "Ugrave": "Ù", "Uacute": "Ú", "Ucircumflex": "Û", "Udieresis": "Ü",
+    "Yacute": "Ý", "Thorn": "Þ",
+    "oe": "œ", "OE": "Œ", "Scaron": "Š", "scaron": "š",
+    "Zcaron": "Ž", "zcaron": "ž", "Ydieresis": "Ÿ",
+    "fi": "ﬁ", "fl": "ﬂ", "dotlessi": "ı",
+    "circumflex": "ˆ", "tilde": "˜", "macron": "¯", "breve": "˘",
+    "dotaccent": "˙", "ring": "˚", "cedilla": "¸", "hungarumlaut": "˝",
+    "ogonek": "˛", "caron": "ˇ", "grave": "`", "acute": "´",
+    "dieresis": "¨", "brokenbar": "¦", "logicalnot": "¬",
+    "ordfeminine": "ª", "ordmasculine": "º", "mu": "µ",
+    "currency": "¤", "softhyphen": "­", "minus": "−",
+}
+
+
+def _glyph_to_unicode(name: str) -> str | None:
+    """AGL-subset glyph name → unicode char; /uniXXXX algorithmic; None
+    for names outside the documented subset (the code then keeps its
+    byte-literal meaning)."""
+    if len(name) == 7 and name.startswith("uni"):
+        try:
+            return chr(int(name[3:], 16))
+        except ValueError:
+            return None
+    if len(name) == 1:
+        return name  # single-letter names (A, a, ...) map to themselves
+    return _AGL.get(name)
 
 
 def parse_tounicode_cmap(data: bytes) -> dict[int, str]:
@@ -553,15 +697,17 @@ def parse_tounicode_cmap(data: bytes) -> dict[int, str]:
 
 
 def _structured_page_contents(
-        data: bytes) -> list[tuple[str, dict, dict]] | None:
+        data: bytes) -> list[tuple] | None:
     """Xref-driven page-ordered (decoded content string, font map,
-    xobject map) triples, or None when the document has no parseable
-    structure (raw fragments, corrupt xref) — callers then fall back to
-    the positional stream scan (which has no font or xobject tables:
-    Type0 decode and /Do dispatch need the structure)."""
+    xobject map, rotate, media, links) tuples, or None when the document
+    has no parseable structure (raw fragments, corrupt xref) — callers
+    then fall back to the positional stream scan (which has no font,
+    xobject, or annotation tables: Type0 decode, /Do dispatch, and link
+    extraction need the structure)."""
     try:
-        return [(c.decode("latin-1"), fonts, xobjs, rot, media)
-                for c, fonts, xobjs, rot, media in _Doc(data).page_contents()]
+        return [(c.decode("latin-1"), fonts, xobjs, rot, media, links)
+                for c, fonts, xobjs, rot, media, links
+                in _Doc(data).page_contents()]
     except Exception:
         return None
 
@@ -642,23 +788,28 @@ class PdfLine:
 
 @dataclass
 class PdfBlock:
-    kind: str                      # 'text-block' | 'table' | 'boilerplate' | 'figure'
+    kind: str     # 'text-block' | 'table' | 'boilerplate' | 'figure' | 'link'
     lines: list[PdfLine] = field(default_factory=list)
     bbox: tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
     page: int = 0
     col: int = 0
+    uri: str = ""                  # link blocks only: the /URI action target
 
     @property
     def text(self) -> str:
         return "\n".join(ln.text for ln in self.lines)
 
 
-def tokenize_pdf(data: bytes, cfg: ExtractConfig = DEFAULT) -> tuple[list[TextRun], list[tuple[int, float, float, float, float]]]:
-    """Parse content streams → positioned text runs + figure rects,
-    PAGE-TAGGED: each content stream is one page with its own coordinate
-    space, so runs carry their stream index and figures are
-    (page, x, y, w, h) — every consumer (group_lines/group_blocks) keys
-    on page first and document order never interleaves pages.
+def tokenize_pdf(data: bytes, cfg: ExtractConfig = DEFAULT) -> tuple[
+        list[TextRun],
+        list[tuple[int, float, float, float, float]],
+        list[tuple[int, float, float, float, float, str]]]:
+    """Parse content streams → positioned text runs + figure rects +
+    link-annotation rects, PAGE-TAGGED: each content stream is one page
+    with its own coordinate space, so runs carry their stream index,
+    figures are (page, x, y, w, h), and links are (page, x, y, w, h,
+    uri) — every consumer (group_lines/group_blocks) keys on page first
+    and document order never interleaves pages.
 
     Streams whose object dictionary declares ``/Filter /FlateDecode``
     (the overwhelmingly common real-world encoding) are zlib-inflated
@@ -667,22 +818,26 @@ def tokenize_pdf(data: bytes, cfg: ExtractConfig = DEFAULT) -> tuple[list[TextRu
     Page discovery is STRUCTURED first (xref-driven — classic tables and
     PDF 1.5 xref/object streams, page order from the page tree), falling
     back to the positional stream scan for raw fragments or documents
-    whose structure fails to parse."""
+    whose structure fails to parse (no page dicts there, so no links)."""
     runs: list[TextRun] = []
     figures: list[tuple[int, float, float, float, float]] = []
+    links: list[tuple[int, float, float, float, float, str]] = []
     pages = _structured_page_contents(data)
     if pages is None:
-        pages = [(content, {}, {}, 0, (612.0, 792.0))
+        pages = [(content, {}, {}, 0, (612.0, 792.0), [])
                  for content in _stream_contents(data)]
-    for page, (content, fonts, xobjs, rot, media) in enumerate(pages):
+    for page, (content, fonts, xobjs, rot, media, lks) in enumerate(pages):
         r, f = _parse_content(content, [], [], cfg, fonts, xobjs)
         if rot in (90, 180, 270):
             r, f = _apply_rotation(r, f, rot, media)
+            lks = [(*_rot_rect(lx, ly, lw, lh, rot, media), uri)
+                   for lx, ly, lw, lh, uri in lks]
         for tr in r:
             tr.page = page
         runs.extend(r)
         figures.extend((page, *fig) for fig in f)
-    return runs, figures
+        links.extend((page, *lk) for lk in lks)
+    return runs, figures, links
 
 
 def _rot_point(x: float, y: float, rot: int, media: tuple) -> tuple:
@@ -697,6 +852,14 @@ def _rot_point(x: float, y: float, rot: int, media: tuple) -> tuple:
     if rot == 270:
         return (H - y, x)
     return (x, y)
+
+
+def _rot_rect(x: float, y: float, w: float, h: float,
+              rot: int, media: tuple) -> tuple:
+    """Content-space rect → display-space (x, y, w, h) under /Rotate."""
+    x0, y0 = _rot_point(x, y, rot, media)
+    x1, y1 = _rot_point(x + w, y + h, rot, media)
+    return (min(x0, x1), min(y0, y1), abs(x1 - x0), abs(y1 - y0))
 
 
 def _apply_rotation(runs, figures, rot: int, media: tuple):
@@ -777,10 +940,17 @@ def _parse_content(content, runs, figures, cfg, fonts=None, xobjs=None,
     stack: list = []  # operand stack (numbers / strings / arrays)
     arr: list | None = None
     last_name = None
-    cur_cmap: dict[int, str] | None = None
+    cur_font: tuple | None = None   # ('cid', cmap) | ('enc', {code: ch})
 
     def decode_str(raw: str) -> str:
-        return _cid_decode(raw, cur_cmap) if cur_cmap else _pdf_text(raw)
+        if cur_font is not None:
+            tag, table = cur_font
+            if tag == "cid":
+                return _cid_decode(raw, table)
+            # simple font with /Differences: one byte per glyph, mapped
+            # codes resolve via the encoding, the rest stay literal
+            return "".join(table.get(ord(ch), ch) for ch in raw)
+        return _pdf_text(raw)
 
     for t in toks:
         if t == "[":
@@ -825,7 +995,7 @@ def _parse_content(content, runs, figures, cfg, fonts=None, xobjs=None,
             in_text = False
         elif t == "Tf" and len(stack) >= 1:
             size = float(stack[-1])
-            cur_cmap = (fonts or {}).get(last_name)
+            cur_font = (fonts or {}).get(last_name)
         elif t == "TL" and stack:
             leading = float(stack[-1])
         elif t in ("Td", "TD") and len(stack) >= 2:
@@ -976,13 +1146,16 @@ def group_lines(runs: list[TextRun]) -> list[PdfLine]:
     return lines
 
 
-def group_blocks(lines: list[PdfLine], figures, cfg: ExtractConfig = DEFAULT) -> list[PdfBlock]:
+def group_blocks(lines: list[PdfLine], figures, cfg: ExtractConfig = DEFAULT,
+                 links=()) -> list[PdfBlock]:
     """Lines (page/column-major, top→bottom) → blocks split on page or
     column change or y-gap; classify each block; final order (page,
     column, descending top-y) — page keys first so multi-page documents
     never interleave, column next so a two-column page reads the whole
     left column before the right.  Figure tuples: (page, x, y, w, h)
-    or (page, col, x, y, w, h)."""
+    or (page, col, x, y, w, h).  Link tuples: (page, col, x, y, w, h,
+    uri) — each becomes a 'link' block placed by its rect, interleaved
+    into reading order by the same (page, col, -top_y) sort."""
     blocks: list[PdfBlock] = []
     cur: list[PdfLine] = []
     prev_y = prev_page = prev_col = None
@@ -1006,6 +1179,9 @@ def group_blocks(lines: list[PdfLine], figures, cfg: ExtractConfig = DEFAULT) ->
             (rx, ry, rw, rh), pg, col = fig, 0, 0
         blocks.append(
             PdfBlock("figure", [], (rx, ry, rx + rw, ry + rh), pg, col))
+    for pg, col, rx, ry, rw, rh, uri in links:
+        blocks.append(
+            PdfBlock("link", [], (rx, ry, rx + rw, ry + rh), pg, col, uri))
     blocks.sort(key=lambda b: (b.page, b.col, -b.bbox[3]))
     return blocks
 
@@ -1039,10 +1215,15 @@ def extract_pdf_blocks(data: bytes, cfg: ExtractConfig = DEFAULT) -> list[PdfBlo
     blocks.  Page-awareness lives in the tokenizer (runs/figures are
     page-tagged and every grouping step keys on page first), so this is
     the plain composition and single-stream documents (the whole
-    synthetic corpus) are unchanged from the historical grouping."""
-    runs, figures = tokenize_pdf(data, cfg)
-    runs, figures = assign_columns(runs, figures, cfg)
-    return group_blocks(group_lines(runs), figures, cfg)
+    synthetic corpus) are unchanged from the historical grouping.
+    Link rects ride through column assignment as pseudo-figures so a
+    link in the right column sorts with that column's reading order."""
+    runs, figures, links = tokenize_pdf(data, cfg)
+    fig_all = figures + [lk[:5] for lk in links]
+    runs, fig_all = assign_columns(runs, fig_all, cfg)
+    figures6 = fig_all[:len(figures)]
+    links7 = [(*f6, lk[5]) for f6, lk in zip(fig_all[len(figures):], links)]
+    return group_blocks(group_lines(runs), figures6, cfg, links=links7)
 
 
 # ---------------------------------------------------------------------------
@@ -1088,6 +1269,8 @@ def _page_content(blocks: list[dict], cmap: dict[str, int] | None = None) -> str
     parts = ["BT /F1 12 Tf 14 TL\n"]
     figs = []
     for b in blocks:
+        if b["kind"] == "link":
+            continue  # links are /Annots page objects, not content
         if b["kind"] == "figure":
             figs.append(b)
             continue
@@ -1140,11 +1323,15 @@ def _rot_author_blocks(blocks: list[dict], rotate: int) -> list[dict]:
            270: lambda x, y: (y, H - x)}[rotate]
     out = []
     for b in blocks:
-        if b["kind"] == "figure":
+        if b["kind"] in ("figure", "link"):
+            dh = 12 if b["kind"] == "link" else 80
             x0, y0 = inv(b["x"], b["y"])
-            x1, y1 = inv(b["x"] + b["w"], b["y"] + b["h"])
-            out.append({"kind": "figure", "x": min(x0, x1), "y": min(y0, y1),
-                        "w": abs(x1 - x0), "h": abs(y1 - y0)})
+            x1, y1 = inv(b["x"] + b.get("w", 100), b["y"] + b.get("h", dh))
+            nb = {"kind": b["kind"], "x": min(x0, x1), "y": min(y0, y1),
+                  "w": abs(x1 - x0), "h": abs(y1 - y0)}
+            if b["kind"] == "link":
+                nb["uri"] = b["uri"]
+            out.append(nb)
         else:
             for i, line in enumerate(b["lines"]):
                 cx, cy = inv(b["x"], b["y"] - 14.0 * i)
@@ -1155,7 +1342,8 @@ def _rot_author_blocks(blocks: list[dict], rotate: int) -> list[dict]:
 
 def write_pdf(blocks: list[dict], compress: bool = False,
               xref_stream: bool = False, type0: bool = False,
-              form_xobject: bool = False, rotate: int = 0) -> bytes:
+              form_xobject: bool = False, rotate: int = 0,
+              encoding_diffs: dict[int, str] | None = None) -> bytes:
     """Serialize blocks → a minimal well-formed single-page PDF.
 
     Each block dict: {"kind": "text"|"table"|"header"|"footer"|"figure",
@@ -1166,17 +1354,23 @@ def write_pdf(blocks: list[dict], compress: bool = False,
     compressed object stream — the modern-producer default);
     ``type0=True`` shows all text through a synthetic Type0/Identity-H
     font whose CIDs resolve only via its /ToUnicode CMap (how real
-    producers embed subset fonts).  The extractor handles all
-    combinations (Type0 requires the structured xref-driven parse).
+    producers embed subset fonts).  ``encoding_diffs`` ({code: glyph
+    name}) declares a simple Type1 font with an /Encoding /Differences
+    array — lines then carry the raw byte codes and extraction must
+    resolve them through the glyph names (classic layout, exclusive
+    with type0).  The extractor handles all combinations (Type0 and
+    Differences require the structured xref-driven parse).
     """
     return write_pdf_pages([blocks], compress=compress,
                            xref_stream=xref_stream, type0=type0,
-                           form_xobject=form_xobject, rotate=rotate)
+                           form_xobject=form_xobject, rotate=rotate,
+                           encoding_diffs=encoding_diffs)
 
 
 def write_pdf_pages(pages: list[list[dict]], compress: bool = False,
                     xref_stream: bool = False, type0: bool = False,
-                    form_xobject: bool = False, rotate: int = 0) -> bytes:
+                    form_xobject: bool = False, rotate: int = 0,
+                    encoding_diffs: dict[int, str] | None = None) -> bytes:
     """Multi-page variant: one content stream per page, each page its
     own coordinate space (the standard producer layout the per-stream
     extractor ordering relies on).  ``form_xobject=True`` moves each
@@ -1199,9 +1393,18 @@ def write_pdf_pages(pages: list[list[dict]], compress: bool = False,
     n = len(pages)
     cmap = _char_table(pages) if type0 else None
     font_num, tounicode_num = 3 + 2 * n, 4 + 2 * n
-    form_base = font_num + (2 if type0 else 0)
+    n_font_objs = 2 if type0 else (1 if encoding_diffs else 0)
+    form_base = font_num + n_font_objs
+    # link annotation objects come after everything else; each page's
+    # /Annots refs are computable up front from the per-page link counts
+    annot_base = form_base + (n if form_xobject else 0)
+    page_links = [[b for b in blocks if b["kind"] == "link"]
+                  for blocks in pages]
+    annot_start = [0]
+    for pl in page_links:
+        annot_start.append(annot_start[-1] + len(pl))
     res_parts = []
-    if type0:
+    if type0 or encoding_diffs:
         res_parts.append(f"/Font << /F1 {font_num} 0 R >>")
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n))
     objs = [
@@ -1214,9 +1417,14 @@ def write_pdf_pages(pages: list[list[dict]], compress: bool = False,
             page_res.append(f"/XObject << /Fm1 {form_base + i} 0 R >>")
         res = (" /Resources << " + " ".join(page_res) + " >>"
                if page_res else "")
+        annots = ""
+        if page_links[i]:
+            refs = " ".join(f"{annot_base + annot_start[i] + k} 0 R"
+                            for k in range(len(page_links[i])))
+            annots = f" /Annots [{refs}]"
         objs.append(
             f"<< /Type /Page /Parent 2 0 R /MediaBox [{media}] "
-            f"/Contents {4 + 2 * i} 0 R{res} >>"
+            f"/Contents {4 + 2 * i} 0 R{res}{annots} >>"
         )
         objs.append(_stream_obj(
             "q 1 0 0 1 0 0 cm /Fm1 Do Q\n" if form_xobject
@@ -1226,6 +1434,13 @@ def write_pdf_pages(pages: list[list[dict]], compress: bool = False,
             f"<< /Type /Font /Subtype /Type0 /BaseFont /Synth "
             f"/Encoding /Identity-H /ToUnicode {tounicode_num} 0 R >>")
         objs.append(_stream_obj(_cmap_text(cmap), compress))
+    elif encoding_diffs:
+        diffs = " ".join(f"{code} /{name}"
+                         for code, name in sorted(encoding_diffs.items()))
+        objs.append(
+            f"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            f"/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+            f"/Differences [{diffs}] >> >>")
     if form_xobject:
         for i, blocks in enumerate(pages):
             content = _page_content(blocks, cmap)
@@ -1240,6 +1455,14 @@ def write_pdf_pages(pages: list[list[dict]], compress: bool = False,
                 "<< /Type /XObject /Subtype /Form "
                 f"/BBox [0 0 612 792]{form_res} /Length", 1)
             objs.append(body)
+    for pl in page_links:
+        for b in pl:
+            x, y = b["x"], b["y"]
+            w, h = b.get("w", 100), b.get("h", 12)
+            objs.append(
+                f"<< /Type /Annot /Subtype /Link "
+                f"/Rect [{x:g} {y:g} {x + w:g} {y + h:g}] /Border [0 0 0] "
+                f"/A << /S /URI /URI ({_esc(b['uri'])}) >> >>")
     out = ["%PDF-1.4\n"]
     offsets = []
     pos = len(out[0])

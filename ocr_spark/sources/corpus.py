@@ -90,7 +90,8 @@ def _html_payload(rng: random.Random, doc_id: str, heft: int = 1,
 
 def _pdf_payload(rng: random.Random, heft: int = 1,
                  compress: bool = False, xref_stream: bool = False,
-                 type0: bool = False, form_xobject: bool = False) -> str:
+                 type0: bool = False, form_xobject: bool = False,
+                 link_rng: random.Random | None = None) -> str:
     blocks = [
         {"kind": "header", "x": 72, "y": 760, "lines": [f"Page header {_words(rng, 2)}"]},
     ]
@@ -113,6 +114,18 @@ def _pdf_payload(rng: random.Random, heft: int = 1,
         y -= 14 * 3 + 40
     if rng.random() < 0.3:
         blocks.append({"kind": "figure", "x": 100, "y": max(y - 90, 60), "w": 120, "h": 80})
+    # link annotations drawn from a SEPARATE forked rng (link_rng=None →
+    # rng draw order, and therefore the pinned goldens, bit-identical);
+    # classic layout only — /Annots emission lives in the classic writer
+    if link_rng is not None and not xref_stream:
+        for _ in range(link_rng.randint(1, 2)):
+            blocks.append({
+                "kind": "link", "x": 72,
+                "y": max(y - link_rng.randint(0, 60), 45),
+                "w": link_rng.randint(60, 200), "h": 12,
+                "uri": f"https://ref.example/{_words(link_rng, 1)}"
+                       f"/{link_rng.randint(0, 999)}",
+            })
     blocks.append({"kind": "footer", "x": 72, "y": 30, "lines": ["p. 1"]})
     return write_pdf(blocks, compress=compress, xref_stream=xref_stream,
                      type0=type0, form_xobject=form_xobject).decode("latin-1")
@@ -121,7 +134,8 @@ def _pdf_payload(rng: random.Random, heft: int = 1,
 def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
              heft: int = 1, compress_every: int = 0,
              xref_every: int = 0, type0_every: int = 0,
-             form_every: int = 0, html_table_every: int = 0) -> dict:
+             form_every: int = 0, html_table_every: int = 0,
+             pdf_link_every: int = 0) -> dict:
     """Pure function (seed, i) → one interleaved document row.
 
     ``heft`` multiplies per-payload content volume (paragraphs / PDF text
@@ -148,7 +162,9 @@ def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
     through either xref layout (object lookup is layout-independent).
     ``html_table_every=N`` inserts a data <table> (caption + 2-4 rows
     of 3 cells, drawn from a forked rng) into every Nth HTML span's
-    content div; 0 = never (default, goldens bit-identical)."""
+    content div; ``pdf_link_every=N`` adds 1-2 /Annots link annotations
+    (forked rng, classic-xref spans only) to every Nth PDF span;
+    0 = never (default, goldens bit-identical)."""
     doc_id = f"doc{i:08d}"
     rng = _rng(seed, "doc", i)
     n = 1 + min(int(rng.lognormvariate(0.8, 0.7)), 40)
@@ -175,10 +191,13 @@ def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
             t0f = bool(type0_every) and (i + j) % type0_every == 0
             frm = (bool(form_every) and (i + j) % form_every == 0
                    and not (xrs or t0f))
+            lrng = (_rng(seed, "lnk", i, j)
+                    if pdf_link_every and (i + j) % pdf_link_every == 0
+                    else None)
             sp = {"kind": "pdf_bytes",
                   "text": _pdf_payload(srng, heft, compress=comp,
                                        xref_stream=xrs or t0f, type0=t0f,
-                                       form_xobject=frm),
+                                       form_xobject=frm, link_rng=lrng),
                   "media_ref": None, "offset": offset}
         else:
             sp = {"kind": "media", "text": None,
@@ -190,10 +209,12 @@ def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
 def make_docs(n_docs: int, seed: int = 42, mega_every: int = 1000,
               heft: int = 1, compress_every: int = 0,
               xref_every: int = 0, type0_every: int = 0,
-              form_every: int = 0, html_table_every: int = 0) -> list[dict]:
+              form_every: int = 0, html_table_every: int = 0,
+              pdf_link_every: int = 0) -> list[dict]:
     """Driver-side generation for small test fixtures (pure Python)."""
     return [make_doc(i, seed, mega_every, heft, compress_every, xref_every,
-                     type0_every, form_every, html_table_every)
+                     type0_every, form_every, html_table_every,
+                     pdf_link_every)
             for i in range(n_docs)]
 
 

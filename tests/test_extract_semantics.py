@@ -311,7 +311,7 @@ def test_pdf_multi_stream_no_phantom_segment():
     doc = (f"<< /Length {len(c1)} >>\nstream\n{c1}\nendstream\n"
            f"2 0 obj\n<< /Length {len(c2)} >>\nstream\n{c2}\nendstream\n"
            ).encode("latin-1")
-    runs, _ = tokenize_pdf(doc)
+    runs = tokenize_pdf(doc)[0]
     assert [r.text for r in runs] == ["first", "second"], [r.text for r in runs]
 
 
@@ -328,7 +328,7 @@ def test_pdf_stream_keyword_inside_body_not_a_segment():
     doc = (f"1 0 obj\n<< /Length {len(c1)} >>\nstream\n{c1}\nendstream\nendobj\n"
            f"2 0 obj\n<< /Length {len(c2)} >>\nstream\n{c2}\nendstream\nendobj\n"
            ).encode("latin-1")
-    runs, _ = tokenize_pdf(doc)
+    runs = tokenize_pdf(doc)[0]
     # exactly two segments; '(junk)' sits after ET inside body1 so it is
     # never emitted; page 2's text stays on page index 1 (no shift)
     assert [(r.text, r.page) for r in runs] == [("first", 0), ("second", 1)], [
@@ -397,7 +397,7 @@ def test_pdf_utf16be_strings_decode():
                f"T* ({lit}) Tj ET\n")
     doc = (f"<< /Length {len(content.encode('latin-1'))} >>\nstream\n"
            f"{content}\nendstream").encode("latin-1")
-    runs, _ = tokenize_pdf(doc)
+    runs = tokenize_pdf(doc)[0]
     assert [r.text for r in runs] == ["Héllo→", "Ωmega"], [r.text for r in runs]
 
 
@@ -416,7 +416,7 @@ def test_pdf_hex_strings_tokenize():
     )
     doc = (f"<< /Length {len(content)} >>\nstream\n{content}\nendstream"
            ).encode("latin-1")
-    runs, _ = tokenize_pdf(doc)
+    runs = tokenize_pdf(doc)[0]
     texts = [r.text for r in runs]
     assert texts == ["Hello", "world!"], texts
 
@@ -993,3 +993,155 @@ def test_html_table_corpus_extracts_identically(spark):
     linearized = [s for spans in got.values() for s in spans
                   if s[1] and " ; " in s[1] and " | " in s[1]]
     assert linearized, "no linearized table spans reached the output"
+
+
+def test_pdf_link_annotations_emit_media_spans():
+    """/Annots /Subtype /Link URI actions become 'link' blocks placed by
+    their /Rect, interleaved into reading order; downstream they emit
+    media spans whose media_ref is the URI (escaped parens round-trip)."""
+    from ocr_spark.functions.pdfx import extract_pdf_blocks, write_pdf
+
+    blocks = [
+        {"kind": "text", "x": 72, "y": 700,
+         "lines": ["first paragraph of body text", "second line of it"]},
+        {"kind": "link", "x": 72, "y": 640, "w": 180, "h": 12,
+         "uri": "https://example.org/a(1)"},
+        {"kind": "text", "x": 72, "y": 560,
+         "lines": ["closing paragraph after the link", "with another line"]},
+        {"kind": "link", "x": 72, "y": 500, "w": 120, "h": 12,
+         "uri": "https://example.org/b"},
+    ]
+    doc = write_pdf(blocks)
+    got = [(b.kind, b.uri or b.text) for b in extract_pdf_blocks(doc)]
+    assert got == [
+        ("text-block", "first paragraph of body text\nsecond line of it"),
+        ("link", "https://example.org/a(1)"),
+        ("text-block", "closing paragraph after the link\nwith another line"),
+        ("link", "https://example.org/b"),
+    ], got
+
+    spans = extract_doc("d1", [
+        {"kind": "pdf_bytes", "text": doc.decode("latin-1"),
+         "media_ref": None, "offset": 10},
+    ], DEFAULT)
+    media = [(s["kind"], s["media_ref"]) for s in spans
+             if s["kind"] == "media"]
+    assert media == [("media", "https://example.org/a(1)"),
+                     ("media", "https://example.org/b")]
+
+
+def test_pdf_links_multipage_and_rotated():
+    """Links stay with their page (no cross-page interleave) and their
+    rects remap into display space under /Rotate like figures do."""
+    from ocr_spark.functions.pdfx import (
+        extract_pdf_blocks, write_pdf, write_pdf_pages)
+
+    p1 = [{"kind": "text", "x": 72, "y": 700,
+           "lines": ["page one body text here", "and a second line"]},
+          {"kind": "link", "x": 72, "y": 650, "w": 90, "h": 12,
+           "uri": "https://one.example/"}]
+    p2 = [{"kind": "link", "x": 72, "y": 720, "w": 90, "h": 12,
+           "uri": "https://two.example/"},
+          {"kind": "text", "x": 72, "y": 680,
+           "lines": ["page two body text here", "and its second line"]}]
+    doc = write_pdf_pages([p1, p2])
+    got = [(b.page, b.kind, b.uri or b.text.split("\n")[0])
+           for b in extract_pdf_blocks(doc)]
+    assert got == [
+        (0, "text-block", "page one body text here"),
+        (0, "link", "https://one.example/"),
+        (1, "link", "https://two.example/"),
+        (1, "text-block", "page two body text here"),
+    ], got
+
+    plain = [(b.kind, b.uri or b.text) for b in extract_pdf_blocks(
+        write_pdf(p1))]
+    for rot in (90, 180, 270):
+        rotated = [(b.kind, b.uri or b.text) for b in extract_pdf_blocks(
+            write_pdf(p1, rotate=rot))]
+        assert rotated == plain, rot
+
+
+def test_pdf_links_absent_on_positional_fallback():
+    """A raw content fragment (no xref) has no page dicts: text still
+    extracts via the positional scan, links are out of scope there."""
+    from ocr_spark.functions.pdfx import extract_pdf_blocks, write_pdf
+
+    doc = write_pdf([
+        {"kind": "text", "x": 72, "y": 700,
+         "lines": ["fallback body text lines", "second body line here"]},
+        {"kind": "link", "x": 72, "y": 650, "w": 90, "h": 12,
+         "uri": "https://gone.example/"},
+    ])
+    broken = doc.replace(b"startxref", b"startxrof")
+    kinds = [b.kind for b in extract_pdf_blocks(broken)]
+    assert "link" not in kinds and "text-block" in kinds
+
+
+def test_pdf_link_corpus_extracts_identically(spark):
+    """Corpus with pdf_link_every=2: Spark pipeline == straight-line
+    extract_doc oracle per document, and link media spans actually
+    appear (non-vacuous)."""
+    from ocr_spark.sources.corpus import SPAN_SCHEMA_DDL
+
+    docs = make_docs(80, seed=13, mega_every=40, pdf_link_every=2)
+    want = {}
+    for d in docs:
+        spans = extract_doc(d["doc_id"], d["spans"], DEFAULT)
+        want[d["doc_id"]] = [
+            [s["kind"], s["text"], s["media_ref"], s["order"]] for s in spans
+        ]
+    sdf = spark.createDataFrame(
+        [(d["doc_id"], [tuple(s.values()) for s in d["spans"]])
+         for d in docs], SPAN_SCHEMA_DDL).repartition(9)
+    rows = extract_stage(sdf).collect()
+    got = _canonical([r.asDict(recursive=True) for r in rows])
+    assert got == want
+    uris = [s[2] for spans in got.values() for s in spans
+            if s[2] and s[2].startswith("https://ref.example/")]
+    assert uris, "knob produced no link spans"
+
+
+def test_simple_font_differences_decode():
+    """A simple font's /Encoding /Differences remaps byte codes through
+    AGL glyph names (+ /uniXXXX): bytes 0x80/0xE9/0xA4 in the show
+    string come out as the mapped €/é/Ω; unmapped bytes stay literal."""
+    from ocr_spark.functions.pdfx import extract_pdf_blocks, write_pdf
+
+    blocks = [{"kind": "text", "x": 72, "y": 700,
+               "lines": ["price \x80 42 caf\xe9 symbol \xa4 here",
+                         "plain ascii second line text"]}]
+    doc = write_pdf(blocks, encoding_diffs={
+        0x80: "Euro", 0xE9: "eacute", 0xA4: "uni03A9"})
+    texts = [b.text for b in extract_pdf_blocks(doc)
+             if b.kind == "text-block"]
+    assert texts == ["price € 42 café symbol Ω here\n"
+                     "plain ascii second line text"], texts
+
+    # A/B: the same document WITHOUT the Differences keeps byte literals
+    plain = write_pdf(blocks)
+    t2 = [b.text for b in extract_pdf_blocks(plain) if b.kind == "text-block"]
+    assert t2 == ["price \x80 42 caf\xe9 symbol \xa4 here\n"
+                  "plain ascii second line text"], t2
+
+
+def test_font_differences_indirect_encoding_and_unknown_names():
+    """Unknown glyph names in /Differences keep their codes literal;
+    consecutive names consume consecutive codes after a start number."""
+    from ocr_spark.functions.pdfx import _Doc, write_pdf
+
+    doc = write_pdf(
+        [{"kind": "text", "x": 72, "y": 700,
+          "lines": ["abc \x81\x82\x83 xyz", "second line body text"]}],
+        encoding_diffs={0x81: "adieresis", 0x82: "nosuchglyph",
+                        0x83: "odieresis"})
+    # the parsed encoding has exactly the two resolvable codes
+    pages = _Doc(doc).page_contents()
+    fonts = pages[0][1]
+    assert fonts["F1"][0] == "enc"
+    assert fonts["F1"][1] == {0x81: "ä", 0x83: "ö"}
+
+    from ocr_spark.functions.pdfx import extract_pdf_blocks
+    texts = [b.text for b in extract_pdf_blocks(doc)
+             if b.kind == "text-block"]
+    assert texts == ["abc ä\x82ö xyz\nsecond line body text"], texts

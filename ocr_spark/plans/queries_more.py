@@ -626,3 +626,114 @@ def agg_mode(spark, sf):
         .select("flag", F.col("v").alias("mode_qty"),
                 F.col("cnt").alias("n_occurrences"))
     )
+
+
+@q(
+    "merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT doc_id, 'batch2' AS source, upper(text) AS text
+      FROM documents WHERE doc_id % 7 = 3
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, 'batch2' AS source, text
+      FROM documents WHERE doc_id % 97 = 5
+    )
+    SELECT doc_id, source, md5(text) AS content_hash FROM updates
+    UNION ALL
+    SELECT d.doc_id, d.source, md5(d.text) AS content_hash
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM updates)
+    """,
+)
+def merge_upsert(spark, sf):
+    """CDC merge (MERGE INTO semantics, SCD type 1): an update batch
+    overwrites matching target rows and inserts new keys, expressed as
+    the classic upsert-without-MERGE plan — updates UNION ALL
+    (target LEFT ANTI updates).  The update batch here is derived
+    deterministically from the target (every 7th doc modified, every
+    97th re-keyed as an insert) so the oracle reproduces it; in
+    production it is the change feed.
+
+    100 TB shape: the anti join keys on doc_id — broadcast when the
+    change batch is small (the common case, and Catalyst picks it here),
+    shuffle-join otherwise; no windows, no global sorts, and the
+    untouched partitions of a partitioned target would be rewritten only
+    where keys collide (manifest-level file pruning in a real MERGE)."""
+    d = t(spark, sf, "documents")
+    updates = (
+        d.filter(F.col("doc_id") % 7 == 3)
+        .select("doc_id", F.lit("batch2").alias("source"),
+                F.upper("text").alias("text"))
+        .unionByName(
+            d.filter(F.col("doc_id") % 97 == 5)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.lit("batch2").alias("source"), "text"))
+    )
+    merged = updates.select(
+        "doc_id", "source", F.md5("text").alias("content_hash")
+    ).unionByName(
+        d.join(F.broadcast(updates.select("doc_id")), "doc_id", "left_anti")
+        .select("doc_id", "source", F.md5("text").alias("content_hash"))
+    )
+    return merged
+
+
+@q(
+    "agg_histogram",
+    oracle="""
+    SELECT bucket,
+           COUNT(*) AS n,
+           MIN(cents) AS lo_cents,
+           MAX(cents) AS hi_cents
+    FROM (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) // 5000000 AS bucket
+      FROM orders
+    )
+    GROUP BY bucket
+    """,
+)
+def agg_histogram(spark, sf):
+    """Fixed-width histogram of order totals — the profiling primitive
+    behind data-quality dashboards and range-partition planning.  Values
+    are fixed-pointed to integer cents BEFORE bucketing so the bucket
+    boundary arithmetic is exact INTEGER division in both engines
+    (Spark ``div`` / DuckDB ``//`` — a plain ``/`` is double division,
+    and DuckDB's cast-to-int ROUNDS where Spark's truncates, which
+    silently shifts every odd bucket's boundary); one hash agg with
+    map-side partial combine, state bounded by bucket count."""
+    o = t(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.select(cents.alias("cents"),
+                 F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) "
+                        "div 5000000").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"),
+             F.min("cents").alias("lo_cents"),
+             F.max("cents").alias("hi_cents"))
+    )
+
+
+@q(
+    "window_ntile",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           NTILE(4) OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice, o_orderkey) AS quartile
+    FROM orders WHERE o_orderkey < 4000
+    """,
+)
+def window_ntile(spark, sf):
+    """Quartile assignment per group (NTILE) — equal-frequency binning
+    for score calibration / stratified splits.  The order key is made
+    TOTAL (price, then key) so tile boundaries are deterministic in both
+    engines.  Partitioned window — state per task is one group's rows;
+    the bounded key slice keeps the demo exact while the per-group shape
+    is the scale path (no global window)."""
+    o = t(spark, sf, "orders").filter(F.col("o_orderkey") < 4000)
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+    )

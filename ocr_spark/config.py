@@ -35,6 +35,12 @@ class ExtractConfig:
     # column assigned for ordering.  0 disables detection.
     column_gutter_min: float = 24.0
     column_min_lines: int = 3
+    # text rendering mode 3 (``3 Tr``) — the invisible OCR text layer
+    # scanned-PDF producers paint over the page image.  True (default)
+    # keeps it: for an OCR corpus the invisible layer IS the recognized
+    # content.  False drops mode-3 runs at parse time — the hidden-text
+    # keyword-spam defense a web-corpus curation pipeline wants.
+    keep_invisible_text: bool = True
 
     # ---- skew handling (E2) ----
     # Stable bucket count for lineage/restart AND the salted shuffle key:

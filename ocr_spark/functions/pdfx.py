@@ -66,6 +66,22 @@ Supported PDF subset (documented per SURVEY.md §7 "hard parts"):
     names keep their byte-literal meaning.  The WinAnsi/Standard base
     encodings agree with latin-1 on our corpus subset, so only the
     Differences overrides need mapping
+  - text rendering mode ``Tr``: mode 3 (invisible) is the OCR-text-layer
+    idiom — scanned-PDF producers paint the recognized text invisibly
+    over the page image.  Kept by default (for an OCR corpus the
+    invisible layer IS the content); cfg.keep_invisible_text=False
+    drops mode-3 runs (hidden-keyword-spam defense for web corpora).
+    Tr is text STATE: it persists across BT..ET within a stream
+  - encrypted documents (/Encrypt in any trailer, classic or
+    xref-stream, checked even when the page walk fails): strings and
+    stream bodies are ciphertext without the key, so extraction emits
+    ZERO runs/figures — never ciphertext-as-text via the positional
+    fallback; the doc still flows through lineage with 0 spans
+  - filled AcroForm text fields (structured-parse path): /Subtype
+    /Widget annotations with /FT /Tx and a literal-string /V (merged
+    widget+field dicts, the common producer layout) render as
+    ``name: value`` text runs at their /Rect — the scanned-form idiom
+    where the filled value is page content
   - link annotations (structured-parse path): page /Annots whose
     /Subtype is /Link with a /Rect and a URI action (/A << /S /URI
     /URI (...) >>, literal-string form) become 'link' blocks placed by
@@ -265,6 +281,10 @@ class _Doc:
         self.data = data
         self.xref: dict[int, tuple] = {}   # obj → ('n', off) | ('c', stm, idx)
         self.root: int | None = None
+        #: trailer declares /Encrypt: strings and stream bodies are
+        #: ciphertext (RC4/AES) — without the key there is nothing to
+        #: tokenize, so callers must emit NO runs rather than garbage
+        self.encrypted = False
         self._objstm_cache: dict[int, dict[int, bytes]] = {}
         self._load_xref_chain()
 
@@ -306,6 +326,8 @@ class _Doc:
             if td:
                 if self.root is None:
                     self.root = _dict_ref(td, b"Root")
+                if re.search(rb"/Encrypt\b", td):
+                    self.encrypted = True
                 return _dict_num(td, b"Prev")
         return None
 
@@ -339,6 +361,8 @@ class _Doc:
                     self.xref[num] = ("c", fields[1], fields[2])
         if self.root is None:
             self.root = _dict_ref(d, b"Root")
+        if re.search(rb"/Encrypt\b", d):
+            self.encrypted = True
         return _dict_num(d, b"Prev")
 
     # -- objects ------------------------------------------------------------
@@ -569,7 +593,7 @@ class _Doc:
                 parts.append(_decode_stream_body(c[0], c[1]))
             out.append((b"\n".join(parts), self._page_fonts(d),
                         self._page_xobjects(d), rotate, media,
-                        self._page_links(d)))
+                        self._page_links(d), self._page_widgets(d)))
 
     def _page_links(self, d: bytes) -> list[tuple]:
         """(x, y, w, h, uri) per /Subtype /Link annotation with a /Rect
@@ -596,6 +620,43 @@ class _Doc:
             links.append((min(x0, x1), min(y0, y1),
                           abs(x1 - x0), abs(y1 - y0), uri))
         return links
+
+    def _page_widgets(self, d: bytes) -> list[tuple]:
+        """(x, y, text) per filled AcroForm text field on this page: a
+        /Subtype /Widget annotation whose field dict (merged, the common
+        producer layout) carries /FT /Tx and a literal-string value /V.
+        The rendered text is ``name: value`` when the field has a
+        partial name /T, else the bare value — the scanned-form idiom
+        where the filled value is page content a viewer shows at the
+        widget's /Rect.  Choice/checkbox fields (/Ch, /Btn) and
+        appearance-stream-only widgets are out of subset."""
+        fields: list[tuple] = []
+        aarr = _dict_arr(d, b"Annots")
+        if aarr is None:
+            return fields
+        for am in re.finditer(rb"(\d+)\s+\d+\s+R\b", aarr):
+            ao = self.obj(int(am.group(1)))
+            if not ao or ao[0] is None:
+                continue
+            ad = ao[0]
+            if _dict_name(ad, b"Subtype") != b"Widget" or \
+                    _dict_name(ad, b"FT") != b"Tx":
+                continue
+            rm = re.search(
+                rb"/Rect\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)"
+                rb"\s+([\d.+-]+)\s*\]", ad)
+            vm = re.search(rb"/V\s*\(((?:[^()\\]|\\.)*)\)", ad)
+            if not rm or not vm:
+                continue
+            x0, y0, x1, y1 = (float(rm.group(i)) for i in range(1, 5))
+            val = _pdf_text(_unescape(vm.group(1).decode("latin-1")))
+            nm = re.search(rb"/T\s*\(((?:[^()\\]|\\.)*)\)", ad)
+            if nm:
+                name = _pdf_text(_unescape(nm.group(1).decode("latin-1")))
+                val = f"{name}: {val}"
+            if val:
+                fields.append((min(x0, x1), min(y0, y1), val))
+        return fields
 
 
 # Adobe Glyph List subset — the names real producers put in
@@ -696,19 +757,39 @@ def parse_tounicode_cmap(data: bytes) -> dict[int, str]:
     return cmap
 
 
+class _EncryptedPdf(Exception):
+    """Trailer declares /Encrypt — strings/streams are ciphertext."""
+
+
 def _structured_page_contents(
         data: bytes) -> list[tuple] | None:
     """Xref-driven page-ordered (decoded content string, font map,
-    xobject map, rotate, media, links) tuples, or None when the document
-    has no parseable structure (raw fragments, corrupt xref) — callers
-    then fall back to the positional stream scan (which has no font,
-    xobject, or annotation tables: Type0 decode, /Do dispatch, and link
-    extraction need the structure)."""
+    xobject map, rotate, media, links, widgets) tuples, or None when the
+    document has no parseable structure (raw fragments, corrupt xref) —
+    callers then fall back to the positional stream scan (which has no
+    font, xobject, or annotation tables: Type0 decode, /Do dispatch, and
+    link/field extraction need the structure).
+
+    Raises _EncryptedPdf for documents whose trailer declares /Encrypt
+    (checked even when the page walk fails, so an encrypted document
+    never falls through to the positional scan and emits ciphertext
+    bytes as phantom text)."""
     try:
-        return [(c.decode("latin-1"), fonts, xobjs, rot, media, links)
-                for c, fonts, xobjs, rot, media, links
-                in _Doc(data).page_contents()]
+        doc = _Doc(data)
+        if doc.encrypted:
+            raise _EncryptedPdf
+        return [(c.decode("latin-1"), fonts, xobjs, rot, media, links, wdg)
+                for c, fonts, xobjs, rot, media, links, wdg
+                in doc.page_contents()]
+    except _EncryptedPdf:
+        raise
     except Exception:
+        # structure unparseable — but a trailer-declared /Encrypt must
+        # still preempt the positional fallback (documented subset: the
+        # check scans the 512 bytes after each `trailer` keyword)
+        for tm in re.finditer(rb"trailer\b", data):
+            if re.search(rb"/Encrypt\b", data[tm.end():tm.end() + 512]):
+                raise _EncryptedPdf from None
         return None
 
 # one token: PDF string (literal or hex), array, number, or operator name
@@ -822,12 +903,23 @@ def tokenize_pdf(data: bytes, cfg: ExtractConfig = DEFAULT) -> tuple[
     runs: list[TextRun] = []
     figures: list[tuple[int, float, float, float, float]] = []
     links: list[tuple[int, float, float, float, float, str]] = []
-    pages = _structured_page_contents(data)
+    try:
+        pages = _structured_page_contents(data)
+    except _EncryptedPdf:
+        # /Encrypt with no key: every string and stream body is
+        # ciphertext — the only honest extraction is the empty one
+        # (the doc still flows through lineage with 0 spans)
+        return runs, figures, links
     if pages is None:
-        pages = [(content, {}, {}, 0, (612.0, 792.0), [])
+        pages = [(content, {}, {}, 0, (612.0, 792.0), [], [])
                  for content in _stream_contents(data)]
-    for page, (content, fonts, xobjs, rot, media, lks) in enumerate(pages):
+    for page, (content, fonts, xobjs, rot, media, lks,
+               wdgs) in enumerate(pages):
         r, f = _parse_content(content, [], [], cfg, fonts, xobjs)
+        # filled form-field values render as positioned text runs (what
+        # a viewer shows at the widget's rect) and flow through line /
+        # block grouping like any other content
+        r.extend(TextRun(wx, wy, wtext, 10.0) for wx, wy, wtext in wdgs)
         if rot in (90, 180, 270):
             r, f = _apply_rotation(r, f, rot, media)
             lks = [(*_rot_rect(lx, ly, lw, lh, rot, media), uri)
@@ -941,6 +1033,11 @@ def _parse_content(content, runs, figures, cfg, fonts=None, xobjs=None,
     arr: list | None = None
     last_name = None
     cur_font: tuple | None = None   # ('cid', cmap) | ('enc', {code: ch})
+    # text rendering mode (Tr): part of the TEXT STATE in the graphics
+    # state, so it persists across BT..ET boundaries within a stream.
+    # Mode 3 = invisible — the OCR-text-layer idiom; kept or dropped
+    # per cfg.keep_invisible_text.
+    mode = 0
 
     def decode_str(raw: str) -> str:
         if cur_font is not None:
@@ -1007,15 +1104,19 @@ def _parse_content(content, runs, figures, cfg, fonts=None, xobjs=None,
             x, y = float(stack[-2]), float(stack[-1])
         elif t == "T*":
             y -= leading
+        elif t == "Tr" and stack:
+            mode = int(float(stack[-1]))
         elif t == "Tj" and stack and isinstance(stack[-1], str):
-            if in_text and stack[-1]:
+            if in_text and stack[-1] and (
+                    mode != 3 or cfg.keep_invisible_text):
                 runs.append(TextRun(x, y, stack[-1], size))
         elif t in ("'", '"') and stack and isinstance(stack[-1], str):
             # ' = next-line + show;  " = aw ac string " (word/char
             # spacing set then next-line + show — spacing ignored here,
             # as for Tc/Tw generally)
             y -= leading
-            if in_text and stack[-1]:
+            if in_text and stack[-1] and (
+                    mode != 3 or cfg.keep_invisible_text):
                 runs.append(TextRun(x, y, stack[-1], size))
         elif t == "TJ" and stack and isinstance(stack[-1], list):
             parts: list[str] = []
@@ -1025,7 +1126,7 @@ def _parse_content(content, runs, figures, cfg, fonts=None, xobjs=None,
                 elif isinstance(el, float) and el < cfg.tj_space_kern:
                     parts.append(" ")
             txt = "".join(parts)
-            if in_text and txt:
+            if in_text and txt and (mode != 3 or cfg.keep_invisible_text):
                 runs.append(TextRun(x, y, txt, size))
         elif t == "re" and len(stack) >= 4:
             rx, ry, rw, rh = (float(v) for v in stack[-4:])
@@ -1269,12 +1370,16 @@ def _page_content(blocks: list[dict], cmap: dict[str, int] | None = None) -> str
     parts = ["BT /F1 12 Tf 14 TL\n"]
     figs = []
     for b in blocks:
-        if b["kind"] == "link":
-            continue  # links are /Annots page objects, not content
+        if b["kind"] in ("link", "field"):
+            continue  # links/widgets are /Annots page objects, not content
         if b["kind"] == "figure":
             figs.append(b)
             continue
         x, y = b["x"], b["y"]
+        if b.get("invisible"):
+            # the OCR-layer idiom: text painted in rendering mode 3
+            # (invisible) over the scanned page image
+            parts.append("3 Tr\n")
         parts.append(f"1 0 0 1 {x:g} {y:g} Tm\n")
         for i, line in enumerate(b["lines"]):
             if i > 0:
@@ -1284,6 +1389,8 @@ def _page_content(blocks: list[dict], cmap: dict[str, int] | None = None) -> str
                 parts.append(f"<{hx}> Tj\n")
             else:
                 parts.append(f"({_esc(line)}) Tj\n")
+        if b.get("invisible"):
+            parts.append("0 Tr\n")
     parts.append("ET\n")
     for b in figs:
         w, h = b.get("w", 100), b.get("h", 80)
@@ -1323,14 +1430,16 @@ def _rot_author_blocks(blocks: list[dict], rotate: int) -> list[dict]:
            270: lambda x, y: (y, H - x)}[rotate]
     out = []
     for b in blocks:
-        if b["kind"] in ("figure", "link"):
-            dh = 12 if b["kind"] == "link" else 80
+        if b["kind"] in ("figure", "link", "field"):
+            dh = {"link": 12, "field": 14}.get(b["kind"], 80)
             x0, y0 = inv(b["x"], b["y"])
             x1, y1 = inv(b["x"] + b.get("w", 100), b["y"] + b.get("h", dh))
             nb = {"kind": b["kind"], "x": min(x0, x1), "y": min(y0, y1),
                   "w": abs(x1 - x0), "h": abs(y1 - y0)}
             if b["kind"] == "link":
                 nb["uri"] = b["uri"]
+            elif b["kind"] == "field":
+                nb["name"], nb["value"] = b.get("name"), b["value"]
             out.append(nb)
         else:
             for i, line in enumerate(b["lines"]):
@@ -1400,15 +1509,26 @@ def write_pdf_pages(pages: list[list[dict]], compress: bool = False,
     annot_base = form_base + (n if form_xobject else 0)
     page_links = [[b for b in blocks if b["kind"] == "link"]
                   for blocks in pages]
+    page_fields = [[b for b in blocks if b["kind"] == "field"]
+                   for blocks in pages]
     annot_start = [0]
-    for pl in page_links:
-        annot_start.append(annot_start[-1] + len(pl))
+    for pl, pf in zip(page_links, page_fields):
+        annot_start.append(annot_start[-1] + len(pl) + len(pf))
     res_parts = []
     if type0 or encoding_diffs:
         res_parts.append(f"/Font << /F1 {font_num} 0 R >>")
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n))
+    # filled text fields also hang off the catalog's /AcroForm /Fields
+    # (required by real viewers; our reader resolves them via /Annots)
+    acro = ""
+    if any(page_fields):
+        frefs = []
+        for i, pf in enumerate(page_fields):
+            base = annot_base + annot_start[i] + len(page_links[i])
+            frefs += [f"{base + k} 0 R" for k in range(len(pf))]
+        acro = f" /AcroForm << /Fields [{' '.join(frefs)}] >>"
     objs = [
-        "<< /Type /Catalog /Pages 2 0 R >>",
+        f"<< /Type /Catalog /Pages 2 0 R{acro} >>",
         f"<< /Type /Pages /Kids [{kids}] /Count {n}{rot_attr} >>",
     ]
     for i, blocks in enumerate(pages):
@@ -1418,9 +1538,10 @@ def write_pdf_pages(pages: list[list[dict]], compress: bool = False,
         res = (" /Resources << " + " ".join(page_res) + " >>"
                if page_res else "")
         annots = ""
-        if page_links[i]:
-            refs = " ".join(f"{annot_base + annot_start[i] + k} 0 R"
-                            for k in range(len(page_links[i])))
+        if page_links[i] or page_fields[i]:
+            refs = " ".join(
+                f"{annot_base + annot_start[i] + k} 0 R"
+                for k in range(len(page_links[i]) + len(page_fields[i])))
             annots = f" /Annots [{refs}]"
         objs.append(
             f"<< /Type /Page /Parent 2 0 R /MediaBox [{media}] "
@@ -1455,7 +1576,7 @@ def write_pdf_pages(pages: list[list[dict]], compress: bool = False,
                 "<< /Type /XObject /Subtype /Form "
                 f"/BBox [0 0 612 792]{form_res} /Length", 1)
             objs.append(body)
-    for pl in page_links:
+    for pl, pf in zip(page_links, page_fields):
         for b in pl:
             x, y = b["x"], b["y"]
             w, h = b.get("w", 100), b.get("h", 12)
@@ -1463,6 +1584,16 @@ def write_pdf_pages(pages: list[list[dict]], compress: bool = False,
                 f"<< /Type /Annot /Subtype /Link "
                 f"/Rect [{x:g} {y:g} {x + w:g} {y + h:g}] /Border [0 0 0] "
                 f"/A << /S /URI /URI ({_esc(b['uri'])}) >> >>")
+        for b in pf:
+            # merged widget+field dict (the common producer layout):
+            # a filled AcroForm text field with name /T and value /V
+            x, y = b["x"], b["y"]
+            w, h = b.get("w", 160), b.get("h", 14)
+            name = f"/T ({_esc(b['name'])}) " if b.get("name") else ""
+            objs.append(
+                f"<< /Type /Annot /Subtype /Widget /FT /Tx "
+                f"/Rect [{x:g} {y:g} {x + w:g} {y + h:g}] "
+                f"{name}/V ({_esc(b['value'])}) >>")
     out = ["%PDF-1.4\n"]
     offsets = []
     pos = len(out[0])
@@ -1478,6 +1609,26 @@ def write_pdf_pages(pages: list[list[dict]], compress: bool = False,
     out.append(f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
                f"startxref\n{xref_pos}\n%%EOF\n")
     return "".join(out).encode("latin-1")
+
+
+def write_pdf_encrypted(blocks: list[dict], compress: bool = False) -> bytes:
+    """An ENCRYPTED variant of write_pdf's output for negative-path
+    tests: the trailer declares /Encrypt and every stream body is
+    XOR-scrambled in place (length-preserving, so the xref offsets and
+    /Length slices stay valid — structurally a well-formed PDF whose
+    strings/streams are ciphertext, exactly the shape a real
+    RC4/AES-encrypted document presents without its key).  The
+    extractor must emit ZERO runs/figures for it; if /Encrypt detection
+    ever regressed, the scrambled bytes — not the original text — would
+    leak out and the A/B tests would see garbage."""
+    raw = write_pdf(blocks, compress=compress)
+
+    def _xor(m: re.Match) -> bytes:
+        return m.group(1) + bytes(b ^ 0xA7 for b in m.group(2)) + m.group(3)
+
+    raw = re.sub(rb"(stream\r?\n)(.*?)(\r?\nendstream)", _xor, raw,
+                 flags=re.DOTALL)
+    return raw.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9999 0 R", 1)
 
 
 def _write_pdf_xref_stream(pages: list[list[dict]], compress: bool,

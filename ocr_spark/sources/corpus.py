@@ -91,7 +91,10 @@ def _html_payload(rng: random.Random, doc_id: str, heft: int = 1,
 def _pdf_payload(rng: random.Random, heft: int = 1,
                  compress: bool = False, xref_stream: bool = False,
                  type0: bool = False, form_xobject: bool = False,
-                 link_rng: random.Random | None = None) -> str:
+                 link_rng: random.Random | None = None,
+                 ocr_rng: random.Random | None = None,
+                 field_rng: random.Random | None = None,
+                 encrypted: bool = False) -> str:
     blocks = [
         {"kind": "header", "x": 72, "y": 760, "lines": [f"Page header {_words(rng, 2)}"]},
     ]
@@ -126,7 +129,30 @@ def _pdf_payload(rng: random.Random, heft: int = 1,
                 "uri": f"https://ref.example/{_words(link_rng, 1)}"
                        f"/{link_rng.randint(0, 999)}",
             })
+    # scanned-page OCR layer (forked rng): a full-page image figure with
+    # the recognized text painted invisibly (3 Tr) over it — extraction
+    # keeps the text (keep_invisible_text default) plus the page figure
+    if ocr_rng is not None:
+        blocks.append({"kind": "figure", "x": 0, "y": 0, "w": 612, "h": 792})
+        blocks.append({
+            "kind": "text", "x": 72, "y": max(y, 120), "invisible": True,
+            "lines": [_words(ocr_rng, ocr_rng.randint(4, 9))
+                      for _ in range(ocr_rng.randint(2, 4))],
+        })
+    # filled AcroForm text fields (forked rng; classic layout only —
+    # widget /Annots emission lives in the classic writer, like links)
+    if field_rng is not None and not xref_stream:
+        for k in range(field_rng.randint(1, 2)):
+            blocks.append({
+                "kind": "field", "x": 72,
+                "y": max(y - 20 * k - field_rng.randint(0, 40), 48),
+                "name": _words(field_rng, 1),
+                "value": _words(field_rng, field_rng.randint(1, 4)),
+            })
     blocks.append({"kind": "footer", "x": 72, "y": 30, "lines": ["p. 1"]})
+    if encrypted:
+        from ocr_spark.functions.pdfx import write_pdf_encrypted
+        return write_pdf_encrypted(blocks, compress=compress).decode("latin-1")
     return write_pdf(blocks, compress=compress, xref_stream=xref_stream,
                      type0=type0, form_xobject=form_xobject).decode("latin-1")
 
@@ -135,7 +161,8 @@ def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
              heft: int = 1, compress_every: int = 0,
              xref_every: int = 0, type0_every: int = 0,
              form_every: int = 0, html_table_every: int = 0,
-             pdf_link_every: int = 0) -> dict:
+             pdf_link_every: int = 0, ocr_layer_every: int = 0,
+             field_every: int = 0, encrypted_every: int = 0) -> dict:
     """Pure function (seed, i) → one interleaved document row.
 
     ``heft`` multiplies per-payload content volume (paragraphs / PDF text
@@ -164,6 +191,12 @@ def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
     of 3 cells, drawn from a forked rng) into every Nth HTML span's
     content div; ``pdf_link_every=N`` adds 1-2 /Annots link annotations
     (forked rng, classic-xref spans only) to every Nth PDF span;
+    ``ocr_layer_every=N`` gives every Nth PDF span a scanned-page OCR
+    layer (full-page image + invisible ``3 Tr`` text, forked rng);
+    ``field_every=N`` adds 1-2 filled AcroForm text-field widgets
+    (forked rng, classic-xref spans only); ``encrypted_every=N`` writes
+    every Nth PDF span ENCRYPTED (/Encrypt trailer + XOR-scrambled
+    streams) — extraction must emit zero spans for those payloads;
     0 = never (default, goldens bit-identical)."""
     doc_id = f"doc{i:08d}"
     rng = _rng(seed, "doc", i)
@@ -194,10 +227,19 @@ def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
             lrng = (_rng(seed, "lnk", i, j)
                     if pdf_link_every and (i + j) % pdf_link_every == 0
                     else None)
+            orng = (_rng(seed, "ocr", i, j)
+                    if ocr_layer_every and (i + j) % ocr_layer_every == 0
+                    else None)
+            frng = (_rng(seed, "fld", i, j)
+                    if field_every and (i + j) % field_every == 0
+                    else None)
+            enc = bool(encrypted_every) and (i + j) % encrypted_every == 0
             sp = {"kind": "pdf_bytes",
                   "text": _pdf_payload(srng, heft, compress=comp,
                                        xref_stream=xrs or t0f, type0=t0f,
-                                       form_xobject=frm, link_rng=lrng),
+                                       form_xobject=frm, link_rng=lrng,
+                                       ocr_rng=orng, field_rng=frng,
+                                       encrypted=enc),
                   "media_ref": None, "offset": offset}
         else:
             sp = {"kind": "media", "text": None,
@@ -210,11 +252,13 @@ def make_docs(n_docs: int, seed: int = 42, mega_every: int = 1000,
               heft: int = 1, compress_every: int = 0,
               xref_every: int = 0, type0_every: int = 0,
               form_every: int = 0, html_table_every: int = 0,
-              pdf_link_every: int = 0) -> list[dict]:
+              pdf_link_every: int = 0, ocr_layer_every: int = 0,
+              field_every: int = 0, encrypted_every: int = 0) -> list[dict]:
     """Driver-side generation for small test fixtures (pure Python)."""
     return [make_doc(i, seed, mega_every, heft, compress_every, xref_every,
                      type0_every, form_every, html_table_every,
-                     pdf_link_every)
+                     pdf_link_every, ocr_layer_every, field_every,
+                     encrypted_every)
             for i in range(n_docs)]
 
 

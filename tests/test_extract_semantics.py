@@ -1145,3 +1145,125 @@ def test_font_differences_indirect_encoding_and_unknown_names():
     texts = [b.text for b in extract_pdf_blocks(doc)
              if b.kind == "text-block"]
     assert texts == ["abc ä\x82ö xyz\nsecond line body text"], texts
+
+
+def test_pdf_invisible_ocr_layer():
+    """The scanned-PDF OCR idiom — recognized text painted in rendering
+    mode 3 (invisible) over a full-page image.  Default config keeps the
+    invisible layer (it IS the content for an OCR corpus);
+    keep_invisible_text=False drops it (hidden-text spam defense).  Tr
+    is text state: it persists across BT..ET until reset."""
+    from ocr_spark.config import ExtractConfig
+    from ocr_spark.functions.pdfx import extract_pdf_blocks, write_pdf
+
+    blocks = [
+        {"kind": "figure", "x": 0, "y": 0, "w": 612, "h": 792},
+        {"kind": "text", "x": 72, "y": 700, "invisible": True,
+         "lines": ["recognized ocr line one", "recognized ocr line two"]},
+        {"kind": "text", "x": 72, "y": 600,
+         "lines": ["visible caption text line", "second visible line"]},
+    ]
+    doc = write_pdf(blocks)
+    keep = [(b.kind, b.text) for b in extract_pdf_blocks(doc)]
+    assert ("text-block",
+            "recognized ocr line one\nrecognized ocr line two") in keep
+    assert ("text-block",
+            "visible caption text line\nsecond visible line") in keep
+    assert any(k == "figure" for k, _ in keep)
+
+    drop = [(b.kind, b.text) for b in extract_pdf_blocks(
+        doc, ExtractConfig(keep_invisible_text=False))]
+    assert all("recognized ocr" not in t for _, t in drop)
+    assert ("text-block",
+            "visible caption text line\nsecond visible line") in drop
+
+    # Tr persists across BT..ET: a second text object after `3 Tr`
+    # (no reset) is still invisible under keep=False
+    raw = doc.replace(b"0 Tr\n", b"")  # drop the writer's reset
+    drop2 = [b.text for b in extract_pdf_blocks(
+        raw, ExtractConfig(keep_invisible_text=False))
+        if b.kind == "text-block"]
+    assert drop2 == [], drop2
+
+
+def test_pdf_encrypted_emits_nothing():
+    """/Encrypt in the trailer → ciphertext strings/streams: extraction
+    must emit ZERO blocks (never scrambled bytes as phantom text), even
+    when the xref is ALSO corrupt and the positional fallback would
+    otherwise scan the scrambled stream bodies."""
+    from ocr_spark.functions.pdfx import (extract_pdf_blocks, tokenize_pdf,
+                                          write_pdf, write_pdf_encrypted)
+
+    blocks = [{"kind": "text", "x": 72, "y": 700,
+               "lines": ["secret body text lines", "second secret line"]}]
+    # plaintext twin extracts (non-vacuous)
+    assert any(b.kind == "text-block"
+               for b in extract_pdf_blocks(write_pdf(blocks)))
+    enc = write_pdf_encrypted(blocks)
+    assert extract_pdf_blocks(enc) == []
+    assert tokenize_pdf(enc) == ([], [], [])
+    # compressed variant
+    assert extract_pdf_blocks(write_pdf_encrypted(blocks, compress=True)) == []
+    # corrupt xref: structured parse fails, but the trailer /Encrypt
+    # scan still preempts the positional fallback
+    assert extract_pdf_blocks(enc.replace(b"startxref", b"startxrof")) == []
+
+
+def test_pdf_form_field_values_extract():
+    """Filled AcroForm text fields (/Widget + /FT /Tx + /V) render as
+    `name: value` text at their /Rect, interleaved into reading order;
+    rotated authoring round-trips to the same spans."""
+    from ocr_spark.functions.pdfx import extract_pdf_blocks, write_pdf
+
+    blocks = [
+        {"kind": "text", "x": 72, "y": 700,
+         "lines": ["application form body text", "please fill all fields"]},
+        {"kind": "field", "x": 72, "y": 600, "name": "Name",
+         "value": "Ada Lovelace"},
+        {"kind": "field", "x": 72, "y": 560, "value": "unlabeled entry"},
+    ]
+    want = [("text-block",
+             "application form body text\nplease fill all fields"),
+            ("text-block", "Name: Ada Lovelace"),
+            ("text-block", "unlabeled entry")]
+    got = [(b.kind, b.text) for b in extract_pdf_blocks(write_pdf(blocks))]
+    assert got == want, got
+    for rot in (90, 180, 270):
+        rgot = [(b.kind, b.text)
+                for b in extract_pdf_blocks(write_pdf(blocks, rotate=rot))]
+        assert rgot == want, (rot, rgot)
+    # unfilled (/V absent) widgets are skipped: rename the unlabeled
+    # field's /V key in place (same byte length — xref offsets intact)
+    doc = write_pdf(blocks).replace(b"/V (unlabeled entry)",
+                                    b"/W (unlabeled entry)")
+    got2 = [(b.kind, b.text) for b in extract_pdf_blocks(doc)]
+    assert got2 == want[:2], got2
+
+
+def test_ocr_field_encrypted_corpus_extracts_identically(spark):
+    """Corpus-wide A/B with the three round-3 PDF knobs live at once
+    (ocr_layer_every=2, field_every=3, encrypted_every=5): the Spark
+    pipeline matches the straight-line extract_doc oracle per document,
+    and each knob actually fired (non-vacuous)."""
+    from ocr_spark.sources.corpus import SPAN_SCHEMA_DDL
+
+    docs = make_docs(80, seed=31, mega_every=40, ocr_layer_every=2,
+                     field_every=3, encrypted_every=5)
+    payloads = [s["text"] for d in docs for s in d["spans"]
+                if s["kind"] == "pdf_bytes"]
+    assert any("3 Tr" in p for p in payloads), "ocr knob never fired"
+    assert any("/Widget" in p for p in payloads), "field knob never fired"
+    assert any("/Encrypt" in p for p in payloads), "encrypted knob never fired"
+
+    want = {}
+    for d in docs:
+        spans = extract_doc(d["doc_id"], d["spans"], DEFAULT)
+        want[d["doc_id"]] = [
+            [s["kind"], s["text"], s["media_ref"], s["order"]] for s in spans
+        ]
+    sdf = spark.createDataFrame(
+        [(d["doc_id"], [tuple(s.values()) for s in d["spans"]])
+         for d in docs], SPAN_SCHEMA_DDL).repartition(9)
+    rows = extract_stage(sdf).collect()
+    got = _canonical([r.asDict(recursive=True) for r in rows])
+    assert got == want

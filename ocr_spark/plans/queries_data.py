@@ -558,3 +558,92 @@ def filter_domain_blocklist(spark, sf):
         d.join(F.broadcast(blocked), "source", "left_anti")
         .select("doc_id", "source")
     )
+
+
+# URL canonicalization — the dedup-key normalizer a web corpus runs
+# before ANY url-keyed operation (exact URL dedup, per-host capping,
+# robots joins): scheme/host lowercased, www. and default ports
+# stripped, fragment dropped, utm_* tracking params removed, remaining
+# query params SORTED (param order is transport noise), trailing path
+# slash trimmed.  The messy input URL is synthesized deterministically
+# from doc_id (uppercase host, :443, unordered params, fragment — one
+# of each canonicalization hazard) so the oracle reproduces it exactly.
+@q(
+    "url_canonicalize",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             'HTTPS://WWW.Example' || (doc_id % 7) || '.COM:443/Path/p'
+               || doc_id || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+               || '?utm_source=feed&b=2&a=' || (doc_id % 5)
+               || (CASE WHEN doc_id % 2 = 0 THEN '&utm_campaign=x' ELSE '' END)
+               || '#sec' || (doc_id % 4) AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id,
+             split_part(regexp_replace(url, '#.*$', ''), '?', 1) AS pathful,
+             split_part(regexp_replace(url, '#.*$', ''), '?', 2) AS qry
+      FROM raw
+    ),
+    base AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 lower(regexp_extract(pathful, '^[A-Za-z]+://[^/]*', 0)),
+                 '^(https://[^/]*):443$|^(http://[^/]*):80$', '\\1\\2'),
+               '^(https?://)www\\.', '\\1') AS hostpart,
+             regexp_replace(
+               regexp_replace(pathful, '^[A-Za-z]+://[^/]*', ''),
+               '/+$', '') AS path,
+             array_to_string(list_sort(list_filter(
+               string_split(qry, '&'),
+               p -> p != '' AND p NOT LIKE 'utm_%')), '&') AS params
+      FROM parts
+    )
+    SELECT doc_id,
+           hostpart || path ||
+             (CASE WHEN params = '' THEN '' ELSE '?' || params END) AS url,
+           regexp_extract(hostpart, '^[a-z]+://([^/:]+)', 1) AS host
+    FROM base
+    """,
+)
+def url_canonicalize(spark, sf):
+    """100 TB shape: pure JVM string/array expressions inside whole-stage
+    codegen — no UDF, no shuffle (narrow map over the scan); the
+    canonical url then feeds hash-partitioned dedup/capping downstream.
+    Regexes stay in the Java∩RE2 common subset (ASCII classes, no
+    lookaround) so both engines match identically."""
+    d = t(spark, sf, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Example"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM:443/Path/p"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&b=2&a="), (F.col("doc_id") % 5).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("&utm_campaign=x"))
+        .otherwise(F.lit("")),
+        F.lit("#sec"), (F.col("doc_id") % 4).cast("string"),
+    )
+    nofrag = F.regexp_replace(url, F.lit("#.*$"), F.lit(""))
+    pathful = F.split_part(nofrag, F.lit("?"), F.lit(1))
+    qry = F.split_part(nofrag, F.lit("?"), F.lit(2))
+    hostraw = F.lower(F.regexp_extract(pathful, "^[A-Za-z]+://[^/]*", 0))
+    # Java backreferences are $1; the DuckDB twin uses RE2's \1
+    hostpart = F.regexp_replace(
+        F.regexp_replace(
+            hostraw,
+            F.lit("^(https://[^/]*):443$|^(http://[^/]*):80$"),
+            F.lit("$1$2")),
+        F.lit("^(https?://)www\\."), F.lit("$1"))
+    path = F.regexp_replace(
+        F.regexp_replace(pathful, F.lit("^[A-Za-z]+://[^/]*"), F.lit("")),
+        F.lit("/+$"), F.lit(""))
+    params = F.array_join(
+        F.array_sort(F.filter(
+            F.split(qry, "&"),
+            lambda p: (p != "") & ~p.startswith("utm_"))), "&")
+    canon = F.concat(
+        hostpart, path,
+        F.when(params == "", F.lit("")).otherwise(F.concat(F.lit("?"), params)))
+    host = F.regexp_extract(hostpart, "^[a-z]+://([^/:]+)", 1)
+    return d.select("doc_id", canon.alias("url"), host.alias("host"))

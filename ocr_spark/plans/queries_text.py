@@ -752,3 +752,99 @@ def simhash_pairs(d):
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return pairs.filter(ham <= 3).select(
         "doc_a", "doc_b", ham.cast("int").alias("hamming"))
+
+
+# Exact-substring window dedup (the Lee et al. 2022 "Deduplicating
+# Training Data" family, windowed-hash approximation of the suffix-array
+# method): every W-token window is content-hashed; two documents sharing
+# >= MIN_SHARED window hashes contain a common run of >= W tokens —
+# catching PARTIAL duplication (quoted passages, boilerplate bodies
+# behind unique headers) that whole-document dedup_exact misses by
+# construction.  Window df cap as in ngram_candidates: a window occurring
+# in > SUBSTR_DF_CAP docs is corpus boilerplate with no pair signal, and
+# capping bounds the self-join fan-out per window to cap².
+SUBSTR_W = 8          # window length (tokens) — the match granularity
+SUBSTR_DF_CAP = 16    # window document-frequency cap (candidate bound)
+SUBSTR_MIN_SHARED = 3  # pairs must share >= this many distinct windows
+
+
+@q(
+    "dedup_substring_window",
+    oracle=f"""
+    WITH sub AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {DUP_SHIFT} AS doc_id,
+             'intro preamble for shifted copy ' || doc_id || ' : ' || text
+               AS text
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM sub),
+    wins AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(ws) - {SUBSTR_W - 1}, 0)),
+               i -> md5(array_to_string(ws[i:i+{SUBSTR_W - 1}], ' ')))) AS whs
+      FROM toks
+    ),
+    ex AS (SELECT doc_id, unnest(whs) AS wh FROM wins),
+    rare AS (SELECT wh FROM ex GROUP BY wh HAVING COUNT(*) <= {SUBSTR_DF_CAP}),
+    exr AS (SELECT ex.doc_id, ex.wh FROM ex JOIN rare USING (wh))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS INT) AS n_shared
+    FROM exr a JOIN exr b USING (wh)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {SUBSTR_MIN_SHARED}
+    """,
+)
+def dedup_substring_window(spark, sf):
+    """Substring-level dedup: the planted copies here carry a UNIQUE
+    per-doc preamble, so dedup_exact's md5(text) finds nothing — only
+    window hashing recovers them (plus the corpus's organic repeated
+    passages).
+
+    100 TB shape: explode → one hash agg for the df cap (map-side
+    partial) → narrow (doc_id, wh) self-join on rare windows only →
+    count agg per pair.  No arrays cross the join, no windows, no
+    all-pairs stage; fan-out per window key is bounded by the df cap.
+    The W-token window hash is built entirely in JVM higher-order
+    functions (transform over sequence + md5), never per-row Python."""
+    d = t(spark, sf, "documents")
+    sub = d.select("doc_id", "text").unionByName(
+        d.select(
+            (F.col("doc_id") + DUP_SHIFT).alias("doc_id"),
+            F.concat(
+                F.lit("intro preamble for shifted copy "),
+                F.col("doc_id").cast("string"), F.lit(" : "), F.col("text"),
+            ).alias("text"),
+        )
+    )
+    wins = sub.select(
+        "doc_id",
+        F.expr(
+            # CASE guard: Spark sequence(0, stop) DESCENDS when stop<0
+            # (it would emit i=-1), unlike DuckDB's empty generate_series
+            f"CASE WHEN size(split(trim(text), ' ')) >= {SUBSTR_W} THEN "
+            f"array_distinct(transform("
+            f"sequence(0, size(split(trim(text), ' ')) - {SUBSTR_W}),"
+            f" i -> md5(array_join("
+            f"slice(split(trim(text), ' '), i + 1, {SUBSTR_W}), ' ')))) "
+            f"ELSE array() END"
+        ).alias("whs"),
+    )
+    ex = wins.select("doc_id", F.explode("whs").alias("wh"))
+    rare = (
+        ex.groupBy("wh").agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= SUBSTR_DF_CAP).select("wh")
+    )
+    exr = ex.join(rare, "wh")
+    a = exr.select(F.col("doc_id").alias("doc_a"), "wh")
+    b = exr.select(F.col("doc_id").alias("doc_b"), "wh")
+    return (
+        a.join(b, "wh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("int").alias("n_shared"))
+        .filter(F.col("n_shared") >= SUBSTR_MIN_SHARED)
+    )

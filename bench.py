@@ -58,6 +58,8 @@ HEADLINE = [
     "decontaminate_vs_holdout",
     "text_tfidf_topk",
     "events_funnel",
+    "dedup_substring_window",
+    "url_canonicalize",
 ]
 
 # Iterative operators run their rounds EAGERLY at build time (hash-min

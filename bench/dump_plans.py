@@ -31,6 +31,8 @@ PICKS = {
     "text_unigram_logprob": "two-pass corpus-LM scoring: vocab agg then BROADCAST log-prob re-attach (the corpus is never shuffled)",
     "filter_domain_blocklist": "blocklist as BroadcastHashJoin LeftAnti — zero corpus shuffle",
     "zorder_cluster_key": "Morton interleave entirely inside WholeStageCodegen — no exchange, no Python",
+    "dedup_substring_window": "substring dedup: JVM HOF window hashes, df-capped narrow self-join — no arrays across the join",
+    "url_canonicalize": "URL normalizer fully inside WholeStageCodegen — zero exchange, zero Python",
 }
 
 

@@ -33,6 +33,7 @@ PICKS = {
     "zorder_cluster_key": "Morton interleave entirely inside WholeStageCodegen — no exchange, no Python",
     "dedup_substring_window": "substring dedup: JVM HOF window hashes, df-capped narrow self-join — no arrays across the join",
     "url_canonicalize": "URL normalizer fully inside WholeStageCodegen — zero exchange, zero Python",
+    "filter_bloom_negative": "Bloom semi-join reduction: constant-size bitmap broadcast probes the corpus; exact verify only on candidates",
 }
 
 

@@ -647,3 +647,77 @@ def url_canonicalize(spark, sf):
         F.when(params == "", F.lit("")).otherwise(F.concat(F.lit("?"), params)))
     host = F.regexp_extract(hostpart, "^[a-z]+://([^/:]+)", 1)
     return d.select("doc_id", canon.alias("url"), host.alias("host"))
+
+
+# Bloom-filter negative filter (semi-join reduction): drop every corpus
+# doc whose content fingerprint appears in a key set, WITHOUT joining
+# the corpus against the key set.  The key set is folded into a 64Kbit
+# Bloom bitmap (1024 bigint words — a few KB broadcast regardless of
+# key-set size); the corpus probes the broadcast bitmap, and only the
+# bloom CANDIDATES (true members + ~fp_rate of the corpus) reach the
+# exact anti-join verify.  Because a Bloom filter has NO false
+# negatives, prefilter+verify is provably identical to the exact
+# anti-join — which is exactly what the DuckDB oracle computes.
+BLOOM_M = 1 << 16   # bits in the bitmap
+BLOOM_K = 3         # hash functions (xxhash64 seeded by constant column)
+
+
+@q(
+    "filter_bloom_negative",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    WHERE md5(text) NOT IN (
+      SELECT md5(text) FROM documents WHERE doc_id % 11 = 3
+    )
+    """,
+)
+def filter_bloom_negative(spark, sf):
+    """100 TB shape: the corpus is never shuffled and never joined
+    against the raw key set — one broadcast of a constant-size bitmap
+    + per-row probe, then an exact verify confined to candidates
+    (at text-dedup fp rates, a vanishing corpus fraction).  This is the
+    pattern when the key set is too large to broadcast raw (billions of
+    fingerprints) but its bitmap is not.  All JVM: xxhash64 probes,
+    bit_or bitmap agg, bitwise AND checks."""
+    d = t(spark, sf, "documents")
+    fp = F.md5("text")
+    keys = (d.filter(F.col("doc_id") % 11 == 3)
+            .select(fp.alias("fp")).distinct())
+
+    def positions(col):
+        return [F.pmod(F.xxhash64(col, F.lit(i)), F.lit(BLOOM_M))
+                for i in range(BLOOM_K)]
+
+    # build: key fp → K bit positions → (word, mask) → bit_or per word
+    kpos = keys.select(F.explode(F.array(*positions(F.col("fp")))).alias("p"))
+    bitmap = (
+        kpos.select((F.col("p") / 64).cast("long").alias("word"),
+                    F.expr("shiftleft(1L, CAST(p % 64 AS INT))").alias("m"))
+        .groupBy("word").agg(F.bit_or("m").alias("bits"))
+    )
+    # probe: each doc's K (word, mask) probes against the broadcast
+    # bitmap; a doc is a candidate iff ALL K bits are set (a missing
+    # word row means the bit is unset — left join keeps the probe row)
+    probes = d.select(
+        "doc_id", "source", fp.alias("fp"),
+        F.explode(F.array(*positions(fp))).alias("p"),
+    ).select(
+        "doc_id", "source", "fp",
+        (F.col("p") / 64).cast("long").alias("word"),
+        F.expr("shiftleft(1L, CAST(p % 64 AS INT))").alias("m"),
+    )
+    hits = (
+        probes.join(F.broadcast(bitmap), "word", "left")
+        .withColumn("hit", (F.coalesce(F.col("bits"), F.lit(0))
+                            .bitwiseAND(F.col("m")) != 0).cast("int"))
+        .groupBy("doc_id", "source", "fp")
+        .agg(F.sum("hit").alias("nhit"))
+    )
+    clean_sure = hits.filter(F.col("nhit") < BLOOM_K)  # definite non-members
+    candidates = hits.filter(F.col("nhit") == BLOOM_K)
+    # exact verify confined to candidates: anti-join the raw key set
+    cand_clean = candidates.join(F.broadcast(keys), "fp", "left_anti")
+    return (
+        clean_sure.select("doc_id", "source")
+        .unionByName(cand_clean.select("doc_id", "source"))
+    )

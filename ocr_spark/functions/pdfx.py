@@ -15,7 +15,11 @@ Supported PDF subset (documented per SURVEY.md §7 "hard parts"):
     widths, /Index subsections, /Prev chains, PNG predictors 10–15 via
     /DecodeParms), compressed object streams (/Type /ObjStm, type-2
     xref entries), indirect /Length refs, page-tree walk (/Root →
-    /Pages → /Kids, nested) with per-page /Contents (ref or array).
+    /Pages → /Kids, nested) with per-page /Contents (ref or array),
+    hybrid-reference files (classic trailer /XRefStm → companion xref
+    stream resolving the ObjStm-packed objects the classic table marks
+    free), /Resources INHERITED from /Pages nodes (inline or indirect,
+    page override wins) like /Rotate and /MediaBox.
     Any structural failure falls back to the positional stream scan
     (which skips /ObjStm and /XRef container streams so their bodies
     are never mistaken for page content)
@@ -224,6 +228,28 @@ def _dict_arr(d: bytes, key: bytes) -> bytes | None:
     return d[start:i - 1] if depth == 0 else None
 
 
+def _balanced_slice(b: bytes, pos: int) -> bytes | None:
+    """The balanced ``<< ... >>`` starting at/after ``pos`` within a
+    standalone bytes object (same scan as _Doc._balanced_dict, which
+    works on whole-file offsets)."""
+    m = re.match(rb"\s*<<", b[pos:pos + 64])
+    if not m:
+        return None
+    i = pos + m.end()
+    depth, start = 1, i - 2
+    while i < len(b) - 1 and depth:
+        two = b[i:i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+        elif two == b">>":
+            depth -= 1
+            i += 2
+        else:
+            i += 1
+    return b[start:i] if depth == 0 else None
+
+
 def _unpredict(data: bytes, predictor: int, columns: int) -> bytes:
     """PNG row predictors (10–15; 8-bit single-component rows — the form
     xref streams use).  Predictor < 10 → data is unfiltered."""
@@ -328,6 +354,17 @@ class _Doc:
                     self.root = _dict_ref(td, b"Root")
                 if re.search(rb"/Encrypt\b", td):
                     self.encrypted = True
+                # hybrid-reference file (PDF 32000 §7.5.8.4): the classic
+                # trailer points at a companion xref STREAM holding the
+                # entries (typically the objstm-compressed objects) that
+                # the classic table omits; classic entries keep
+                # precedence (first-loaded wins in self.xref)
+                xs = _dict_num(td, b"XRefStm")
+                if xs is not None and 0 <= xs < len(self.data):
+                    try:
+                        self._load_xref_stream(xs)
+                    except Exception:
+                        pass
                 return _dict_num(td, b"Prev")
         return None
 
@@ -554,14 +591,33 @@ class _Doc:
                 code += 1
         return out
 
+    def _node_resources(self, d: bytes) -> bytes | None:
+        """The node's /Resources dict bytes (inline balanced dict or
+        indirect object), or None when the node declares none."""
+        ref = _dict_ref(d, b"Resources")
+        if ref is not None:
+            o = self.obj(ref)
+            return o[0] if o else None
+        m = re.search(rb"/Resources\b", d)
+        if not m:
+            return None
+        return _balanced_slice(d, m.end())
+
     def _walk_pages(self, num: int | None, out: list, depth: int,
-                    rotate: int = 0, media: tuple = (612.0, 792.0)):
+                    rotate: int = 0, media: tuple = (612.0, 792.0),
+                    res: bytes | None = None):
         if num is None or depth > 32:
             return
         node = self.obj(num)
         if not node or node[0] is None:
             raise ValueError(f"missing page-tree node {num}")
         d = node[0]
+        # /Resources is INHERITABLE like /Rotate and /MediaBox (PDF
+        # 32000 §7.8.3): a /Pages-node dict applies to every descendant
+        # page unless the page declares its own
+        nr = self._node_resources(d)
+        if nr is not None:
+            res = nr
         # inheritable attributes: this node's value (if any) overrides
         rm = re.search(rb"/Rotate\s+(-?\d+)", d)
         if rm:
@@ -577,7 +633,7 @@ class _Doc:
             kids = _dict_arr(d, b"Kids") or b""
             for km in re.finditer(rb"(\d+)\s+\d+\s+R\b", kids):
                 self._walk_pages(int(km.group(1)), out, depth + 1,
-                                 rotate, media)
+                                 rotate, media, res)
         elif typ == b"Page":
             parts: list[bytes] = []
             carr = _dict_arr(d, b"Contents")
@@ -591,8 +647,13 @@ class _Doc:
                 if not c or c[1] is None:
                     raise ValueError(f"missing content stream {ref}")
                 parts.append(_decode_stream_body(c[0], c[1]))
-            out.append((b"\n".join(parts), self._page_fonts(d),
-                        self._page_xobjects(d), rotate, media,
+            # effective resources: the inherited dict unless this page
+            # declares its own (res already reflects the override);
+            # fall back to scanning the page dict itself (inline
+            # /Resources — the legacy single-page writer layout)
+            eff = res if res is not None else d
+            out.append((b"\n".join(parts), self._page_fonts(eff),
+                        self._page_xobjects(eff), rotate, media,
                         self._page_links(d), self._page_widgets(d)))
 
     def _page_links(self, d: bytes) -> list[tuple]:
@@ -1479,7 +1540,9 @@ def write_pdf(blocks: list[dict], compress: bool = False,
 def write_pdf_pages(pages: list[list[dict]], compress: bool = False,
                     xref_stream: bool = False, type0: bool = False,
                     form_xobject: bool = False, rotate: int = 0,
-                    encoding_diffs: dict[int, str] | None = None) -> bytes:
+                    encoding_diffs: dict[int, str] | None = None,
+                    hybrid: bool = False,
+                    inherit_fonts: bool = False) -> bytes:
     """Multi-page variant: one content stream per page, each page its
     own coordinate space (the standard producer layout the per-stream
     extractor ordering relies on).  ``form_xobject=True`` moves each
@@ -1494,7 +1557,7 @@ def write_pdf_pages(pages: list[list[dict]], compress: bool = False,
     /Pages node (exercising inheritable-attribute resolution).
     Classic layout only (not combined with xref_stream/form_xobject)."""
     if xref_stream:
-        return _write_pdf_xref_stream(pages, compress, type0)
+        return _write_pdf_xref_stream(pages, compress, type0, hybrid)
     if rotate in (90, 180, 270):
         pages = [_rot_author_blocks(blocks, rotate) for blocks in pages]
     media = "0 0 792 612" if rotate in (90, 270) else "0 0 612 792"
@@ -1515,8 +1578,16 @@ def write_pdf_pages(pages: list[list[dict]], compress: bool = False,
     for pl, pf in zip(page_links, page_fields):
         annot_start.append(annot_start[-1] + len(pl) + len(pf))
     res_parts = []
+    pages_node_res = ""
     if type0 or encoding_diffs:
-        res_parts.append(f"/Font << /F1 {font_num} 0 R >>")
+        font_res = f"/Font << /F1 {font_num} 0 R >>"
+        if inherit_fonts:
+            # declare /Resources ONCE on the /Pages node — the
+            # inheritable-attribute layout (PDF 32000 §7.8.3) shared-font
+            # producers emit; pages carry no /Resources of their own
+            pages_node_res = f" /Resources << {font_res} >>"
+        else:
+            res_parts.append(font_res)
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n))
     # filled text fields also hang off the catalog's /AcroForm /Fields
     # (required by real viewers; our reader resolves them via /Annots)
@@ -1529,7 +1600,8 @@ def write_pdf_pages(pages: list[list[dict]], compress: bool = False,
         acro = f" /AcroForm << /Fields [{' '.join(frefs)}] >>"
     objs = [
         f"<< /Type /Catalog /Pages 2 0 R{acro} >>",
-        f"<< /Type /Pages /Kids [{kids}] /Count {n}{rot_attr} >>",
+        f"<< /Type /Pages /Kids [{kids}] /Count {n}{rot_attr}"
+        f"{pages_node_res} >>",
     ]
     for i, blocks in enumerate(pages):
         page_res = list(res_parts)
@@ -1632,7 +1704,8 @@ def write_pdf_encrypted(blocks: list[dict], compress: bool = False) -> bytes:
 
 
 def _write_pdf_xref_stream(pages: list[list[dict]], compress: bool,
-                           type0: bool = False) -> bytes:
+                           type0: bool = False,
+                           hybrid: bool = False) -> bytes:
     """PDF 1.5+ layout: catalog/pages/page objects live in ONE
     FlateDecode /ObjStm (type-2 xref entries); content streams stay
     top-level (streams cannot nest in an object stream); the
@@ -1718,5 +1791,24 @@ def _write_pdf_xref_stream(pages: list[list[dict]], compress: bool,
          f"<< /Type /XRef /Size {size} /W [1 2 2] /Root 1 0 R "
          f"/Length {len(xref_body)} /Filter /FlateDecode >>\nstream\n"
          + xref_body.decode("latin-1") + "\nendstream")
+    if hybrid:
+        # hybrid-reference layout (PDF 32000 §7.5.8.4, the Acrobat 6
+        # compatibility format): startxref points at a CLASSIC table
+        # that lists only the top-level objects and marks the
+        # ObjStm-packed ones FREE; its trailer's /XRefStm points at the
+        # xref stream above, which a 1.5-aware reader must consult to
+        # resolve the packed catalog/pages/page dicts.
+        classic_off = pos
+        lines = [f"xref\n0 {size}\n", "0000000000 65535 f \n"]
+        for num in range(1, size):
+            if num in offsets:
+                lines.append(f"{offsets[num]:010d} 00000 n \n")
+            else:
+                lines.append("0000000000 00000 f \n")
+        out.append("".join(lines).encode("latin-1"))
+        out.append(
+            f"trailer\n<< /Size {size} /Root 1 0 R /XRefStm {xref_off} >>\n"
+            f"startxref\n{classic_off}\n%%EOF\n".encode("latin-1"))
+        return b"".join(out)
     out.append(f"startxref\n{xref_off}\n%%EOF\n".encode("latin-1"))
     return b"".join(out)

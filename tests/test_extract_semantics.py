@@ -1267,3 +1267,38 @@ def test_ocr_field_encrypted_corpus_extracts_identically(spark):
     rows = extract_stage(sdf).collect()
     got = _canonical([r.asDict(recursive=True) for r in rows])
     assert got == want
+
+
+def test_pdf_inherited_resources_and_hybrid_xref():
+    """Two real-producer structure layouts resolve identically to the
+    baseline: (a) /Resources declared once on the /Pages node and
+    inherited by every page (PDF 32000 §7.8.3); (b) the hybrid-reference
+    file — startxref → classic table that marks ObjStm-packed objects
+    FREE, trailer /XRefStm → companion xref stream holding their real
+    entries (§7.5.8.4).  Type0 text makes both non-vacuous: fonts
+    resolve only if the structure parse found the resource table."""
+    from ocr_spark.functions.pdfx import extract_pdf_blocks, write_pdf_pages
+
+    pages = [
+        [{"kind": "text", "x": 72, "y": 700,
+          "lines": ["première page café body", "second line of body text"]}],
+        [{"kind": "text", "x": 72, "y": 700,
+          "lines": ["deuxième page naïve body", "more body text here now"]}],
+    ]
+    base = [(b.kind, b.text)
+            for b in extract_pdf_blocks(write_pdf_pages(pages, type0=True))]
+    assert any("café" in t for _, t in base), base  # CMap decode live
+
+    inh = write_pdf_pages(pages, type0=True, inherit_fonts=True)
+    assert b"/Resources" not in inh.split(b"/Type /Page ")[1].split(b">>")[0]
+    assert [(b.kind, b.text) for b in extract_pdf_blocks(inh)] == base
+
+    hyb = write_pdf_pages(pages, type0=True, xref_stream=True, hybrid=True)
+    assert b"/XRefStm" in hyb and b"trailer" in hyb
+    assert [(b.kind, b.text) for b in extract_pdf_blocks(hyb)] == base
+    # the classic table alone cannot resolve the packed catalog — the
+    # reader must have used /XRefStm; breaking that key must break text
+    # extraction (falls back to positional scan, CIDs stay byte-literal)
+    broken = hyb.replace(b"/XRefStm", b"/XRefStX")
+    fb = [(b.kind, b.text) for b in extract_pdf_blocks(broken)]
+    assert fb != base

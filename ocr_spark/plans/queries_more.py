@@ -737,3 +737,99 @@ def window_ntile(spark, sf):
         "o_orderkey", "o_orderpriority",
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+@q(
+    "streaming_cdc_upsert",
+    oracle="""
+    WITH b1 AS (
+      SELECT doc_id, 'batch1' AS source, md5(upper(text)) AS content_hash
+      FROM documents WHERE doc_id % 7 = 3
+    ), b2 AS (
+      SELECT doc_id, 'batch2' AS source, md5(text || ' v2') AS content_hash
+      FROM documents WHERE doc_id % 5 = 2
+    )
+    SELECT doc_id, source, content_hash FROM b2
+    UNION ALL
+    SELECT doc_id, source, content_hash FROM b1
+    WHERE doc_id NOT IN (SELECT doc_id FROM b2)
+    UNION ALL
+    SELECT doc_id, source, md5(text) AS content_hash FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM b1)
+      AND doc_id NOT IN (SELECT doc_id FROM b2)
+    """,
+)
+def streaming_cdc_upsert(spark, sf):
+    """CDC apply as a STREAM: a change feed (two deterministic update
+    batches over the documents table, later batch wins on overlapping
+    keys — doc_id % 35 hits both) drained through
+    ``writeStream.foreachBatch`` with ``maxFilesPerTrigger=1``; each
+    micro-batch is compacted to its newest version per key (max_by over
+    the version column — the within-batch CDC compaction every real
+    apply needs, and what keeps the result correct even if the source
+    coalesces both files into one trigger), then merged into the running
+    target as updates ∪ (target LEFT ANTI updates).  The final
+    materialized state must equal the SQL-computed end state — the
+    strongest batch-expressible check of exactly-once CDC application
+    and batch ordering.
+
+    100 TB shape: per micro-batch cost is |batch| + one broadcast
+    anti-join against the target (file-pruned to colliding partitions in
+    a real MERGE sink); the stream never shuffles the full target."""
+    import glob
+    import os as _os
+    import shutil
+
+    from ocr_spark.streaming import run_available_now  # noqa: F401 (doc link)
+
+    d = t(spark, sf, "documents")
+    base = d.select("doc_id", "source", F.md5("text").alias("content_hash"))
+    b1 = d.filter(F.col("doc_id") % 7 == 3).select(
+        "doc_id", F.lit("batch1").alias("source"),
+        F.md5(F.upper("text")).alias("content_hash"),
+        F.lit(1).alias("version"))
+    b2 = d.filter(F.col("doc_id") % 5 == 2).select(
+        "doc_id", F.lit("batch2").alias("source"),
+        F.md5(F.concat(F.col("text"), F.lit(" v2"))).alias("content_hash"),
+        F.lit(2).alias("version"))
+
+    feed = _work_dir("cdc_feed")
+    shutil.rmtree(feed, ignore_errors=True)
+    _os.makedirs(feed)
+    for i, b in enumerate((b1, b2), start=1):
+        stage = _work_dir(f"cdc_stage{i}")
+        shutil.rmtree(stage, ignore_errors=True)
+        b.coalesce(1).write.parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{feed}/batch{i}.parquet"
+        shutil.copy(part, dst)
+        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))  # order
+        shutil.rmtree(stage)
+
+    changes = (
+        spark.readStream.schema(
+            "doc_id bigint, source string, content_hash string, version int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    state = {"df": base.localCheckpoint()}
+
+    def apply_batch(batch, _epoch):
+        newest = (
+            batch.groupBy("doc_id")
+            .agg(F.max_by(F.struct("source", "content_hash"),
+                          "version").alias("b"))
+            .select("doc_id", "b.source", "b.content_hash")
+        )
+        cur = state["df"]
+        state["df"] = newest.unionByName(
+            cur.join(F.broadcast(newest.select("doc_id")),
+                     "doc_id", "left_anti")
+        ).localCheckpoint()
+
+    ck = _work_dir("cdc_ck")
+    shutil.rmtree(ck, ignore_errors=True)
+    (changes.writeStream.foreachBatch(apply_batch)
+     .option("checkpointLocation", ck)
+     .trigger(availableNow=True).start().awaitTermination())
+    return state["df"]

@@ -341,6 +341,10 @@ class _Doc:
                 break
             first, count = int(m.group(1)), int(m.group(2))
             pos += m.end()
+            # corrupt subsection headers can claim billions of entries;
+            # cap by what the remaining bytes can actually hold (20 B
+            # per entry) so a truncated/fuzzed table can't hang the parse
+            count = min(count, max((len(data) - pos) // 20, 0))
             for k in range(count):
                 ent = data[pos:pos + 20]
                 pos += 20
@@ -379,8 +383,13 @@ class _Doc:
         pairs = ([int(x) for x in re.findall(rb"\d+", idx)] if idx
                  else [0, size])
         rowlen = sum(W)
+        if not 0 < rowlen <= 64 or len(W) < 3:
+            raise ValueError("implausible xref-stream /W")
         pos = 0
         for first, count in zip(pairs[::2], pairs[1::2]):
+            # cap claimed counts by the decoded bytes actually present
+            # (corrupt /Index or /Size must not hang the loop)
+            count = min(count, max((len(raw) - pos) // rowlen, 0))
             for k in range(count):
                 row = raw[pos:pos + rowlen]
                 pos += rowlen

@@ -1302,3 +1302,42 @@ def test_pdf_inherited_resources_and_hybrid_xref():
     broken = hyb.replace(b"/XRefStm", b"/XRefStX")
     fb = [(b.kind, b.text) for b in extract_pdf_blocks(broken)]
     assert fb != base
+
+
+def test_pdf_corruption_never_raises():
+    """100 TB honesty gate: truncated / bit-flipped / metadata-corrupt
+    PDF payloads must NEVER raise — they degrade to partial or empty
+    extraction (structured parse → positional fallback → nothing).
+    Covers every writer layout at once, plus xref tables whose
+    subsection headers claim absurd entry counts (must not hang)."""
+    import random
+
+    from ocr_spark.functions.pdfx import extract_pdf_blocks, write_pdf
+
+    docs = make_docs(30, seed=5, mega_every=20, compress_every=2,
+                     xref_every=3, type0_every=5, form_every=7,
+                     pdf_link_every=2, ocr_layer_every=3, field_every=4,
+                     encrypted_every=9)
+    payloads = [s["text"].encode("latin-1") for d in docs
+                for s in d["spans"] if s["kind"] == "pdf_bytes"]
+    assert payloads
+    rng = random.Random(7)
+    for p in payloads:
+        for cut in (1, len(p) // 4, len(p) // 2, 3 * len(p) // 4,
+                    len(p) - 3):
+            extract_pdf_blocks(p[:cut])  # must not raise
+        for _ in range(3):
+            b = bytearray(p)
+            for _ in range(5):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            extract_pdf_blocks(bytes(b))  # must not raise
+
+    # classic xref claiming 2^31 entries: capped by remaining bytes,
+    # parses (or falls back) in bounded time instead of hanging
+    doc = write_pdf([{"kind": "text", "x": 72, "y": 700,
+                      "lines": ["bounded parse body text", "second line"]}])
+    n_objs = doc.count(b" 0 obj")
+    bad = doc.replace(f"xref\n0 {n_objs + 1}\n".encode(),
+                      b"xref\n0 2147483647\n")
+    assert bad != doc
+    extract_pdf_blocks(bad)  # must return promptly, not iterate 2^31

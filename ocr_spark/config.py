@@ -35,6 +35,11 @@ class ExtractConfig:
     # column assigned for ordering.  0 disables detection.
     column_gutter_min: float = 24.0
     column_min_lines: int = 3
+    # join PDF line-break hyphenations ("exam-\nple" → "example") when
+    # the continuation starts lowercase — the standard OCR/print-layout
+    # repair; off by default (goldens pin raw line text, and downstream
+    # token-level ops may want the typographic form preserved)
+    dehyphenate: bool = False
     # text rendering mode 3 (``3 Tr``) — the invisible OCR text layer
     # scanned-PDF producers paint over the page image.  True (default)
     # keeps it: for an OCR corpus the invisible layer IS the recognized

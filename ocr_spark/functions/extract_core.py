@@ -12,12 +12,23 @@ is dense 0..n-1, induced ONLY by sorting input spans on
 
 from __future__ import annotations
 
+import re
+
 from ocr_spark.config import DEFAULT, ExtractConfig
 from ocr_spark.functions.htmlx import extract_html_items
 from ocr_spark.functions.pdfx import extract_pdf_blocks
 
 #: input payload kinds (FIXTURES.md B1)
 TEXT, HTML, PDF, MEDIA = "text", "html", "pdf_bytes", "media"
+
+_HYPH = re.compile(r"(\w)-\n([a-z])")
+
+
+def dehyphenate(text: str) -> str:
+    """Join line-break hyphenations ("exam-\\nple" → "example") when the
+    continuation starts lowercase; hyphens before capitals/digits are
+    kept as real compounds split across lines ("X-\\nRay" stays)."""
+    return _HYPH.sub(r"\1\2", text)
 
 
 def extract_doc(doc_id: str, spans, cfg: ExtractConfig = DEFAULT) -> list[dict]:
@@ -55,7 +66,10 @@ def extract_doc(doc_id: str, spans, cfg: ExtractConfig = DEFAULT) -> list[dict]:
                     })
                     fig += 1
                 else:  # text-block | table
-                    out.append({"kind": "text", "text": b.text, "media_ref": None})
+                    txt = b.text
+                    if cfg.dehyphenate:
+                        txt = dehyphenate(txt)
+                    out.append({"kind": "text", "text": txt, "media_ref": None})
         # unknown kinds are dropped deterministically
     for i, o in enumerate(out):
         o["order"] = i

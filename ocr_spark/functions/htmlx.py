@@ -15,8 +15,9 @@ independent test oracle implement):
     toward the block's link-char total
   - resource-bearing elements (``img``, ``video``, ``audio``,
     ``source``) emit a media item at their position in the block
-    stream, media_ref = the src attribute (else the first ``srcset``
-    candidate URL); non-img tags emit only when they carry a reference
+    stream, media_ref = the src attribute, else ``data-src`` (the
+    lazy-loading idiom), else the first ``srcset`` / ``data-srcset``
+    candidate URL; non-img tags emit only when they carry a reference
   - keep a block iff  link_ratio <= html_max_link_ratio AND
     words >= html_min_words,  OR tag in h1..h6 AND
     words >= html_heading_min_words
@@ -63,11 +64,14 @@ _WS = re.compile(r"\s+")
 
 
 def _media_ref(attrs: dict) -> str:
-    """src, else the first srcset candidate URL ('url 640w, ...')."""
-    src = attrs.get("src") or ""
+    """src, else data-src (the lazy-loading idiom — real pages park the
+    URL there and let JS promote it, so an src-only reader drops every
+    below-the-fold image), else the first srcset / data-srcset
+    candidate URL ('url 640w, ...')."""
+    src = attrs.get("src") or attrs.get("data-src") or ""
     if src:
         return src
-    srcset = (attrs.get("srcset") or "").strip()
+    srcset = (attrs.get("srcset") or attrs.get("data-srcset") or "").strip()
     return srcset.split(",")[0].split()[0] if srcset else ""
 
 
@@ -247,9 +251,17 @@ _SCAN = re.compile(
     r"|<(/?)([a-zA-Z][^\s/>]*)((?:\"[^\"]*\"|'[^']*'|[^>])*?)(/?)>",
     re.S,
 )
-_SRC = re.compile(r"""\bsrc\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
+# (?<![-\w]) keeps plain src= from matching inside data-src= — the two
+# attributes must stay distinct or the fast path would disagree with
+# the stdlib parser's attribute dict on lazy-loaded images
+_SRC = re.compile(
+    r"""(?<![-\w])src\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
 _SRCSET = re.compile(
-    r"""\bsrcset\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
+    r"""(?<![-\w])srcset\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
+_DATASRC = re.compile(
+    r"""\bdata-src\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
+_DATASRCSET = re.compile(
+    r"""\bdata-srcset\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
 
 
 def _scan_events(fragment: str, sink: "_BlockParser") -> None:
@@ -272,16 +284,17 @@ def _scan_events(fragment: str, sink: "_BlockParser") -> None:
         if closing:
             sink.handle_endtag(tag)
         else:
-            # attrs parsed lazily: only media tags need any (src/srcset)
+            # attrs parsed lazily: only media tags need any (src/srcset
+            # + their data- lazy-load twins)
             attrs = []
             if tag in MEDIA_TAGS and "src" in attrs_s.lower():
-                a = _SRC.search(attrs_s)
-                if a:
-                    attrs.append(("src", a.group(1) or a.group(2) or a.group(3)))
-                ss = _SRCSET.search(attrs_s)
-                if ss:
-                    attrs.append(
-                        ("srcset", ss.group(1) or ss.group(2) or ss.group(3)))
+                for name, rx in (("src", _SRC), ("srcset", _SRCSET),
+                                 ("data-src", _DATASRC),
+                                 ("data-srcset", _DATASRCSET)):
+                    a = rx.search(attrs_s)
+                    if a:
+                        attrs.append(
+                            (name, a.group(1) or a.group(2) or a.group(3)))
             if selfclose:
                 sink.handle_startendtag(tag, attrs)
             else:

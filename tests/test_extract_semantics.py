@@ -1341,3 +1341,47 @@ def test_pdf_corruption_never_raises():
                       b"xref\n0 2147483647\n")
     assert bad != doc
     extract_pdf_blocks(bad)  # must return promptly, not iterate 2^31
+
+
+def test_lazy_load_images_both_parsers():
+    """data-src / data-srcset lazy-loading images resolve to the same
+    media_ref in the regex fast path AND the stdlib parser (a plain
+    src= must never match inside data-src=), with src winning when both
+    are present."""
+    from ocr_spark.functions.htmlx import tokenize_html
+
+    frag = (
+        "<html><body><div>"
+        "<p>eleven words of body text to keep the block alive okay</p>"
+        '<img data-src="https://cdn.example/lazy.png"/>'
+        '<img src="https://cdn.example/eager.png" data-src="https://cdn.example/no.png"/>'
+        '<img data-srcset="https://cdn.example/lazyset.png 640w, x 1x"/>'
+        "</div></body></html>"
+    )
+    for stdlib in (False, True):
+        items = tokenize_html(frag, DEFAULT, use_stdlib=stdlib)
+        refs = [i.media_ref for i in items if i.kind == "media"]
+        assert refs == ["https://cdn.example/lazy.png",
+                        "https://cdn.example/eager.png",
+                        "https://cdn.example/lazyset.png"], (stdlib, refs)
+
+
+def test_dehyphenation_config():
+    """cfg.dehyphenate joins line-break hyphenations whose continuation
+    starts lowercase; capitals (real compounds) and the default config
+    keep the raw line text."""
+    from ocr_spark.config import ExtractConfig
+    from ocr_spark.functions.pdfx import write_pdf
+
+    doc = write_pdf([{
+        "kind": "text", "x": 72, "y": 700,
+        "lines": ["this line ends with exam-", "ple and then con-",
+                  "tinues before an X-", "Ray compound stays split"],
+    }]).decode("latin-1")
+    spans = [{"kind": "pdf_bytes", "text": doc, "media_ref": None,
+              "offset": 0}]
+    raw = extract_doc("d", spans, DEFAULT)[0]["text"]
+    assert "exam-\nple" in raw and "X-\nRay" in raw
+    fixed = extract_doc("d", spans, ExtractConfig(dehyphenate=True))[0]["text"]
+    assert "example and then continues" in fixed.replace("\n", " ")
+    assert "X-\nRay" in fixed  # capital continuation: kept

@@ -721,3 +721,45 @@ def filter_bloom_negative(spark, sf):
         clean_sure.select("doc_id", "source")
         .unionByName(cand_clean.select("doc_id", "source"))
     )
+
+
+@q(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           replace(replace(replace(replace(replace(replace(replace(
+             replace(replace(replace(replace(
+               'don’t — “' || text || '”… ﬁnal–draft' || chr(173),
+             'ﬁ', 'fi'), 'ﬂ', 'fl'),
+             '—', '-'), '–', '-'),
+             '“', '"'), '”', '"'),
+             '’', ''''), '‘', ''''),
+             '…', '...'),
+             chr(173), ''), chr(8203), '') AS text_norm
+    FROM documents
+    """,
+)
+def text_normalize(spark, sf):
+    """Unicode normalization ahead of hash-keyed dedup: typographic
+    quotes/dashes/ellipses folded to ASCII, the fi/fl ligatures PDF
+    extraction legitimately emits (AGL /fi /fl glyphs) expanded, soft
+    hyphens and zero-width spaces stripped — without this, the same
+    sentence extracted from a PDF and an HTML page hashes differently
+    and every downstream dedup family under-recalls.  The messy input
+    is synthesized around the corpus text (so the oracle reproduces it);
+    the folding chain itself is the operator.
+
+    100 TB shape: a translate/replace chain inside whole-stage codegen —
+    narrow map over the scan, no shuffle, no Python, no regex engine
+    (plain literal replaces)."""
+    d = t(spark, sf, "documents")
+    messy = F.concat(F.lit("don’t — “"), F.col("text"),
+                     F.lit("”… ﬁnal–draft­"))
+    folds = [("ﬁ", "fi"), ("ﬂ", "fl"), ("—", "-"),
+             ("–", "-"), ("“", '"'), ("”", '"'),
+             ("’", "'"), ("‘", "'"), ("…", "..."),
+             ("­", ""), ("​", "")]
+    col = messy
+    for a, b in folds:
+        col = F.replace(col, F.lit(a), F.lit(b))
+    return d.select("doc_id", col.alias("text_norm"))

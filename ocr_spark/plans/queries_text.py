@@ -820,20 +820,35 @@ def dedup_substring_window(spark, sf):
             ).alias("text"),
         )
     )
+    # repartition BELOW the window build (the _grams_df pattern): the
+    # source is a couple of parquet files, and without this the entire
+    # hash build would run at scan parallelism (measured: 2 tasks
+    # carrying ~9s of the query)
+    sub = sub.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # materialize the token array in its OWN projection first: a lambda
+    # referencing the expression `split(trim(text))` directly would
+    # re-tokenize the document once PER WINDOW INDEX (measured 4x+ cost);
+    # referencing the projected column evaluates it once per row
     wins = sub.select(
+        "doc_id", F.split(F.trim("text"), " ").alias("ws")
+    ).select(
         "doc_id",
         F.expr(
             # CASE guard: Spark sequence(0, stop) DESCENDS when stop<0
             # (it would emit i=-1), unlike DuckDB's empty generate_series
-            f"CASE WHEN size(split(trim(text), ' ')) >= {SUBSTR_W} THEN "
-            f"array_distinct(transform("
-            f"sequence(0, size(split(trim(text), ' ')) - {SUBSTR_W}),"
-            f" i -> md5(array_join("
-            f"slice(split(trim(text), ' '), i + 1, {SUBSTR_W}), ' ')))) "
+            f"CASE WHEN size(ws) >= {SUBSTR_W} THEN "
+            f"array_distinct(transform(sequence(0, size(ws) - {SUBSTR_W}),"
+            f" i -> md5(array_join(slice(ws, i + 1, {SUBSTR_W}), ' ')))) "
             f"ELSE array() END"
         ).alias("whs"),
     )
-    ex = wins.select("doc_id", F.explode("whs").alias("wh"))
+    # Exchange boundary over the exploded window hashes: the df-cap agg,
+    # the join build side, and BOTH self-join sides consume this frame —
+    # the shuffle makes Spark compute the (expensive) window-hash build
+    # ONCE and serve the other consumers via ReusedExchange, exactly the
+    # _grams_df pattern (plan-asserted in tests/test_plan_shape.py)
+    ex = (wins.select("doc_id", F.explode("whs").alias("wh"))
+          .repartition("wh"))
     rare = (
         ex.groupBy("wh").agg(F.count("*").alias("df"))
         .filter(F.col("df") <= SUBSTR_DF_CAP).select("wh")

@@ -127,3 +127,31 @@ def test_funnel_single_exchange_stacked_windows(spark, sf_dir):
     assert plan.count("Exchange") == 1, f"expected exactly 1 shuffle:\n{plan}"
     assert plan.count("Window") >= 3  # one node per chained step
     assert "Join" not in plan
+
+
+def test_bloom_negative_broadcasts_bitmap_not_keys(spark, sf_dir):
+    """The corpus probe joins a BROADCAST bitmap (constant-size), and
+    the only other join is the candidate verify — the corpus is never
+    shuffled against the raw key set."""
+    plan = _plan(registry.QUERIES["filter_bloom_negative"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the probe side never sorts/exchanges the corpus on the key set's
+    # fingerprint: no SortMergeJoin anywhere in this plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_url_canonicalize_no_exchange_no_python(spark, sf_dir):
+    plan = _plan(registry.QUERIES["url_canonicalize"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_substring_window_build_reused(spark, sf_dir):
+    """The exploded window-hash frame feeds the df-cap agg and both
+    self-join sides; the exchange boundary above it must be REUSED, not
+    recomputed per subtree (and the expensive build must run above a
+    repartition, not at 2-file scan parallelism)."""
+    df = registry.QUERIES["dedup_substring_window"](spark, sf_dir)
+    df.collect()  # AQE: reuse markers appear in the FINAL plan
+    plan = _plan(df)
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan

@@ -24,7 +24,11 @@ def get_spark(app: str = "ocr_spark", master: str | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # bound Python-worker memory for mega-docs (SURVEY.md §4: tune
-        # maxRecordsPerBatch down for huge-span documents)
+        # maxRecordsPerBatch down for huge-span documents).  Measured
+        # interleaved A/B on the extract stage (20k heft=5 docs,
+        # local[16], medians of 3): 128→3.10s, 512→2.73s, 2048→3.28s,
+        # 10000→3.27s — 512 balances Arrow transfer amortization against
+        # per-batch peak memory and pipeline latency
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.driver.memory", os.environ.get("OCR_SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")

@@ -833,3 +833,43 @@ def streaming_cdc_upsert(spark, sf):
      .option("checkpointLocation", ck)
      .trigger(availableNow=True).start().awaitTermination())
     return state["df"]
+
+
+@q(
+    "agg_hll_rollup",
+    oracle="""
+    SELECT event_type, true AS within_tol
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_hll_rollup(spark, sf):
+    """Mergeable-sketch rollup (Apache DataSketches HLL, JVM-side):
+    distinct users are sketched once at (day, event_type) grain, then
+    rolled up to event_type by UNIONING the sketches — the raw events
+    are never rescanned at the coarser grain, which is the entire point
+    at 100 TB (daily sketches persist; weekly/monthly/all-time rollups
+    are sketch unions over tiny state).  Checked by booleanization: the
+    rolled-up estimate must sit within 1.5% of the exact distinct count
+    per group (HLL lgK=12 ≈ 0.8% RSE), so both engines emit
+    (event_type, true) and the hash comparison proves the tolerance.
+
+    100 TB shape: two map-side-combinable hash aggs over bounded sketch
+    state (4 KB per group) + one broadcast-sized join against the exact
+    twin (which exists only for the check — production keeps sketches
+    only)."""
+    e = t(spark, sf, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").alias("d"), "event_type"
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    rolled = daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("ex"))
+    return (
+        rolled.join(exact, "event_type")
+        .select(
+            "event_type",
+            (F.abs(F.col("est") - F.col("ex")) / F.col("ex") <= 0.015)
+            .alias("within_tol"),
+        )
+    )

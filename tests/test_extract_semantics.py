@@ -1385,3 +1385,31 @@ def test_dehyphenation_config():
     fixed = extract_doc("d", spans, ExtractConfig(dehyphenate=True))[0]["text"]
     assert "example and then continues" in fixed.replace("\n", " ")
     assert "X-\nRay" in fixed  # capital continuation: kept
+
+
+def test_html_corruption_never_raises():
+    """HTML twin of the PDF corruption gate: truncated / bit-flipped
+    fragments must never raise in EITHER parser path (regex fast path
+    and stdlib html.parser) — malformed markup degrades to partial
+    extraction.  (A/B equality is only promised on well-formed markup;
+    here the contract is graceful degradation.)"""
+    import random
+
+    from ocr_spark.functions.htmlx import tokenize_html
+
+    frags = [s["text"] for d in make_docs(40, seed=3, mega_every=30,
+                                          html_table_every=2)
+             for s in d["spans"] if s["kind"] == "html"]
+    assert frags
+    rng = random.Random(11)
+    for f in frags:
+        for cut in (1, len(f) // 3, 2 * len(f) // 3, len(f) - 2):
+            for stdlib in (False, True):
+                tokenize_html(f[:cut], DEFAULT, use_stdlib=stdlib)
+        for _ in range(2):
+            b = list(f)
+            for _ in range(6):
+                b[rng.randrange(len(b))] = chr(rng.randrange(32, 127))
+            m = "".join(b)
+            for stdlib in (False, True):
+                tokenize_html(m, DEFAULT, use_stdlib=stdlib)

@@ -31,6 +31,13 @@ def main() -> None:
     ap.add_argument("--chunk-max-spans", type=int, default=None,
                     help="E2 weight variant: sub-split docs into chunks of "
                          "<= N spans before the UDF stage (mega-doc defense)")
+    ap.add_argument("--drop-invisible-text", action="store_true",
+                    help="drop PDF rendering-mode-3 (invisible) text "
+                         "instead of keeping the OCR layer — the "
+                         "hidden-keyword-spam defense for web corpora")
+    ap.add_argument("--dehyphenate", action="store_true",
+                    help="join PDF line-break hyphenations whose "
+                         "continuation starts lowercase")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--fail-after-waves", type=int, default=None,
                     help="test hook: crash after N committed waves")
@@ -47,7 +54,9 @@ def main() -> None:
     spark = SparkSession.builder.appName("ocr_spark_extract").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     cfg = ExtractConfig(salt_buckets=args.buckets,
-                        chunk_max_spans=args.chunk_max_spans)
+                        chunk_max_spans=args.chunk_max_spans,
+                        keep_invisible_text=not args.drop_invisible_text,
+                        dehyphenate=args.dehyphenate)
 
     if args.input.startswith("synthetic:"):
         n = int(args.input.split(":", 1)[1])

@@ -65,7 +65,7 @@ def extract_doc(doc_id: str, spans, cfg: ExtractConfig = DEFAULT) -> list[dict]:
                         "media_ref": f"pdf:{doc_id}:{sp['offset']}:fig{fig}",
                     })
                     fig += 1
-                else:  # text-block | table
+                else:  # text-block | table | toc (bookmark titles lead)
                     txt = b.text
                     if cfg.dehyphenate:
                         txt = dehyphenate(txt)

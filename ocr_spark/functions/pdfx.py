@@ -86,6 +86,10 @@ Supported PDF subset (documented per SURVEY.md §7 "hard parts"):
     widget+field dicts, the common producer layout) render as
     ``name: value`` text runs at their /Rect — the scanned-form idiom
     where the filled value is page content
+  - /Outlines bookmarks (structured-parse path): depth-first /First +
+    /Next walk (depth/count/cycle-bounded), /Title strings (UTF-16BE
+    decoded) emitted as one 'toc' block leading the document — the
+    bookmarks-panel reading of a scanned book
   - link annotations (structured-parse path): page /Annots whose
     /Subtype is /Link with a /Rect and a URI action (/A << /S /URI
     /URI (...) >>, literal-string form) become 'link' blocks placed by
@@ -691,6 +695,42 @@ class _Doc:
                           abs(x1 - x0), abs(y1 - y0), uri))
         return links
 
+    def outline_titles(self) -> list[str]:
+        """Depth-first bookmark titles from the catalog's /Outlines tree
+        (/First child + /Next sibling chains, /Title literal strings —
+        UTF-16BE decoded like any PDF text string).  Depth- and
+        count-bounded so cyclic or corrupt chains terminate."""
+        titles: list[str] = []
+        if self.root is None:
+            return titles
+        cat = self.obj(self.root)
+        if not cat or cat[0] is None:
+            return titles
+        oref = _dict_ref(cat[0], b"Outlines")
+        if oref is None:
+            return titles
+        seen: set[int] = set()
+
+        def walk(num: int | None, depth: int):
+            while num is not None and depth <= 16 and len(titles) < 1000 \
+                    and num not in seen:
+                seen.add(num)
+                node = self.obj(num)
+                if not node or node[0] is None:
+                    return
+                d = node[0]
+                tm = re.search(rb"/Title\s*\(((?:[^()\\]|\\.)*)\)", d)
+                if tm:
+                    titles.append(_pdf_text(
+                        _unescape(tm.group(1).decode("latin-1"))))
+                walk(_dict_ref(d, b"First"), depth + 1)
+                num = _dict_ref(d, b"Next")
+
+        onode = self.obj(oref)
+        if onode and onode[0] is not None:
+            walk(_dict_ref(onode[0], b"First"), 0)
+        return titles
+
     def _page_widgets(self, d: bytes) -> list[tuple]:
         """(x, y, text) per filled AcroForm text field on this page: a
         /Subtype /Widget annotation whose field dict (merged, the common
@@ -832,10 +872,12 @@ class _EncryptedPdf(Exception):
 
 
 def _structured_page_contents(
-        data: bytes) -> list[tuple] | None:
-    """Xref-driven page-ordered (decoded content string, font map,
-    xobject map, rotate, media, links, widgets) tuples, or None when the
-    document has no parseable structure (raw fragments, corrupt xref) —
+        data: bytes) -> tuple[list[tuple], list[str]] | None:
+    """Xref-driven (page tuples, outline titles): page-ordered (decoded
+    content string, font map, xobject map, rotate, media, links,
+    widgets) tuples plus the document's /Outlines bookmark titles, or
+    None when the document has no parseable structure (raw fragments,
+    corrupt xref) —
     callers then fall back to the positional stream scan (which has no
     font, xobject, or annotation tables: Type0 decode, /Do dispatch, and
     link/field extraction need the structure).
@@ -848,9 +890,9 @@ def _structured_page_contents(
         doc = _Doc(data)
         if doc.encrypted:
             raise _EncryptedPdf
-        return [(c.decode("latin-1"), fonts, xobjs, rot, media, links, wdg)
-                for c, fonts, xobjs, rot, media, links, wdg
-                in doc.page_contents()]
+        return ([(c.decode("latin-1"), fonts, xobjs, rot, media, links, wdg)
+                 for c, fonts, xobjs, rot, media, links, wdg
+                 in doc.page_contents()], doc.outline_titles())
     except _EncryptedPdf:
         raise
     except Exception:
@@ -954,9 +996,12 @@ class PdfBlock:
 def tokenize_pdf(data: bytes, cfg: ExtractConfig = DEFAULT) -> tuple[
         list[TextRun],
         list[tuple[int, float, float, float, float]],
-        list[tuple[int, float, float, float, float, str]]]:
+        list[tuple[int, float, float, float, float, str]],
+        list[str]]:
     """Parse content streams → positioned text runs + figure rects +
-    link-annotation rects, PAGE-TAGGED: each content stream is one page
+    link-annotation rects + /Outlines bookmark titles (structured-parse
+    path only — raw fragments have no catalog), PAGE-TAGGED: each
+    content stream is one page
     with its own coordinate space, so runs carry their stream index,
     figures are (page, x, y, w, h), and links are (page, x, y, w, h,
     uri) — every consumer (group_lines/group_blocks) keys on page first
@@ -973,16 +1018,19 @@ def tokenize_pdf(data: bytes, cfg: ExtractConfig = DEFAULT) -> tuple[
     runs: list[TextRun] = []
     figures: list[tuple[int, float, float, float, float]] = []
     links: list[tuple[int, float, float, float, float, str]] = []
+    toc: list[str] = []
     try:
-        pages = _structured_page_contents(data)
+        structured = _structured_page_contents(data)
     except _EncryptedPdf:
         # /Encrypt with no key: every string and stream body is
         # ciphertext — the only honest extraction is the empty one
         # (the doc still flows through lineage with 0 spans)
-        return runs, figures, links
-    if pages is None:
+        return runs, figures, links, toc
+    if structured is None:
         pages = [(content, {}, {}, 0, (612.0, 792.0), [], [])
                  for content in _stream_contents(data)]
+    else:
+        pages, toc = structured
     for page, (content, fonts, xobjs, rot, media, lks,
                wdgs) in enumerate(pages):
         r, f = _parse_content(content, [], [], cfg, fonts, xobjs)
@@ -999,7 +1047,7 @@ def tokenize_pdf(data: bytes, cfg: ExtractConfig = DEFAULT) -> tuple[
         runs.extend(r)
         figures.extend((page, *fig) for fig in f)
         links.extend((page, *lk) for lk in lks)
-    return runs, figures, links
+    return runs, figures, links, toc
 
 
 def _rot_point(x: float, y: float, rot: int, media: tuple) -> tuple:
@@ -1389,12 +1437,20 @@ def extract_pdf_blocks(data: bytes, cfg: ExtractConfig = DEFAULT) -> list[PdfBlo
     synthetic corpus) are unchanged from the historical grouping.
     Link rects ride through column assignment as pseudo-figures so a
     link in the right column sorts with that column's reading order."""
-    runs, figures, links = tokenize_pdf(data, cfg)
+    runs, figures, links, toc = tokenize_pdf(data, cfg)
     fig_all = figures + [lk[:5] for lk in links]
     runs, fig_all = assign_columns(runs, fig_all, cfg)
     figures6 = fig_all[:len(figures)]
     links7 = [(*f6, lk[5]) for f6, lk in zip(fig_all[len(figures):], links)]
-    return group_blocks(group_lines(runs), figures6, cfg, links=links7)
+    blocks = group_blocks(group_lines(runs), figures6, cfg, links=links7)
+    if toc:
+        # bookmark titles lead the document (the bookmarks-panel reading
+        # of a scanned book): one 'toc' block at page -1 sorts before
+        # every page block under the (page, col, -top_y) order
+        blocks.insert(0, PdfBlock(
+            "toc", [PdfLine(0.0, 0.0, 0.0, t, 12.0, -1) for t in toc],
+            (0.0, 0.0, 0.0, 0.0), -1))
+    return blocks
 
 
 # ---------------------------------------------------------------------------
@@ -1403,6 +1459,18 @@ def extract_pdf_blocks(data: bytes, cfg: ExtractConfig = DEFAULT) -> list[PdfBlo
 
 def _esc(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def _pdf_string(s: str) -> str:
+    """Author ``s`` as a PDF literal text string: plain latin-1 when it
+    fits, else the UTF-16BE form with FE FF BOM (what real producers
+    emit for non-Latin titles; _pdf_text decodes it back)."""
+    try:
+        s.encode("latin-1")
+        return f"({_esc(s)})"
+    except UnicodeEncodeError:
+        raw = ("\xfe\xff" + s.encode("utf-16-be").decode("latin-1"))
+        return f"({_esc(raw)})"
 
 
 def _char_table(pages: list[list[dict]]) -> dict[str, int]:
@@ -1551,7 +1619,8 @@ def write_pdf_pages(pages: list[list[dict]], compress: bool = False,
                     form_xobject: bool = False, rotate: int = 0,
                     encoding_diffs: dict[int, str] | None = None,
                     hybrid: bool = False,
-                    inherit_fonts: bool = False) -> bytes:
+                    inherit_fonts: bool = False,
+                    outlines: list[str] | None = None) -> bytes:
     """Multi-page variant: one content stream per page, each page its
     own coordinate space (the standard producer layout the per-stream
     extractor ordering relies on).  ``form_xobject=True`` moves each
@@ -1607,8 +1676,11 @@ def write_pdf_pages(pages: list[list[dict]], compress: bool = False,
             base = annot_base + annot_start[i] + len(page_links[i])
             frefs += [f"{base + k} 0 R" for k in range(len(pf))]
         acro = f" /AcroForm << /Fields [{' '.join(frefs)}] >>"
+    # bookmark objects trail every annot; the root's number is fixed now
+    outline_base = annot_base + annot_start[-1]
+    outl = (f" /Outlines {outline_base} 0 R" if outlines else "")
     objs = [
-        f"<< /Type /Catalog /Pages 2 0 R{acro} >>",
+        f"<< /Type /Catalog /Pages 2 0 R{acro}{outl} >>",
         f"<< /Type /Pages /Kids [{kids}] /Count {n}{rot_attr}"
         f"{pages_node_res} >>",
     ]
@@ -1675,6 +1747,14 @@ def write_pdf_pages(pages: list[list[dict]], compress: bool = False,
                 f"<< /Type /Annot /Subtype /Widget /FT /Tx "
                 f"/Rect [{x:g} {y:g} {x + w:g} {y + h:g}] "
                 f"{name}/V ({_esc(b['value'])}) >>")
+    if outlines:
+        k = len(outlines)
+        objs.append(f"<< /Type /Outlines /First {outline_base + 1} 0 R "
+                    f"/Last {outline_base + k} 0 R /Count {k} >>")
+        for j, title in enumerate(outlines, start=1):
+            nxt = (f" /Next {outline_base + j + 1} 0 R" if j < k else "")
+            objs.append(f"<< /Title {_pdf_string(title)} "
+                        f"/Parent {outline_base} 0 R{nxt} >>")
     out = ["%PDF-1.4\n"]
     offsets = []
     pos = len(out[0])

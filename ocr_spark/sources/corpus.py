@@ -94,7 +94,8 @@ def _pdf_payload(rng: random.Random, heft: int = 1,
                  link_rng: random.Random | None = None,
                  ocr_rng: random.Random | None = None,
                  field_rng: random.Random | None = None,
-                 encrypted: bool = False) -> str:
+                 encrypted: bool = False,
+                 outline_rng: random.Random | None = None) -> str:
     blocks = [
         {"kind": "header", "x": 72, "y": 760, "lines": [f"Page header {_words(rng, 2)}"]},
     ]
@@ -150,11 +151,20 @@ def _pdf_payload(rng: random.Random, heft: int = 1,
                 "value": _words(field_rng, field_rng.randint(1, 4)),
             })
     blocks.append({"kind": "footer", "x": 72, "y": 30, "lines": ["p. 1"]})
+    # /Outlines bookmarks (forked rng): 1-3 titles, incl. a non-latin-1
+    # one so the UTF-16BE title path is exercised corpus-wide
+    outlines = None
+    if outline_rng is not None:
+        outlines = [f"{_words(outline_rng, 2)} — §{outline_rng.randint(1, 9)}"
+                    for _ in range(outline_rng.randint(1, 3))]
     if encrypted:
         from ocr_spark.functions.pdfx import write_pdf_encrypted
         return write_pdf_encrypted(blocks, compress=compress).decode("latin-1")
-    return write_pdf(blocks, compress=compress, xref_stream=xref_stream,
-                     type0=type0, form_xobject=form_xobject).decode("latin-1")
+    from ocr_spark.functions.pdfx import write_pdf_pages
+    return write_pdf_pages([blocks], compress=compress,
+                           xref_stream=xref_stream, type0=type0,
+                           form_xobject=form_xobject,
+                           outlines=outlines).decode("latin-1")
 
 
 def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
@@ -162,7 +172,8 @@ def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
              xref_every: int = 0, type0_every: int = 0,
              form_every: int = 0, html_table_every: int = 0,
              pdf_link_every: int = 0, ocr_layer_every: int = 0,
-             field_every: int = 0, encrypted_every: int = 0) -> dict:
+             field_every: int = 0, encrypted_every: int = 0,
+             outline_every: int = 0) -> dict:
     """Pure function (seed, i) → one interleaved document row.
 
     ``heft`` multiplies per-payload content volume (paragraphs / PDF text
@@ -197,6 +208,9 @@ def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
     (forked rng, classic-xref spans only); ``encrypted_every=N`` writes
     every Nth PDF span ENCRYPTED (/Encrypt trailer + XOR-scrambled
     streams) — extraction must emit zero spans for those payloads;
+    ``outline_every=N`` adds 1-3 /Outlines bookmark titles (forked rng,
+    classic-xref spans only; one title may be non-latin-1, exercising
+    UTF-16BE titles) emitted as a leading 'toc' span;
     0 = never (default, goldens bit-identical)."""
     doc_id = f"doc{i:08d}"
     rng = _rng(seed, "doc", i)
@@ -234,12 +248,15 @@ def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
                     if field_every and (i + j) % field_every == 0
                     else None)
             enc = bool(encrypted_every) and (i + j) % encrypted_every == 0
+            trng2 = (_rng(seed, "toc", i, j)
+                     if outline_every and (i + j) % outline_every == 0
+                     and not (xrs or t0f) else None)
             sp = {"kind": "pdf_bytes",
                   "text": _pdf_payload(srng, heft, compress=comp,
                                        xref_stream=xrs or t0f, type0=t0f,
                                        form_xobject=frm, link_rng=lrng,
                                        ocr_rng=orng, field_rng=frng,
-                                       encrypted=enc),
+                                       encrypted=enc, outline_rng=trng2),
                   "media_ref": None, "offset": offset}
         else:
             sp = {"kind": "media", "text": None,
@@ -253,12 +270,13 @@ def make_docs(n_docs: int, seed: int = 42, mega_every: int = 1000,
               xref_every: int = 0, type0_every: int = 0,
               form_every: int = 0, html_table_every: int = 0,
               pdf_link_every: int = 0, ocr_layer_every: int = 0,
-              field_every: int = 0, encrypted_every: int = 0) -> list[dict]:
+              field_every: int = 0, encrypted_every: int = 0,
+              outline_every: int = 0) -> list[dict]:
     """Driver-side generation for small test fixtures (pure Python)."""
     return [make_doc(i, seed, mega_every, heft, compress_every, xref_every,
                      type0_every, form_every, html_table_every,
                      pdf_link_every, ocr_layer_every, field_every,
-                     encrypted_every)
+                     encrypted_every, outline_every)
             for i in range(n_docs)]
 
 

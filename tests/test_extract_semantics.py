@@ -1201,7 +1201,7 @@ def test_pdf_encrypted_emits_nothing():
                for b in extract_pdf_blocks(write_pdf(blocks)))
     enc = write_pdf_encrypted(blocks)
     assert extract_pdf_blocks(enc) == []
-    assert tokenize_pdf(enc) == ([], [], [])
+    assert tokenize_pdf(enc) == ([], [], [], [])
     # compressed variant
     assert extract_pdf_blocks(write_pdf_encrypted(blocks, compress=True)) == []
     # corrupt xref: structured parse fails, but the trailer /Encrypt
@@ -1413,3 +1413,70 @@ def test_html_corruption_never_raises():
             m = "".join(b)
             for stdlib in (False, True):
                 tokenize_html(m, DEFAULT, use_stdlib=stdlib)
+
+
+def test_pdf_outline_bookmarks_lead_document():
+    """/Outlines bookmark titles (nested /First-/Next chains, UTF-16BE
+    titles decoded) extract as ONE 'toc' block that leads the document;
+    documents without outlines are unchanged; a cyclic /Next chain
+    terminates (seen-set bound)."""
+    from ocr_spark.functions.pdfx import extract_pdf_blocks, write_pdf_pages
+
+    pages = [
+        [{"kind": "text", "x": 72, "y": 700,
+          "lines": ["chapter one body text here", "second body line here"]}],
+        [{"kind": "text", "x": 72, "y": 700,
+          "lines": ["chapter two body text here", "another body line now"]}],
+    ]
+    titles = ["Chapter 1 — Début", "Chapter 2", "Appendix A"]
+    doc = write_pdf_pages(pages, outlines=titles)
+    bs = extract_pdf_blocks(doc)
+    assert bs[0].kind == "toc" and bs[0].page == -1
+    assert bs[0].text == "\n".join(titles)
+    assert [b.kind for b in bs[1:]] == ["text-block", "text-block"]
+
+    plain = extract_pdf_blocks(write_pdf_pages(pages))
+    assert all(b.kind != "toc" for b in plain)
+
+    # cycle bound: repoint item 2's /Next back at item 1 (same byte
+    # length — object numbers differ in the last digit only), making
+    # the sibling chain 1 → 2 → 1 → …; the seen-set must terminate the
+    # walk after the two reachable titles, never hanging or raising
+    from ocr_spark.functions.pdfx import _Doc
+    base = _Doc(doc)
+    assert base.outline_titles() == titles
+    import re as _re
+    nexts = _re.findall(rb"/Next (\d+) 0 R", doc)
+    assert len(nexts) == 2
+    # pad the replacement number with spaces to the same byte length
+    # (PDF is whitespace-insensitive; xref offsets must not shift)
+    repl = nexts[0] + b" " * (len(nexts[1]) - len(nexts[0]))
+    cyc = doc.replace(b"/Next " + nexts[1] + b" 0 R",
+                      b"/Next " + repl + b" 0 R")
+    assert cyc != doc
+    got = _Doc(cyc).outline_titles()
+    assert got == titles[:2], got
+
+
+def test_pdf_outline_corpus_extracts_identically(spark):
+    """Corpus with outline_every=2: Spark pipeline == straight-line
+    extract_doc oracle per document, and leading toc spans with
+    UTF-16BE (non-latin-1) titles actually appear (non-vacuous)."""
+    from ocr_spark.sources.corpus import SPAN_SCHEMA_DDL
+
+    docs = make_docs(60, seed=17, mega_every=30, outline_every=2)
+    want = {}
+    for d in docs:
+        spans = extract_doc(d["doc_id"], d["spans"], DEFAULT)
+        want[d["doc_id"]] = [
+            [s["kind"], s["text"], s["media_ref"], s["order"]] for s in spans
+        ]
+    sdf = spark.createDataFrame(
+        [(d["doc_id"], [tuple(s.values()) for s in d["spans"]])
+         for d in docs], SPAN_SCHEMA_DDL).repartition(9)
+    rows = extract_stage(sdf).collect()
+    got = _canonical([r.asDict(recursive=True) for r in rows])
+    assert got == want
+    tocs = [s[1] for spans in got.values() for s in spans
+            if s[1] and "— §" in s[1]]
+    assert tocs, "knob produced no toc spans"

@@ -30,6 +30,13 @@ def get_spark(app: str = "ocr_spark", master: str | None = None,
         # 10000→3.27s — 512 balances Arrow transfer amortization against
         # per-batch peak memory and pipeline latency
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        # sink codec: measured interleaved A/B on the extract sink (20k
+        # heft=5 docs, local[16], medians of 3) — write time equal
+        # within noise (zstd 2.50s vs snappy 2.56s vs lz4 2.40s) but
+        # output size 14.5 MB (zstd) vs 21.2 MB (snappy) vs 63.4 MB
+        # (uncompressed): at corpus scale the 31% smaller files are pure
+        # storage + downstream-scan savings for free
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("OCR_SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )

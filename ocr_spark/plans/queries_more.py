@@ -873,3 +873,70 @@ def agg_hll_rollup(spark, sf):
             .alias("within_tol"),
         )
     )
+
+
+@q(
+    "events_gapfill_ffill",
+    oracle="""
+    WITH b AS (
+      SELECT user_id,
+             date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+      FROM events WHERE user_id < 40 GROUP BY user_id
+    ),
+    spine AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS h
+      FROM b
+    ),
+    hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v100
+      FROM events WHERE user_id < 40 GROUP BY 1, 2
+    )
+    SELECT s.user_id,
+           strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour,
+           (hourly.v100 IS NULL) AS filled,
+           COALESCE(LAST_VALUE(hourly.v100 IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.h
+             ROWS UNBOUNDED PRECEDING), 0) AS v100_ff
+    FROM spine s LEFT JOIN hourly
+      ON s.user_id = hourly.user_id AND s.h = hourly.h
+    """,
+)
+def events_gapfill_ffill(spark, sf):
+    """Time-series regularization: per-user hourly date spine
+    (sequence + explode between each user's first and last hour), LEFT
+    join of the sparse hourly aggregate, forward-fill of missing hours
+    via last(ignoreNulls) — the gap-fill / LOCF staple of every
+    time-series store, here as pure DataFrame ops.  Fixed-point sums
+    keep float addition order out of the comparison; the user_id < 40
+    slice bounds the demo spine (~28k rows, 91% of them filled — the
+    data is far sparser than its hourly grid).
+
+    100 TB shape: spine generation is a narrow per-group explode (no
+    driver loop, no cross join against a global calendar); the fill
+    window partitions by user — bounded state, no global sort.  Spine
+    size is (active span × users), governable by the truncation grain."""
+    e = t(spark, sf, "events").filter(F.col("user_id") < 40)
+    hourly = (
+        e.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v100"))
+    )
+    bounds = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+    )
+    joined = spine.join(hourly, ["user_id", "h"], "left")
+    w = (W.partitionBy("user_id").orderBy("h")
+         .rowsBetween(W.unboundedPreceding, 0))
+    return joined.select(
+        "user_id",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("v100").isNull().alias("filled"),
+        F.coalesce(F.last("v100", ignorenulls=True).over(w),
+                   F.lit(0)).alias("v100_ff"),
+    )

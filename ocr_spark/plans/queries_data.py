@@ -763,3 +763,148 @@ def text_normalize(spark, sf):
     for a, b in folds:
         col = F.replace(col, F.lit(a), F.lit(b))
     return d.select("doc_id", col.alias("text_norm"))
+
+
+@q(
+    "parse_try_cast_dirty",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id * 7 AS VARCHAR)
+                  WHEN doc_id % 3 = 1 THEN 'n/a'
+                  ELSE ' ' || doc_id || ' ' END AS num_s,
+             CASE WHEN doc_id % 4 = 0
+                  THEN '2024-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+                       || '-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                  ELSE 'not a date' END AS date_s
+      FROM documents
+    )
+    SELECT doc_id,
+           TRY_CAST(num_s AS BIGINT) AS n,
+           (TRY_CAST(num_s AS BIGINT) IS NOT NULL) AS n_ok,
+           strftime(TRY_CAST(date_s AS DATE), '%Y-%m-%d') AS d,
+           (TRY_CAST(date_s AS DATE) IS NOT NULL) AS d_ok
+    FROM raw
+    """,
+)
+def parse_try_cast_dirty(spark, sf):
+    """Dirty-data parsing surface: TRY_CAST semantics — malformed
+    numerics/dates become NULL instead of failing the job, the
+    non-negotiable ingestion behavior at web scale (one bad row must
+    never kill a 10^12-row load; ANSI mode's throwing CAST is the
+    opposite default).  Messy inputs are synthesized deterministically
+    (valid / garbage / whitespace-padded) so the oracle reproduces them.
+
+    100 TB shape: pure codegen row-local expressions, no shuffle."""
+    d = t(spark, sf, "documents")
+    num_s = (
+        F.when(F.col("doc_id") % 3 == 0, (F.col("doc_id") * 7).cast("string"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("n/a"))
+        .otherwise(F.concat(F.lit(" "), F.col("doc_id").cast("string"),
+                            F.lit(" ")))
+    )
+    date_s = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("2024-"),
+                        F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0"),
+                        F.lit("-"),
+                        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0")))
+        .otherwise(F.lit("not a date"))
+    )
+    # plain try_cast (after trim) — exact DuckDB TRY_CAST semantics
+    n = F.expr("try_cast(trim(num_s) AS BIGINT)")
+    dd = F.expr("try_cast(date_s AS DATE)")
+    raw = d.select("doc_id", num_s.alias("num_s"), date_s.alias("date_s"))
+    return raw.select(
+        "doc_id",
+        n.alias("n"), n.isNotNull().alias("n_ok"),
+        F.date_format(dd, "yyyy-MM-dd").alias("d"),
+        dd.isNotNull().alias("d_ok"),
+    )
+
+
+@q(
+    "text_extract_entities",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             text || ' contact admin' || (doc_id % 5) || '@example' || (doc_id % 3)
+                  || '.org or see https://site' || (doc_id % 7) || '.example/p/'
+                  || doc_id || ' now' AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')
+             AS emails,
+           regexp_extract_all(text, 'https?://[A-Za-z0-9./_-]+') AS urls,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails
+    FROM raw
+    """,
+)
+def text_extract_entities(spark, sf):
+    """Entity harvesting: emails and URLs pulled from document text via
+    regexp_extract_all — the PII-inventory / link-graph-seed primitive.
+    Patterns stay in the Java∩RE2 common subset (explicit ASCII classes,
+    no lookaround, no \\w shorthand whose Unicode breadth differs across
+    engines).  Deterministic entities are appended to the corpus text so
+    the oracle reproduces them and every doc is non-vacuous.
+
+    100 TB shape: codegen-resident regex scan, no shuffle; feeds
+    text_pii_scrub (removal) and url_canonicalize (normalization)."""
+    d = t(spark, sf, "documents")
+    text = F.concat(
+        F.col("text"), F.lit(" contact admin"),
+        (F.col("doc_id") % 5).cast("string"), F.lit("@example"),
+        (F.col("doc_id") % 3).cast("string"), F.lit(".org or see https://site"),
+        (F.col("doc_id") % 7).cast("string"), F.lit(".example/p/"),
+        F.col("doc_id").cast("string"), F.lit(" now"))
+    # Column-form regexp (NOT F.expr string literals — the SQL parser
+    # would unescape \\. to a bare dot and silently change the pattern)
+    email_re = F.lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
+    url_re = F.lit("https?://[A-Za-z0-9./_-]+")
+    raw = d.select("doc_id", text.alias("text"))
+    emails = F.regexp_extract_all("text", email_re, F.lit(0))
+    return raw.select(
+        "doc_id",
+        emails.alias("emails"),
+        F.regexp_extract_all("text", url_re, F.lit(0)).alias("urls"),
+        F.size(emails).alias("n_emails"),
+    )
+
+
+@q(
+    "diag_key_skew",
+    oracle="""
+    WITH c AS (
+      SELECT source AS key, COUNT(*) AS n FROM documents GROUP BY source
+    ), tot AS (SELECT SUM(n) AS t, COUNT(*) AS k FROM c)
+    SELECT c.key, CAST(c.n AS BIGINT) AS n,
+           ROUND(CAST(c.n AS DOUBLE) / tot.t, 6) AS share,
+           ROUND(CAST(c.n AS DOUBLE) * tot.k / tot.t, 4) AS skew_factor,
+           (c.n * tot.k > 2 * tot.t) AS is_hot
+    FROM c, tot
+    """,
+)
+def diag_key_skew(spark, sf):
+    """Partition-skew diagnosis: per-key row share and skew factor
+    (key's share × key count — 1.0 is perfectly uniform), flagging keys
+    >2× uniform.  This is the profile run BEFORE choosing a shuffle
+    strategy: its output decides between a plain hash join, AQE skew
+    handling, or explicit salting (join_salted_skew / salted_repartition
+    are this repo's consumers of that decision).
+
+    100 TB shape: one map-side-combined count agg + a single-row
+    broadcast total — the corpus is scanned once, one narrow column."""
+    d = t(spark, sf, "documents")
+    c = d.groupBy(F.col("source").alias("key")).agg(F.count("*").alias("n"))
+    tot = c.agg(F.sum("n").alias("t"), F.count("*").alias("k"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "key", F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("t"), 6).alias("share"),
+            F.round(F.col("n") * F.col("k") / F.col("t"), 4).alias("skew_factor"),
+            (F.col("n") * F.col("k") > 2 * F.col("t")).alias("is_hot"),
+        )
+    )

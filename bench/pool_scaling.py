@@ -75,7 +75,10 @@ def main() -> None:
     # throughput windows) — biases neither side of the ratio
     maxlevel = {
         f"{lo}v{hi}": {
-            "eff": round(bb["hi"] / (4 * bb["lo"]), 3) if bb["lo"] else None,
+            # core ratio derived from the level pair, NOT hardcoded 4 —
+            # a (2,4) or (1,8) session must divide by its own ratio
+            "eff": round(bb["hi"] / ((hi / lo) * bb["lo"]), 3)
+                   if bb["lo"] else None,
             "best_lo": bb["lo"], "best_hi": bb["hi"],
         }
         for (lo, hi), bb in sorted(best_by_level.items())
@@ -85,7 +88,8 @@ def main() -> None:
                   key=lambda lv: sum(p["levels"] == list(lv) for p in pairs))
     bb = best_by_level[main_lv]
     best_lo, best_hi = bb["lo"], bb["hi"]
-    eff_maxlevel = round(best_hi / (4 * best_lo), 3)
+    ratio = main_lv[1] / main_lv[0]
+    eff_maxlevel = round(best_hi / (ratio * best_lo), 3)
 
     out = {
         "metric": "scaling_efficiency_pooled",

@@ -417,23 +417,7 @@ class _Doc:
 
     # -- objects ------------------------------------------------------------
     def _balanced_dict(self, pos: int) -> bytes | None:
-        data = self.data
-        m = re.match(rb"\s*<<", data[pos:pos + 64])
-        if not m:
-            return None
-        i = pos + m.end()
-        depth, start = 1, i - 2
-        while i < len(data) - 1 and depth:
-            two = data[i:i + 2]
-            if two == b"<<":
-                depth += 1
-                i += 2
-            elif two == b">>":
-                depth -= 1
-                i += 2
-            else:
-                i += 1
-        return data[start:i] if depth == 0 else None
+        return _balanced_slice(self.data, pos)
 
     def _parse_obj_at(self, off: int):
         """(dict_bytes|raw_value_bytes, stream_body|None) at offset."""
@@ -493,14 +477,16 @@ class _Doc:
         return self._objstm(ent[1]).get(num), None
 
     # -- page tree ----------------------------------------------------------
-    def page_contents(self) -> list[tuple[bytes, dict, dict, int, tuple]]:
-        """(decoded content bytes, font map, xobject map, rotate,
-        (media W, media H)) per page in page-tree order.  Font map: font
-        resource name (str, e.g. 'F1') → ToUnicode CMap dict for
-        Type0/CID fonts that carry one; empty for simple fonts.  XObject
-        map: see _page_xobjects.  /Rotate and /MediaBox are INHERITABLE
-        page attributes (PDF 32000 §7.7.3.4): a value on a /Pages node
-        applies to every descendant page unless overridden."""
+    def page_contents(self) -> list[tuple]:
+        """7-tuples (decoded content bytes, font map, xobject map,
+        rotate, (media W, media H), links, widgets) per page in
+        page-tree order.  Font map: font resource name (str, e.g. 'F1')
+        → tagged decode table (see _page_fonts).  XObject map: see
+        _page_xobjects.  Links: see _page_links; widgets: see
+        _page_widgets.  /Rotate, /MediaBox, and /Resources are
+        INHERITABLE page attributes (PDF 32000 §7.7.3.4/§7.8.3): a value
+        on a /Pages node applies to every descendant page unless
+        overridden."""
         if self.root is None:
             raise ValueError("no /Root")
         cat = self.obj(self.root)
@@ -898,9 +884,16 @@ def _structured_page_contents(
     except Exception:
         # structure unparseable — but a trailer-declared /Encrypt must
         # still preempt the positional fallback (documented subset: the
-        # check scans the 512 bytes after each `trailer` keyword)
+        # check scans 512 bytes after each classic `trailer` keyword AND
+        # 512 bytes around each xref-STREAM dict's /Type /XRef, the only
+        # trailer-dict location in the 1.5+ layout — that layout has no
+        # `trailer` keyword at all)
         for tm in re.finditer(rb"trailer\b", data):
             if re.search(rb"/Encrypt\b", data[tm.end():tm.end() + 512]):
+                raise _EncryptedPdf from None
+        for xm in re.finditer(rb"/Type\s*/XRef\b", data):
+            lo = max(0, xm.start() - 512)
+            if re.search(rb"/Encrypt\b", data[lo:xm.start() + 512]):
                 raise _EncryptedPdf from None
         return None
 
@@ -981,7 +974,7 @@ class PdfLine:
 
 @dataclass
 class PdfBlock:
-    kind: str     # 'text-block' | 'table' | 'boilerplate' | 'figure' | 'link'
+    kind: str     # 'text-block'|'table'|'boilerplate'|'figure'|'link'|'toc'
     lines: list[PdfLine] = field(default_factory=list)
     bbox: tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
     page: int = 0
@@ -1136,7 +1129,7 @@ def _cid_decode(raw: str, cmap: dict[int, str]) -> str:
 
 
 def _parse_content(content, runs, figures, cfg, fonts=None, xobjs=None,
-                   depth=0):
+                   depth=0, mode0=0):
     # inline images → placeholder operator; placement taken from the
     # current transformation matrix (the standard `q w 0 0 h x y cm
     # BI … EI Q` producer idiom)
@@ -1152,10 +1145,12 @@ def _parse_content(content, runs, figures, cfg, fonts=None, xobjs=None,
     last_name = None
     cur_font: tuple | None = None   # ('cid', cmap) | ('enc', {code: ch})
     # text rendering mode (Tr): part of the TEXT STATE in the graphics
-    # state, so it persists across BT..ET boundaries within a stream.
+    # state, so it persists across BT..ET boundaries within a stream
+    # AND is inherited by invoked form XObjects (mode0 — forms snapshot
+    # the caller's graphics state; their own changes don't leak back).
     # Mode 3 = invisible — the OCR-text-layer idiom; kept or dropped
     # per cfg.keep_invisible_text.
-    mode = 0
+    mode = mode0
 
     def decode_str(raw: str) -> str:
         if cur_font is not None:
@@ -1222,8 +1217,10 @@ def _parse_content(content, runs, figures, cfg, fonts=None, xobjs=None,
             x, y = float(stack[-2]), float(stack[-1])
         elif t == "T*":
             y -= leading
-        elif t == "Tr" and stack:
-            mode = int(float(stack[-1]))
+        elif t == "Tr" and stack and isinstance(stack[-1], float):
+            # isinstance guard: a corrupt stream can leave a string on
+            # the stack, and extraction must degrade, never raise
+            mode = int(stack[-1])
         elif t == "Tj" and stack and isinstance(stack[-1], str):
             if in_text and stack[-1] and (
                     mode != 3 or cfg.keep_invisible_text):
@@ -1270,7 +1267,8 @@ def _parse_content(content, runs, figures, cfg, fonts=None, xobjs=None,
                     figures.append((ctm[2], ctm[3], ctm[0], ctm[1]))
                 elif xo[0] == "form" and depth < 8:
                     fr, ff = _parse_content(
-                        xo[1], [], [], cfg, xo[2], xo[3], depth + 1)
+                        xo[1], [], [], cfg, xo[2], xo[3], depth + 1,
+                        mode0=mode)
                     dx, dy = ctm[2], ctm[3]
                     for tr in fr:
                         tr.x += dx

@@ -51,11 +51,11 @@ def main() -> None:
     from ocr_spark.plans.pipeline import run_extract
     from ocr_spark.sources.corpus import generate_interleaved
 
-    spark = (SparkSession.builder.appName("ocr_spark_extract")
-             # match ocr_spark.session: zstd sink (measured ≈equal write
-             # time to snappy, 31% smaller files); overridable via --conf
-             .config("spark.sql.parquet.compression.codec", "zstd")
-             .getOrCreate())
+    spark = SparkSession.builder.appName("ocr_spark_extract").getOrCreate()
+    # sink codec is owned by formats.py (write .option("compression",
+    # $OCR_SPARK_CODEC), default zstd — measured ≈equal write time to
+    # snappy, ~31% smaller files); a per-write option outranks any
+    # session conf, so override via the env var, not --conf
     spark.sparkContext.setLogLevel("WARN")
     cfg = ExtractConfig(salt_buckets=args.buckets,
                         chunk_max_spans=args.chunk_max_spans,

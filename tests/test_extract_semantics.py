@@ -1480,3 +1480,46 @@ def test_pdf_outline_corpus_extracts_identically(spark):
     tocs = [s[1] for spans in got.values() for s in spans
             if s[1] and "— §" in s[1]]
     assert tocs, "knob produced no toc spans"
+
+
+def test_review_regressions_tr_encrypt_form():
+    """Round-3 review regressions: (1) a corrupt `(a) Tr` operand must
+    degrade, not raise; (2) an xref-STREAM-layout /Encrypt doc with a
+    corrupt startxref must still emit nothing (that layout has no
+    classic `trailer` keyword for the fallback scan); (3) `3 Tr` set in
+    the page stream is inherited by an invoked form XObject — forms
+    snapshot the caller's graphics state — so hidden-spam defense
+    (keep_invisible_text=False) drops the form's text too."""
+    from ocr_spark.config import ExtractConfig
+    from ocr_spark.functions.pdfx import extract_pdf_blocks, write_pdf_pages
+
+    # (1) string operand to Tr inside a raw fragment (positional path)
+    frag = (b"<< /Length 60 >>\nstream\n"
+            b"BT /F1 12 Tf (a) Tr 1 0 0 1 72 700 Tm (still works) Tj ET\n"
+            b"endstream")
+    texts = [b.text for b in extract_pdf_blocks(frag)]
+    assert any("still works" in t for t in texts), texts
+
+    # (2) /Encrypt inserted into the xref STREAM dict + corrupt startxref
+    doc = write_pdf_pages([[{"kind": "text", "x": 72, "y": 700,
+                             "lines": ["secret xref stream body",
+                                       "second secret line here"]}]],
+                          xref_stream=True)
+    enc = doc.replace(b"/Type /XRef", b"/Type /XRef /Encrypt 99 0 R", 1)
+    assert extract_pdf_blocks(enc) == []          # intact structure path
+    broken = enc.replace(b"startxref", b"startxrof")
+    assert extract_pdf_blocks(broken) == []       # fallback-preempt path
+
+    # (3) page stream sets 3 Tr then invokes the form
+    pages = [[{"kind": "text", "x": 72, "y": 700,
+               "lines": ["spam keywords hidden line", "second hidden line"]}]]
+    formdoc = write_pdf_pages(pages, form_xobject=True)
+    # make the WRAPPER set 3 Tr before /Fm1 Do (form content unchanged)
+    patched = formdoc.replace(b"q 1 0 0 1 0 0 cm /Fm1 Do Q",
+                              b"q 3 Tr 1 0 0 1 cm /Fm1 Do Q")  # same len
+    assert patched != formdoc
+    keep = [b.text for b in extract_pdf_blocks(patched)]
+    assert any("spam keywords" in t for t in keep)  # default: OCR layer kept
+    drop = [b.text for b in extract_pdf_blocks(
+        patched, ExtractConfig(keep_invisible_text=False))]
+    assert all("spam keywords" not in t for t in drop), drop

@@ -1075,11 +1075,8 @@ def _apply_rotation(runs, figures, rot: int, media: tuple):
     placement convention of this parser."""
     for tr in runs:
         tr.x, tr.y = _rot_point(tr.x, tr.y, rot, media)
-    out_figs = []
-    for fx, fy, fw, fh in figures:
-        x0, y0 = _rot_point(fx, fy, rot, media)
-        x1, y1 = _rot_point(fx + fw, fy + fh, rot, media)
-        out_figs.append((min(x0, x1), min(y0, y1), abs(x1 - x0), abs(y1 - y0)))
+    out_figs = [_rot_rect(fx, fy, fw, fh, rot, media)
+                for fx, fy, fw, fh in figures]
     return runs, out_figs
 
 
@@ -1111,7 +1108,57 @@ def _stream_contents(data: bytes):
 # removed BEFORE tokenizing — its bytes would otherwise parse as phantom
 # strings/numbers/operators.  Per spec EI follows whitespace; the dict
 # part never contains ID as a token.
-_INLINE_IMG_RE = re.compile(r"\bBI\b.*?\bID[ \r\n].*?\sEI(?=[\s]|$)", re.DOTALL)
+_BI_HEAD_RE = re.compile(r"\bBI\b(.*?)\bID[ \r\n]", re.DOTALL)
+_EI_RE = re.compile(r"\sEI(?=[\s]|$)")
+#: inline-image /ColorSpace → component count (abbreviated names per
+#: PDF 32000 §8.9.7; unknown spaces fall back to the delimiter scan)
+_CS_COMPONENTS = {"G": 1, "DeviceGray": 1, "RGB": 3, "DeviceRGB": 3,
+                  "CMYK": 4, "DeviceCMYK": 4}
+
+
+def _strip_inline_images(content: str) -> str:
+    """Replace every ``BI <dict> ID <binary> EI`` with `` INLIMG ``.
+
+    The binary payload can contain the three bytes `` EI `` by chance
+    (probability ≈ N/2^24 for an N-byte image — routinely hit at real
+    image sizes), so a pure delimiter scan truncates early and leaks
+    image bytes into the token stream as phantom operators.  When the
+    image dict declares uncompressed dimensions (/W /H /BPC, /CS or
+    grayscale default, no /F filter), the payload length is COMPUTED
+    (ceil(W·BPC·components/8)·H) and the EI scan starts after it; dicts
+    with filters/unknown spaces keep the delimiter-scan fallback."""
+    out = []
+    pos = 0
+    while True:
+        m = _BI_HEAD_RE.search(content, pos)
+        if m is None:
+            out.append(content[pos:])
+            return "".join(out)
+        d = m.group(1)
+        data_start = m.end()
+        scan_from = data_start
+        if "/F" not in d:  # no filter → raw samples, length computable
+            def _num(key):
+                km = re.search(rf"/(?:{key})\s+(\d+)", d)
+                return int(km.group(1)) if km else None
+            wm, hm, bm = _num("W(?:idth)?"), _num("H(?:eight)?"), \
+                _num("BPC|BitsPerComponent")
+            cm_ = re.search(r"/CS\s*/(\w+)|/ColorSpace\s*/(\w+)", d)
+            comps = _CS_COMPONENTS.get(
+                (cm_.group(1) or cm_.group(2)) if cm_ else "G")
+            if wm and hm and bm and comps:
+                scan_from = min(data_start + ((wm * bm * comps + 7) // 8) * hm,
+                                len(content))
+        em = _EI_RE.search(content, scan_from)
+        if em is None:
+            # unterminated image: drop the remainder (corrupt payload
+            # must never tokenize)
+            out.append(content[pos:m.start()])
+            out.append(" INLIMG ")
+            return "".join(out)
+        out.append(content[pos:m.start()])
+        out.append(" INLIMG ")
+        pos = em.end()
 
 
 def _cid_decode(raw: str, cmap: dict[int, str]) -> str:
@@ -1133,7 +1180,7 @@ def _parse_content(content, runs, figures, cfg, fonts=None, xobjs=None,
     # inline images → placeholder operator; placement taken from the
     # current transformation matrix (the standard `q w 0 0 h x y cm
     # BI … EI Q` producer idiom)
-    content = _INLINE_IMG_RE.sub(" INLIMG ", content)
+    content = _strip_inline_images(content)
     toks = _TOK_RE.findall(content)
     x = y = 0.0
     size = 12.0
@@ -1161,6 +1208,16 @@ def _parse_content(content, runs, figures, cfg, fonts=None, xobjs=None,
             # codes resolve via the encoding, the rest stay literal
             return "".join(table.get(ord(ch), ch) for ch in raw)
         return _pdf_text(raw)
+
+    def nums(n: int) -> list[float] | None:
+        """The top-n operands iff they are ALL numbers — a corrupt
+        stream (e.g. decoded binary garbage on the positional fallback)
+        can leave strings/arrays on the stack, and extraction must
+        degrade by skipping the operator, never raise."""
+        vals = stack[-n:]
+        if len(vals) == n and all(isinstance(v, float) for v in vals):
+            return vals
+        return None
 
     for t in toks:
         if t == "[":
@@ -1203,18 +1260,22 @@ def _parse_content(content, runs, figures, cfg, fonts=None, xobjs=None,
             in_text, x, y = True, 0.0, 0.0
         elif t == "ET":
             in_text = False
-        elif t == "Tf" and len(stack) >= 1:
-            size = float(stack[-1])
+        elif t == "Tf":
+            if (v := nums(1)) is not None:
+                size = v[0]
             cur_font = (fonts or {}).get(last_name)
-        elif t == "TL" and stack:
-            leading = float(stack[-1])
-        elif t in ("Td", "TD") and len(stack) >= 2:
-            tx, ty = float(stack[-2]), float(stack[-1])
-            x, y = x + tx, y + ty
-            if t == "TD":
-                leading = -ty if ty else leading
-        elif t == "Tm" and len(stack) >= 6:
-            x, y = float(stack[-2]), float(stack[-1])
+        elif t == "TL":
+            if (v := nums(1)) is not None:
+                leading = v[0]
+        elif t in ("Td", "TD"):
+            if (v := nums(2)) is not None:
+                tx, ty = v
+                x, y = x + tx, y + ty
+                if t == "TD":
+                    leading = -ty if ty else leading
+        elif t == "Tm":
+            if (v := nums(6)) is not None:
+                x, y = v[4], v[5]
         elif t == "T*":
             y -= leading
         elif t == "Tr" and stack and isinstance(stack[-1], float):
@@ -1243,13 +1304,12 @@ def _parse_content(content, runs, figures, cfg, fonts=None, xobjs=None,
             txt = "".join(parts)
             if in_text and txt and (mode != 3 or cfg.keep_invisible_text):
                 runs.append(TextRun(x, y, txt, size))
-        elif t == "re" and len(stack) >= 4:
-            rx, ry, rw, rh = (float(v) for v in stack[-4:])
-            if not in_text:
-                figures.append((rx, ry, rw, rh))
-        elif t == "cm" and len(stack) >= 6:
-            a, _b, _c, d, e, f_ = (float(v) for v in stack[-6:])
-            ctm = (a, d, e, f_)
+        elif t == "re":
+            if (v := nums(4)) is not None and not in_text:
+                figures.append(tuple(v))
+        elif t == "cm":
+            if (v := nums(6)) is not None:
+                ctm = (v[0], v[3], v[4], v[5])
         elif t == "INLIMG":
             if not in_text:
                 # unit image square scaled by (a, d), placed at (e, f)
@@ -1796,7 +1856,8 @@ def _write_pdf_xref_stream(pages: list[list[dict]], compress: bool,
     """PDF 1.5+ layout: catalog/pages/page objects live in ONE
     FlateDecode /ObjStm (type-2 xref entries); content streams stay
     top-level (streams cannot nest in an object stream); the
-    cross-reference is a /Type /XRef stream with /W [1 2 2] and the
+    cross-reference is a /Type /XRef stream with /W [1 4 2] (4-byte
+    offsets — 2-byte ones overflow past 64 KiB of serialized pages) and the
     trailer fields in its own dict.  Object numbering matches the
     classic writer (1=catalog, 2=pages, 3+2i=page, 4+2i=content) so the
     two layouts of one document differ only structurally.  With
@@ -1871,11 +1932,11 @@ def _write_pdf_xref_stream(pages: list[list[dict]], compress: bool,
             t = 2
             f2 = objstm_num
             f3 = next(k for k, (pn, _) in enumerate(packed) if pn == num)
-        rows += bytes([t]) + f2.to_bytes(2, "big") + f3.to_bytes(2, "big")
+        rows += bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
     xref_body = zlib.compress(bytes(rows))
     xref_off = pos
     emit(xref_num,
-         f"<< /Type /XRef /Size {size} /W [1 2 2] /Root 1 0 R "
+         f"<< /Type /XRef /Size {size} /W [1 4 2] /Root 1 0 R "
          f"/Length {len(xref_body)} /Filter /FlateDecode >>\nstream\n"
          + xref_body.decode("latin-1") + "\nendstream")
     if hybrid:

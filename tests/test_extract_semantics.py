@@ -557,13 +557,13 @@ def test_xref_stream_with_png_predictor_decodes():
     # rewrite the xref stream with Up-predicted rows
     import re as _re
     m = _re.search(
-        rb"(\d+) 0 obj\n<< /Type /XRef /Size (\d+) /W \[1 2 2\] /Root 1 0 R "
+        rb"(\d+) 0 obj\n<< /Type /XRef /Size (\d+) /W \[1 4 2\] /Root 1 0 R "
         rb"/Length (\d+) /Filter /FlateDecode >>\nstream\n", doc)
     assert m, "fixture: xref stream dict not found"
     body_start = m.end()
     body = doc[body_start:body_start + int(m.group(3))]
     rows = zlib.decompress(body)
-    W = 5
+    W = 7
     out, prev = bytearray(), bytes(W)
     for i in range(0, len(rows), W):
         row = rows[i:i + W]
@@ -571,9 +571,9 @@ def test_xref_stream_with_png_predictor_decodes():
         prev = row
     new_body = zlib.compress(bytes(out))
     new_dict = (
-        f"<< /Type /XRef /Size {int(m.group(2))} /W [1 2 2] /Root 1 0 R "
+        f"<< /Type /XRef /Size {int(m.group(2))} /W [1 4 2] /Root 1 0 R "
         f"/Length {len(new_body)} /Filter /FlateDecode "
-        f"/DecodeParms << /Predictor 12 /Columns 5 >> >>\nstream\n"
+        f"/DecodeParms << /Predictor 12 /Columns 7 >> >>\nstream\n"
     ).encode("latin-1")
     prefix = doc[:m.start()] + m.group(1) + b" 0 obj\n"
     suffix = doc[body_start + int(m.group(3)):]
@@ -1523,3 +1523,44 @@ def test_review_regressions_tr_encrypt_form():
     drop = [b.text for b in extract_pdf_blocks(
         patched, ExtractConfig(keep_invisible_text=False))]
     assert all("spam keywords" not in t for t in drop), drop
+
+
+def test_review_regressions_operands_inline_ei_xref_width():
+    """Second review batch: (1) a corrupt string operand to ANY numeric
+    content operator (cm/re/Td/Tm/Tf/TL) degrades instead of raising;
+    (2) an inline image whose BINARY payload contains ' EI ' by chance
+    is stripped to its declared length, leaking no phantom operators;
+    (3) the xref-stream writer handles documents past 64 KiB (4-byte
+    offset field)."""
+    from ocr_spark.functions.pdfx import extract_pdf_blocks, write_pdf_pages
+
+    # (1) strings where numbers belong, for every numeric operator
+    frag = (b"<< /Length 120 >>\nstream\n"
+            b"(abc) 1 2 3 4 5 cm (s) 2 re (q) Tf (w) TL "
+            b"BT /F1 12 Tf (z) (z) Td (a) (b) (c) (d) (e) (f) Tm "
+            b"1 0 0 1 72 700 Tm (survives all) Tj ET\nendstream")
+    texts = [b.text for b in extract_pdf_blocks(frag)]
+    assert any("survives all" in t for t in texts), texts
+
+    # (2) payload exactly /W*/H*/BPC/8 bytes long CONTAINING ' EI '
+    payload = b"ab EI cdefghijklmnop"[:16]  # 16 = 4*4*8/8, ' EI ' inside
+    frag2 = (b"<< /Length 200 >>\nstream\n"
+             b"q 100 0 0 80 50 60 cm BI /W 4 /H 4 /BPC 8 /CS /G ID\n"
+             + payload +
+             b"\nEI Q\nBT /F1 12 Tf 1 0 0 1 72 700 Tm (after image) Tj ET"
+             b"\nendstream")
+    bs = extract_pdf_blocks(frag2)
+    kinds = [(b.kind, b.text) for b in bs]
+    assert ("figure", "") in kinds, kinds
+    assert any("after image" in t for _, t in kinds), kinds
+    # the ' EI cdef...' remainder never tokenized as phantom content
+    assert all("cdef" not in (t or "") for _, t in kinds), kinds
+
+    # (3) >64 KiB document in the PDF 1.5+ layout
+    pages = [[{"kind": "text", "x": 72, "y": 700,
+               "lines": [f"line {i} " + "word " * 60 for i in range(5)]}]
+             for _ in range(40)]
+    big = write_pdf_pages(pages, xref_stream=True)
+    assert len(big) > 65536
+    bs2 = extract_pdf_blocks(big)
+    assert sum(1 for b in bs2 if b.kind == "text-block") >= 40

@@ -1108,8 +1108,11 @@ def _stream_contents(data: bytes):
 # removed BEFORE tokenizing — its bytes would otherwise parse as phantom
 # strings/numbers/operators.  Per spec EI follows whitespace; the dict
 # part never contains ID as a token.
-_BI_HEAD_RE = re.compile(r"\bBI\b(.*?)\bID[ \r\n]", re.DOTALL)
+_BI_HEAD_RE = re.compile(r"BI\b(.*?)\bID[ \r\n]", re.DOTALL)
 _EI_RE = re.compile(r"\sEI(?=[\s]|$)")
+#: chars that terminate a token on its left — BI is only an operator
+#: when preceded by one of these (or stream start)
+_PDF_DELIMS = " \t\r\n\f\x00()<>[]{}/%"
 #: inline-image /ColorSpace → component count (abbreviated names per
 #: PDF 32000 §8.9.7; unknown spaces fall back to the delimiter scan)
 _CS_COMPONENTS = {"G": 1, "DeviceGray": 1, "RGB": 3, "DeviceRGB": 3,
@@ -1126,39 +1129,71 @@ def _strip_inline_images(content: str) -> str:
     image dict declares uncompressed dimensions (/W /H /BPC, /CS or
     grayscale default, no /F filter), the payload length is COMPUTED
     (ceil(W·BPC·components/8)·H) and the EI scan starts after it; dicts
-    with filters/unknown spaces keep the delimiter-scan fallback."""
+    with filters/unknown spaces keep the delimiter-scan fallback.
+
+    The scan is STRING-AWARE: literal ``(…)`` strings (with backslash
+    escapes and nested parens) and hex ``<…>`` strings are skipped, so
+    prose like ``(the BI dashboard shows user ID 123) Tj`` is never
+    mistaken for an image header — the round-3 failure mode where a
+    text-only page lost its entire remainder.  BI is only recognized in
+    operator position: preceded by a PDF delimiter/whitespace (or
+    stream start) and followed by a token boundary."""
     out = []
-    pos = 0
-    while True:
-        m = _BI_HEAD_RE.search(content, pos)
-        if m is None:
-            out.append(content[pos:])
-            return "".join(out)
-        d = m.group(1)
-        data_start = m.end()
-        scan_from = data_start
-        if "/F" not in d:  # no filter → raw samples, length computable
-            def _num(key):
-                km = re.search(rf"/(?:{key})\s+(\d+)", d)
-                return int(km.group(1)) if km else None
-            wm, hm, bm = _num("W(?:idth)?"), _num("H(?:eight)?"), \
-                _num("BPC|BitsPerComponent")
-            cm_ = re.search(r"/CS\s*/(\w+)|/ColorSpace\s*/(\w+)", d)
-            comps = _CS_COMPONENTS.get(
-                (cm_.group(1) or cm_.group(2)) if cm_ else "G")
-            if wm and hm and bm and comps:
-                scan_from = min(data_start + ((wm * bm * comps + 7) // 8) * hm,
-                                len(content))
-        em = _EI_RE.search(content, scan_from)
-        if em is None:
-            # unterminated image: drop the remainder (corrupt payload
-            # must never tokenize)
-            out.append(content[pos:m.start()])
+    pos = 0  # start of not-yet-emitted text
+    i, n = 0, len(content)
+    while i < n:
+        c = content[i]
+        if c == "(":  # literal string: skip to balanced close
+            depth = 1
+            i += 1
+            while i < n and depth:
+                ch = content[i]
+                if ch == "\\":
+                    i += 2
+                    continue
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                i += 1
+            continue
+        if c == "<" and content[i + 1 : i + 2] != "<":  # hex string
+            j = content.find(">", i + 1)
+            i = n if j == -1 else j + 1
+            continue
+        if (c == "B" and content.startswith("BI", i)
+                and (i == 0 or content[i - 1] in _PDF_DELIMS)):
+            m = _BI_HEAD_RE.match(content, i)
+            if m is None:
+                i += 2
+                continue
+            d = m.group(1)
+            data_start = m.end()
+            scan_from = data_start
+            if "/F" not in d:  # no filter → raw samples, length computable
+                def _num(key):
+                    km = re.search(rf"/(?:{key})\s+(\d+)", d)
+                    return int(km.group(1)) if km else None
+                wm, hm, bm = _num("W(?:idth)?"), _num("H(?:eight)?"), \
+                    _num("BPC|BitsPerComponent")
+                cm_ = re.search(r"/CS\s*/(\w+)|/ColorSpace\s*/(\w+)", d)
+                comps = _CS_COMPONENTS.get(
+                    (cm_.group(1) or cm_.group(2)) if cm_ else "G")
+                if wm and hm and bm and comps:
+                    scan_from = min(
+                        data_start + ((wm * bm * comps + 7) // 8) * hm, n)
+            em = _EI_RE.search(content, scan_from)
+            out.append(content[pos:i])
             out.append(" INLIMG ")
-            return "".join(out)
-        out.append(content[pos:m.start()])
-        out.append(" INLIMG ")
-        pos = em.end()
+            if em is None:
+                # unterminated image: drop the remainder (corrupt
+                # payload must never tokenize)
+                return "".join(out)
+            pos = i = em.end()
+            continue
+        i += 1
+    out.append(content[pos:])
+    return "".join(out)
 
 
 def _cid_decode(raw: str, cmap: dict[int, str]) -> str:

@@ -834,9 +834,10 @@ def parse_try_cast_dirty(spark, sf):
       FROM documents
     )
     SELECT doc_id,
-           regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')
-             AS emails,
-           regexp_extract_all(text, 'https?://[A-Za-z0-9./_-]+') AS urls,
+           array_to_string(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'), '|') AS emails,
+           array_to_string(regexp_extract_all(text,
+             'https?://[A-Za-z0-9./_-]+'), '|') AS urls,
            CAST(len(regexp_extract_all(text,
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails
     FROM raw
@@ -851,7 +852,12 @@ def text_extract_entities(spark, sf):
     the oracle reproduces them and every doc is non-vacuous.
 
     100 TB shape: codegen-resident regex scan, no shuffle; feeds
-    text_pii_scrub (removal) and url_canonicalize (normalization)."""
+    text_pii_scrub (removal) and url_canonicalize (normalization).
+
+    The match lists are array_join'd to '|'-delimited strings: the
+    driver's canonicalizer pandas-sorts every column and cannot hash
+    ArrayType cells (the round-3 failure mode) — oracle-checked queries
+    must emit only scalar top-level columns."""
     d = t(spark, sf, "documents")
     text = F.concat(
         F.col("text"), F.lit(" contact admin"),
@@ -867,8 +873,9 @@ def text_extract_entities(spark, sf):
     emails = F.regexp_extract_all("text", email_re, F.lit(0))
     return raw.select(
         "doc_id",
-        emails.alias("emails"),
-        F.regexp_extract_all("text", url_re, F.lit(0)).alias("urls"),
+        F.array_join(emails, "|").alias("emails"),
+        F.array_join(
+            F.regexp_extract_all("text", url_re, F.lit(0)), "|").alias("urls"),
         F.size(emails).alias("n_emails"),
     )
 

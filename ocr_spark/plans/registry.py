@@ -53,18 +53,16 @@ DRIVER_WINDOW = 50
 #: reviewed each round; the window test fails if any falls outside the
 #: first DRIVER_WINDOW slots.
 _CHANGED_THIS_ROUND = [
-    # round 3: rows-only → oracle-checked conversions
-    "dedup_simhash", "ann_lsh_bucketed", "agg_percentile_approx",
-    "agg_approx_count_distinct", "multimodal_decode_stub",
-    "multimodal_frame_sample",
-    # round 3: IVF assignment rework (max_by) + new k-means fit entry
-    "ann_ivf_topk", "ann_ivf_kmeans",
-    # round 3: LSH bucket join narrowed (shared lsh_pairs helper)
-    # (ann_lsh_bucketed already listed)
-    # round 3: pdfx stream-cursor fix + xref/objstm (extraction payload)
+    # round 4: array columns → '|'-joined strings (r03 driver fail)
+    "text_extract_entities",
+    # round 4: reliable checkpoint + convergence flag in CC
+    "dedup_connected_components",
+    # round 4: pdfx inline-image strip made string-aware (payload change)
     "extract_pipeline",
-    # round 3: count-filtering candidate bound in ngram_candidates
-    "dedup_ngram_jaccard",
+    # round 4: new driver-visible oracles
+    "extract_pipeline_checked", "dedup_minhash_recall",
+    # round 4: kmeans++ seeding index clamp
+    "ann_ivf_kmeans",
 ]
 
 

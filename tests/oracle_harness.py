@@ -29,7 +29,20 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+class UnhashableCellError(TypeError):
+    """An oracle-checked result carried a list/dict/ndarray cell — the
+    driver's canonicalizer pandas-sorts all columns and dies on these
+    (`TypeError: unhashable type: 'list'`, the round-3
+    text_extract_entities failure).  The harness must be at least as
+    strict as the driver, so such cells are a hard error here too."""
+
+
 def _norm(v: Any) -> str:
+    if isinstance(v, (list, tuple, set, dict)) or type(v).__name__ == "ndarray":
+        raise UnhashableCellError(
+            f"oracle-checked query emitted a non-scalar cell ({type(v).__name__}):"
+            f" {v!r} — array_join/array_to_string it to a scalar column"
+        )
     if v is None:
         return "␀NULL"
     if isinstance(v, bool):

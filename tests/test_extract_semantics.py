@@ -707,6 +707,43 @@ def test_inline_image_strips_payload_and_places_figure():
     assert any(k == "figure" for k, _, _ in a)
 
 
+def test_bi_inside_string_literal_is_not_an_image():
+    """Round-3 advisory (high): prose containing the word 'BI' followed
+    later by 'ID ' — e.g. '(the BI dashboard shows user ID 123) Tj' —
+    was matched by the inline-image regex and the page's remainder was
+    silently dropped.  The string-aware scan must extract the full text
+    unchanged."""
+    from ocr_spark.functions.pdfx import (
+        _strip_inline_images, extract_pdf_blocks, write_pdf)
+
+    blocks = [
+        {"kind": "text", "x": 72, "y": 700,
+         "lines": ["the BI dashboard shows user ID 123 today",
+                   "trailing line after the trap words here"]},
+        {"kind": "text", "x": 72, "y": 300,
+         "lines": ["a second block far below survives too"]},
+    ]
+    for compress in (False, True):
+        got = [(b.kind, b.text) for b in extract_pdf_blocks(
+            write_pdf(blocks, compress=compress))]
+        texts = " ".join(t for _, t in got)
+        assert "BI dashboard shows user ID 123" in texts, got
+        assert "survives too" in texts, got
+
+    # unit-level: literals, hex strings, and token boundaries
+    s = "(a BI b ID c) Tj (x) Tj"
+    assert _strip_inline_images(s) == s          # inside (...) literal
+    s = "<42492049442058> Tj BT (ok) Tj ET"
+    assert _strip_inline_images(s) == s          # inside <...> hex string
+    s = "/ABI 5 BID 3"                           # BI mid-token, both sides
+    assert _strip_inline_images(s) == s
+    # a REAL inline image in operator position still strips
+    s = "(pre) Tj BI /W 1 /H 1 /BPC 8 /CS /G ID \x00 EI (post) Tj"
+    out = _strip_inline_images(s)
+    assert "INLIMG" in out and "(pre)" in out and "(post)" in out
+    assert "\x00" not in out
+
+
 def test_form_xobject_extracts_identically():
     """/Subtype /Form XObjects invoked via `/Fm1 Do` (the letterhead/
     stamp/imposition layout): moving each page's real content into a

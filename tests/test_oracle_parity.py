@@ -31,6 +31,23 @@ def test_registry_shape():
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
+def test_no_complex_top_level_columns(name, spark, sf_dir):
+    """The driver's canonicalizer pandas-sorts every column and crashes
+    on unhashable cells (r03 text_extract_entities: ArrayType emails).
+    No oracle-checked query may emit ArrayType/MapType/StructType at
+    the top level — array_join to a scalar instead."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    df = QUERIES[name](spark, sf_dir)
+    bad = [f.name for f in df.schema.fields
+           if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+    assert not bad, (
+        f"{name}: oracle-checked query has complex top-level columns {bad}; "
+        "the driver canonicalizer cannot hash these"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_parity(name, spark, sf_dir, duck):
     df = QUERIES[name](spark, sf_dir)
     res = compare(df, duck, ORACLES[name])

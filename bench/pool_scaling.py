@@ -119,7 +119,11 @@ def main() -> None:
         for p in sorted(pairs, key=lambda p: p["hi_canary"]))
     maxlevel_rows = "\n".join(
         f"- levels {k.replace('v', ' vs ')}: max-per-level "
-        f"`{v['eff']}` ({v['best_hi']:.0f} / (4 × {v['best_lo']:.0f}) docs/s)"
+        f"`{v['eff']}` ({v['best_hi']:.0f} / "
+        # render the session's own hi/lo core ratio so the printed
+        # formula reproduces eff for any level pair, not just (N,4N)
+        f"({int(k.split('v')[1]) / int(k.split('v')[0]):g} × "
+        f"{v['best_lo']:.0f}) docs/s)"
         for k, v in maxlevel.items())
     section = f"""{MARK_BEGIN}
 ## Pooled round-3 scaling evidence (all sessions)

@@ -11,6 +11,7 @@ oracle-checked query over the flat documents table.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import pandas as pd
 from pyspark.sql import functions as F
@@ -26,6 +27,38 @@ def extract_pipeline(spark, sf):
     run the fused E3–E7 extraction, return the exploded span table."""
     docs = generate_interleaved(spark, 300, seed=42, partitions=8, mega_every=100)
     return explode_extracted(extract_stage(docs)).orderBy("doc_id", "span_order")
+
+
+_EXPECTED_SPANS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "golden", "extract_expected_seed42_n300.parquet")
+
+
+@q(
+    "extract_pipeline_checked",
+    oracle=f"""
+    SELECT doc_id, CAST(span_idx AS INT) AS span_idx, kind, text,
+           media_ref, CAST(span_order AS INT) AS span_order
+    FROM read_parquet('{_EXPECTED_SPANS}')
+    """,
+)
+def extract_pipeline_checked(spark, sf):
+    """The flagship extraction pipeline with a FULL driver-visible
+    oracle (round-3 verdict task 3 — retires the registry's last
+    no_oracle row): the distributed run over the deterministic seed-42
+    corpus must equal, cell-for-cell under the driver's value hash, the
+    span table materialized by the straight-line single-process
+    extractor (tests/golden/gen_expected_spans.py — the same
+    independent path behind extract_seed42_n120.json).  DuckDB reads
+    the expected table via read_parquet, so every column of every span
+    (kind, text, media_ref, order) is hash-checked, not just counted.
+    Python payload PARSING still cannot be expressed in ANSI SQL — the
+    oracle side is a materialized expectation, which is exactly what
+    the north-rule per-document invariant ("span-sequence equality vs
+    the reference's outputs") prescribes."""
+    docs = generate_interleaved(spark, 300, seed=42, partitions=8,
+                                mega_every=100)
+    return explode_extracted(extract_stage(docs))
 
 
 @q(

@@ -443,7 +443,10 @@ def fit_centroids_kmeans(e, k: int = _IVF_K, iters: int = 10, seed: int = 7,
         if total <= 0:  # degenerate: all points coincide with a centroid
             cents.append(X[rng.randint(len(X))])
             continue
-        cents.append(X[np.searchsorted(np.cumsum(d2 / total), rng.rand())])
+        # clamp: float rounding can leave cumsum[-1] < rng.rand(), where
+        # searchsorted would return len(X) and index out of bounds
+        idx = int(np.searchsorted(np.cumsum(d2 / total), rng.rand()))
+        cents.append(X[min(idx, len(X) - 1)])
     C = np.array(cents)
     for _ in range(iters):  # Lloyd
         a = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)

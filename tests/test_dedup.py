@@ -97,3 +97,60 @@ def test_connected_components_merges_multi_pair_clusters(spark, sf_dir):
     for d, c in comp.items():
         members.setdefault(c, []).append(d)
     assert all(c == min(ms) for c, ms in members.items())
+
+
+def test_connected_components_uses_reliable_checkpoint(spark):
+    """Round-3 verdict task 4: propagation must persist rounds through
+    RELIABLE checkpoint() (survives executor loss), not localCheckpoint
+    (executor-local blocks, no recompute path once lineage is
+    truncated).  Asserted by running a small CC and checking the
+    session's checkpoint dir is set and physically populated."""
+    import os
+    from urllib.parse import urlparse
+
+    from ocr_spark.plans.queries_text import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a int, doc_b int")
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id int")
+    got = {
+        (r["doc_id"], r["comp"])
+        for r in connected_components(edges, nodes).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (99, 99)}
+    ckpt = spark.sparkContext.getCheckpointDir()
+    assert ckpt, "no reliable checkpoint dir was set"
+    path = urlparse(ckpt).path or ckpt
+    files = [
+        os.path.join(dp, f) for dp, _, fs in os.walk(path) for f in fs
+    ]
+    assert files, f"checkpoint dir {path} is empty — reliable "\
+        "checkpoint() was never exercised"
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A diameter > max_iters graph must FAIL LOUDLY (round-3 advice),
+    never silently emit one cluster under several component ids."""
+    import pytest
+
+    from ocr_spark.plans.queries_text import connected_components
+
+    # a path graph 0-1-2-...-7 has diameter 7 > max_iters=2
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "doc_a int, doc_b int")
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(8)], "doc_id int")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, nodes, max_iters=2).collect()
+
+
+def test_minhash_recall_all_planted_pairs_found(spark, sf_dir):
+    """The production-threshold (τ=0.8) LSH sweep must surface every
+    qualifying planted near-dup (found=true for all rows) — the exact
+    property the driver's booleanized oracle asserts."""
+    df = registry.QUERIES["dedup_minhash_recall"](spark, sf_dir)
+    rows = df.collect()
+    assert rows, "no qualifying planted near-dup pairs at this SF"
+    missed = [r for r in rows if not r["found"]]
+    assert not missed, f"LSH missed {len(missed)} planted near-dups"

@@ -56,8 +56,16 @@ def _dup_docs(spark, sf):
 
 
 def _grams_of(d):
-    """doc_id + distinct word-3-gram set (array<string>) over any
-    (doc_id, text) frame — built-ins only.
+    """doc_id + distinct word-3-gram set over any (doc_id, text) frame —
+    built-ins only.  The set is emitted PRE-HASHED (array<bigint>, one
+    xxhash64 per distinct gram): every downstream consumer — the
+    inverted-index explode, the candidate self-join, array_intersect
+    verification, the MinHash signature (which already derived its
+    permutations from xxhash64(gram)) — shuffles and compares 8-byte
+    ints instead of ~20-byte strings.  Set operations on the hashes
+    equal set operations on the grams up to xxhash64 collisions
+    (P ≈ |grams|²/2⁶⁴ — negligible and deterministic), the same
+    equivalence the MinHash family already relies on.
 
     Two exchanges sandwich the gram expression deliberately:
     - the repartition BELOW it spreads the (expensive) 3-gram
@@ -76,10 +84,10 @@ def _grams_of(d):
     g = d.select(
         "doc_id",
         F.expr(
-            "CASE WHEN size(split(trim(text), ' ')) >= 3 THEN "
+            "transform(CASE WHEN size(split(trim(text), ' ')) >= 3 THEN "
             "array_distinct(transform(sequence(0, size(split(trim(text), ' ')) - 3),"
             " i -> array_join(slice(split(trim(text), ' '), i + 1, 3), ' ')))"
-            " ELSE array() END"
+            " ELSE array() END, g -> xxhash64(g))"
         ).alias("gset"),
     )
     return g.repartition(p, "doc_id")
@@ -424,12 +432,11 @@ def minhash_lsh_pairs(g, tau: float):
     # shape computes every gram ONCE, hashes it 32x (cheap), aggregates
     # map-side (partial min), and its shuffle redistributes work evenly
     # regardless of input file layout.
-    # hash each gram string to int64 ONCE, then derive the 32 permutation
-    # hashes from the 8-byte value — same minhash family (signatures equal
-    # iff gram-hash sets equal), ~3x less hashing work than re-hashing
-    # the string per permutation
-    ex = (g.select("doc_id", F.explode("gset").alias("gram"))
-          .select("doc_id", F.xxhash64("gram").alias("g64")))
+    # the gram sets arrive PRE-HASHED to int64 (_grams_of), so the 32
+    # permutation hashes derive straight from the 8-byte value — same
+    # minhash family (signatures equal iff gram-hash sets equal), no
+    # string re-hashing per permutation
+    ex = g.select("doc_id", F.explode("gset").alias("g64"))
     sig = ex.groupBy("doc_id").agg(*[
         F.min(F.xxhash64("g64", F.lit(i))).alias(f"m{i}") for i in range(32)
     ])
@@ -988,9 +995,14 @@ def dedup_substring_window(spark, sf):
         F.expr(
             # CASE guard: Spark sequence(0, stop) DESCENDS when stop<0
             # (it would emit i=-1), unlike DuckDB's empty generate_series
+            # xxhash64 (8-byte int), not md5 (32-char string): the hash
+            # never reaches the output — both engines only COUNT
+            # distinct shared windows — and the exploded window-hash
+            # table is this query's dominant shuffle, so 8-byte keys cut
+            # it ~4x (the oracle keeps md5; counts agree regardless)
             f"CASE WHEN size(ws) >= {SUBSTR_W} THEN "
             f"array_distinct(transform(sequence(0, size(ws) - {SUBSTR_W}),"
-            f" i -> md5(array_join(slice(ws, i + 1, {SUBSTR_W}), ' ')))) "
+            f" i -> xxhash64(array_join(slice(ws, i + 1, {SUBSTR_W}), ' ')))) "
             f"ELSE array() END"
         ).alias("whs"),
     )

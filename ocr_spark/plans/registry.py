@@ -63,6 +63,10 @@ _CHANGED_THIS_ROUND = [
     "extract_pipeline_checked", "dedup_minhash_recall",
     # round 4: kmeans++ seeding index clamp
     "ann_ivf_kmeans",
+    # round 4: gram sets pre-hashed to int64 in _grams_of (shared helper)
+    "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    # round 4: window hashes xxhash64 ints instead of md5 strings
+    "dedup_substring_window",
 ]
 
 

@@ -915,3 +915,107 @@ def diag_key_skew(spark, sf):
             (F.col("n") * F.col("k") > 2 * F.col("t")).alias("is_hot"),
         )
     )
+
+
+@q(
+    "dedup_url_keep_first",
+    oracle="""
+    SELECT 'https://example' || (doc_id % 7) || '.com/page' || (doc_id % 50)
+             AS url,
+           CAST(min(doc_id) AS BIGINT) AS keeper,
+           CAST(COUNT(*) AS INT) AS n_dupes
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_url_keep_first(spark, sf):
+    """Crawl-curation URL dedup: keep the FIRST (min doc_id — in a real
+    crawl, earliest fetch) document per canonical URL.  Recrawls and
+    mirror paths collapse to one keeper before any content-level dedup
+    runs — the cheapest dedup tier, applied ahead of minhash/simhash.
+
+    100 TB shape: ONE map-side-combined hash agg on the (canonical) url
+    key; no window over the corpus, no self-join.  The synthetic url
+    uses doc_id residues so collision groups exist to collapse (the
+    canonicalization step itself is url_canonicalize — this op is the
+    keyed reduction that follows it)."""
+    d = t(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://example"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com/page"), (F.col("doc_id") % 50).cast("string"),
+    )
+    return (
+        d.select(url.alias("url"), "doc_id")
+        .groupBy("url")
+        .agg(F.min("doc_id").cast("bigint").alias("keeper"),
+             F.count("*").cast("int").alias("n_dupes"))
+    )
+
+
+@q(
+    "sample_importance_weighted",
+    oracle=f"""
+    SELECT doc_id, n_chars FROM documents
+    WHERE {_H4_SQL} * 2000 < n_chars * 65536
+    """,
+)
+def sample_importance_weighted(spark, sf):
+    """Deterministic importance-weighted Bernoulli sampling: doc kept
+    with probability min(1, n_chars/2000) — longer documents are kept
+    preferentially (quality-weighted corpus thinning), short ones are
+    thinned proportionally.  The accept test compares the SAME portable
+    uniform hash as sample_deterministic against the weight, in PURE
+    INTEGER math (h·2000 < n_chars·65536 ⟺ h/65536 < n_chars/2000) so
+    there are no float-boundary ties for engines to disagree on.
+
+    100 TB shape: a stateless filter — zero shuffles, composes with
+    pushdown, partitioning-invariant, and stable under corpus growth
+    (a doc's fate is a pure function of its id and weight)."""
+    d = t(spark, sf, "documents")
+    keep = F.expr(_H4) * 2000 < F.col("n_chars").cast("bigint") * 65536
+    return d.filter(keep).select("doc_id", "n_chars")
+
+
+@q(
+    "vocab_top_bigram_merges",
+    oracle=r"""
+    WITH toks AS (
+      SELECT string_split(trim(text), ' ') AS ws FROM documents
+    ),
+    bg AS (
+      SELECT unnest(list_transform(
+               generate_series(1, greatest(len(ws) - 1, 0)),
+               i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      FROM toks
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def vocab_top_bigram_merges(spark, sf):
+    """One iteration of BPE-style merge selection: count every ADJACENT
+    token pair occurrence (not distinct-per-doc — BPE counts corpus
+    occurrences) and take the top merges.  Deterministic ranking key
+    (n DESC, bigram ASC) so both engines select identical rows.
+
+    100 TB shape: the bigram construction is a JVM HOF over the token
+    array (zero Python), the count is one map-side-combined hash agg,
+    and the top-k is TakeOrderedAndProject (per-partition heap + driver
+    merge of k rows — no global sort).  Iterated BPE training would
+    re-run this plan per merge round over the re-tokenized corpus."""
+    d = t(spark, sf, "documents")
+    bg = d.select(
+        F.split(F.trim("text"), " ").alias("ws")
+    ).select(
+        F.explode(F.expr(
+            "CASE WHEN size(ws) >= 2 THEN "
+            "transform(sequence(1, size(ws) - 1),"
+            " i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"
+            " ELSE array() END"
+        )).alias("bigram")
+    )
+    return (
+        bg.groupBy("bigram").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram").limit(20)
+    )

@@ -940,3 +940,52 @@ def events_gapfill_ffill(spark, sf):
         F.coalesce(F.last("v100", ignorenulls=True).over(w),
                    F.lit(0)).alias("v100_ff"),
     )
+
+
+@q(
+    "merge_scd2",
+    oracle="""
+    WITH updates AS (
+      SELECT c_custkey, round(c_acctbal + 100.0, 2) AS new_bal
+      FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT c_custkey, round(c_acctbal, 2) AS bal,
+           CAST(1 AS INT) AS version, true AS is_current
+    FROM customer WHERE c_custkey % 10 <> 0
+    UNION ALL
+    SELECT c_custkey, round(c_acctbal, 2) AS bal,
+           CAST(1 AS INT) AS version, false AS is_current
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey, new_bal AS bal,
+           CAST(2 AS INT) AS version, true AS is_current
+    FROM updates
+    """,
+)
+def merge_scd2(spark, sf):
+    """Slowly-changing-dimension TYPE 2 merge: unlike merge_upsert
+    (last-writer-wins overwrite), the superseded row is RETAINED with
+    is_current=false and the update lands as a new version — the
+    lakehouse pattern for dimensions whose history must stay queryable
+    (as-of joins against old versions).
+
+    100 TB shape: changed keys found by one equi semi/anti split of the
+    target against the (usually small, broadcast) change batch; no
+    window over the dimension, history grows append-only.  Output =
+    untouched ∪ expired(v1) ∪ new(v2)."""
+    c = t(spark, sf, "customer").select(
+        "c_custkey", F.round("c_acctbal", 2).alias("bal"))
+    updates = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", F.round(F.col("bal") + 100.0, 2).alias("new_bal"))
+    untouched = c.join(
+        F.broadcast(updates.select("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "bal", F.lit(1).alias("version"),
+             F.lit(True).alias("is_current"))
+    expired = c.join(
+        F.broadcast(updates.select("c_custkey")), "c_custkey", "left_semi"
+    ).select("c_custkey", "bal", F.lit(1).alias("version"),
+             F.lit(False).alias("is_current"))
+    fresh = updates.select(
+        "c_custkey", F.col("new_bal").alias("bal"),
+        F.lit(2).alias("version"), F.lit(True).alias("is_current"))
+    return untouched.unionByName(expired).unionByName(fresh)

@@ -470,6 +470,56 @@ def join_range(spark, sf):
 
 
 @q(
+    "join_range_bucketed",
+    oracle="""
+    WITH iv AS (
+      SELECT n_nationkey AS interval_id,
+             n_nationkey * 18.0 AS lo,
+             n_nationkey * 18.0 + 27.0 AS hi
+      FROM nation
+    )
+    SELECT e.event_id, CAST(iv.interval_id AS INT) AS interval_id, e.value
+    FROM events e JOIN iv ON e.value BETWEEN iv.lo AND iv.hi
+    """,
+)
+def join_range_bucketed(spark, sf):
+    """Point-in-interval join WITHOUT a broadcastable BNLJ: the interval
+    table is exploded onto a fixed bucket grid (width = 9, each interval
+    covers ⌈len/9⌉+1 buckets) and the points carry floor(value/9) — the
+    join becomes a plain EQUI-join on the bucket id plus a residual
+    BETWEEN filter.  Each qualifying pair meets in exactly one bucket
+    (the point's), so no dedup pass is needed.
+
+    This is the 100 TB shape for range joins where BOTH sides are big:
+    join_range's nested-loop join only works while one side broadcasts;
+    the bucket decomposition shuffles both sides by an equi key, scales
+    with executors, and bounds per-row fan-out by interval_len/width.
+    Here the interval side is small so Spark still picks broadcast-hash
+    — the point is the EQUI join condition, which survives when it
+    can't broadcast."""
+    nt = t(spark, sf, "nation").select(
+        F.col("n_nationkey").cast("int").alias("interval_id"),
+        (F.col("n_nationkey") * 18.0).alias("lo"),
+        (F.col("n_nationkey") * 18.0 + 27.0).alias("hi"),
+    )
+    buckets = nt.select(
+        "interval_id", "lo", "hi",
+        F.explode(
+            F.sequence(F.floor(F.col("lo") / 9).cast("int"),
+                       F.floor(F.col("hi") / 9).cast("int"))
+        ).alias("b"),
+    )
+    e = t(spark, sf, "events").select(
+        "event_id", "value", F.floor(F.col("value") / 9).cast("int").alias("b")
+    )
+    return (
+        e.join(F.broadcast(buckets), "b")
+        .filter(F.col("value").between(F.col("lo"), F.col("hi")))
+        .select("event_id", "interval_id", "value")
+    )
+
+
+@q(
     "join_asof",
     oracle="""
     SELECT p.event_id, p.user_id,

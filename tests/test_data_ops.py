@@ -228,3 +228,81 @@ def test_length_filter_band_is_exact_quantiles(spark, sf_dir):
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     kept = out.count()
     assert 0 < kept < n_docs, "band kept everything (or nothing) - vacuous"
+
+
+def test_image_header_codecs_round_trip():
+    """Real container synthesis → real header parse must round-trip the
+    dims for every codec, including non-square and extreme-but-legal
+    sizes."""
+    from ocr_spark.functions.imagex import (
+        make_gif, make_jpeg, make_png, parse_image_meta)
+
+    for w, h in ((1, 1), (16, 79), (640, 480), (65535, 2)):
+        assert parse_image_meta(make_png(w, h)) == ("png", w, h)
+        if w <= 65535 and h <= 65535:  # GIF/JPEG carry u16 dims
+            assert parse_image_meta(make_gif(w, h)) == ("gif", w, h)
+            assert parse_image_meta(make_jpeg(w, h)) == ("jpeg", w, h)
+
+
+def test_synthesized_png_is_spec_valid():
+    """The PNG is a COMPLETE file: signature, IHDR, a zlib IDAT that
+    decompresses to exactly h filtered scanlines, correct chunk CRCs."""
+    import struct
+    import zlib
+
+    from ocr_spark.functions.imagex import make_png
+
+    b = make_png(13, 7, gray=42)
+    assert b[:8] == b"\x89PNG\r\n\x1a\n" and b.endswith(
+        b"IEND" + struct.pack(">I", zlib.crc32(b"IEND")))
+    # walk chunks, verify every CRC
+    i, idat = 8, b""
+    while i < len(b):
+        (ln,) = struct.unpack(">I", b[i:i + 4])
+        tag, payload = b[i + 4:i + 8], b[i + 8:i + 8 + ln]
+        (crc,) = struct.unpack(">I", b[i + 8 + ln:i + 12 + ln])
+        assert crc == zlib.crc32(tag + payload), tag
+        if tag == b"IDAT":
+            idat += payload
+        i += 12 + ln
+    raw = zlib.decompress(idat)
+    assert len(raw) == 7 * (1 + 13)  # h rows of (filter byte + w pixels)
+    assert raw[1] == 42  # the gray level actually landed in the pixels
+
+
+def test_image_header_parse_never_crashes_on_garbage():
+    """Corrupt web payloads are the common case: random bytes, truncated
+    headers, and hostile length fields must yield None, never raise."""
+    import random
+
+    from ocr_spark.functions.imagex import (
+        make_gif, make_jpeg, make_png, parse_image_meta)
+
+    rng = random.Random(7)
+    samples = [bytes(rng.randrange(256) for _ in range(n))
+               for n in (0, 1, 7, 64, 512)]
+    for whole in (make_png(20, 30), make_gif(20, 30), make_jpeg(20, 30)):
+        samples += [whole[:k] for k in (2, 6, 9, 15)]  # truncations
+    samples += [b"\xff\xd8\xff\xc0\x00\x01",   # SOF with hostile length
+                b"\x89PNG\r\n\x1a\nXXXXIHDR",  # PNG sig, mangled IHDR
+                b"GIF89a\x00\x00\x00\x00\x00"]  # zero-dim GIF
+    for s in samples:
+        got = parse_image_meta(s)
+        assert got is None or (got[1] > 0 and got[2] > 0)
+
+
+def test_multimodal_decode_real_parses_from_bytes(spark, sf_dir):
+    """The driver-facing query must get its dims from the PAYLOAD (real
+    header parse), not from re-deriving the modular formula."""
+    from ocr_spark.plans.queries_extract import real_image_metadata
+    from ocr_spark.functions.imagex import make_png
+
+    rows = [(i, make_png(100 + i, 200 + i)) for i in range(5)]
+    d = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: (r["codec"], r["width"], r["height"])
+           for r in real_image_metadata(d).collect()}
+    assert got == {i: ("png", 100 + i, 200 + i) for i in range(5)}
+    # and garbage payloads degrade, never fail the task
+    g = spark.createDataFrame(
+        [(9, b"not an image")], "doc_id long, payload binary")
+    assert real_image_metadata(g).collect()[0]["codec"] == "unknown"

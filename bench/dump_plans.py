@@ -34,6 +34,11 @@ PICKS = {
     "dedup_substring_window": "substring dedup: JVM HOF window hashes, df-capped narrow self-join — no arrays across the join",
     "url_canonicalize": "URL normalizer fully inside WholeStageCodegen — zero exchange, zero Python",
     "filter_bloom_negative": "Bloom semi-join reduction: constant-size bitmap broadcast probes the corpus; exact verify only on candidates",
+    "join_range_bucketed": "range join as bucket-grid EQUI join + residual filter — survives when neither side broadcasts",
+    "dedup_url_keep_first": "URL keep-first dedup: ONE map-side-combined hash agg — no window, no self-join",
+    "sample_importance_weighted": "weighted Bernoulli sampling as a stateless codegen filter — zero exchange",
+    "vocab_top_bigram_merges": "BPE merge selection: HOF bigram build, partial-agg counts, TakeOrderedAndProject top-k",
+    "dedup_minhash_recall": "production-threshold MinHash: int64 gram sets, narrow band join, slim verify re-attach",
 }
 
 

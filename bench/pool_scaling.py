@@ -147,7 +147,7 @@ window) — the efficiency trend down the table IS the contention story:
 - **Max-per-level pooled over all sessions (each level's single best
   leg — the symmetric least-throttled estimator, computed WITHIN each
   level pair): `{eff_maxlevel}`**
-  ({best_hi:.0f} / (4 × {best_lo:.0f}) docs/s) —
+  ({best_hi:.0f} / ({ratio:g} × {best_lo:.0f}) docs/s) —
   {"PASS" if eff_maxlevel >= 0.8 else "FAIL"} vs the 0.8 gate.
   Per level pair:
 {maxlevel_rows}

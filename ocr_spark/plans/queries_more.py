@@ -989,3 +989,66 @@ def merge_scd2(spark, sf):
         "c_custkey", F.col("new_bal").alias("bal"),
         F.lit(2).alias("version"), F.lit(True).alias("is_current"))
     return untouched.unionByName(expired).unionByName(fresh)
+
+
+@q(
+    "events_attribution",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id, ts AS conv_ts, value AS conv_value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c1 AS (SELECT user_id, conv_ts, conv_value FROM conv WHERE rn = 1),
+    pre AS (
+      SELECT e.user_id, e.event_type, e.ts, e.event_id, c1.conv_value
+      FROM events e JOIN c1 USING (user_id)
+      WHERE e.ts < c1.conv_ts
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rf,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rl
+      FROM pre
+    )
+    SELECT user_id,
+           MAX(CASE WHEN rf = 1 THEN event_type END) AS first_touch,
+           MAX(CASE WHEN rl = 1 THEN event_type END) AS last_touch,
+           CAST(COUNT(*) AS INT) AS n_pre_events,
+           ROUND(MAX(conv_value), 4) AS conv_value
+    FROM ranked GROUP BY user_id
+    """,
+)
+def events_attribution(spark, sf):
+    """First-touch / last-touch conversion attribution — the standard
+    marketing-analytics rollup: for each user's FIRST purchase, which
+    event type opened their journey and which one closed it.
+
+    Shape (100 TB posture): no windows over the raw event stream — the
+    first conversion per user is a ``min_by(struct(ts, event_id))`` hash
+    agg (map-side partial), the attribution window is one equi-join on
+    user_id + a timestamp filter, and first/last touch are min_by/max_by
+    over the SAME composite key in a second hash agg.  Every stage keys
+    on user_id, so the plan is two shuffles total regardless of event
+    volume, and skewed power-users stay inside the agg (no per-user row
+    explosion back to the driver)."""
+    e = t(spark, sf, "events")
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.expr("min_by(struct(ts, value), struct(ts, event_id))").alias("c")
+        )
+        .select("user_id", F.col("c.ts").alias("conv_ts"),
+                F.col("c.value").alias("conv_value"))
+    )
+    pre = e.join(conv, "user_id").filter(F.col("ts") < F.col("conv_ts"))
+    return pre.groupBy("user_id").agg(
+        F.expr("min_by(event_type, struct(ts, event_id))").alias("first_touch"),
+        F.expr("max_by(event_type, struct(ts, event_id))").alias("last_touch"),
+        F.count("*").cast("int").alias("n_pre_events"),
+        F.round(F.max("conv_value"), 4).alias("conv_value"),
+    )

@@ -1323,3 +1323,54 @@ def events_funnel(spark, sf):
         F.date_format("tp", "yyyy-MM-dd HH:mm:ss").alias("ts_purchase"),
         stage.cast("int").alias("stage"),
     )
+
+
+@q(
+    "window_distribution",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey), 8) AS pct_rank,
+             ROUND(CUME_DIST() OVER (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey), 8) AS cume,
+             CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS INT)
+               AS n_in_priority
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(o_totalprice, 2) AS o_totalprice,
+           pct_rank, cume, n_in_priority
+    FROM w WHERE o_orderkey % 101 = 0
+    """,
+)
+def window_distribution(spark, sf):
+    """PERCENT_RANK / CUME_DIST distribution windows — where each order
+    sits inside its priority class — sampled to a deterministic subset
+    AFTER the window (the distribution must see the full partition).
+    The tie-break includes o_orderkey so both engines rank identically
+    even at equal prices.  Partition key is the 5-value priority class:
+    at 100 TB this exact shape skews (5 giant partitions) — production
+    re-keys to (priority, salt) and merges the per-salt CDFs, or uses
+    the approx_percentile sketch (agg_percentile_approx) instead; the
+    exact window here is the small-cardinality-key reference semantics."""
+    o = t(spark, sf, "orders")
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_orderkey", "o_orderpriority", "o_totalprice",
+            F.round(F.percent_rank().over(win), 8).alias("pct_rank"),
+            F.round(F.cume_dist().over(win), 8).alias("cume"),
+            F.count("*").over(
+                Window.partitionBy("o_orderpriority")
+            ).cast("int").alias("n_in_priority"),
+        )
+        .filter(F.col("o_orderkey") % 101 == 0)
+        .select("o_orderkey", "o_orderpriority",
+                F.round("o_totalprice", 2).alias("o_totalprice"),
+                "pct_rank", "cume", "n_in_priority")
+    )

@@ -1027,3 +1027,254 @@ def dedup_substring_window(spark, sf):
         .agg(F.count("*").cast("int").alias("n_shared"))
         .filter(F.col("n_shared") >= SUBSTR_MIN_SHARED)
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking (Okapi, Lucene idf variant): the standard IR relevance
+# score a curation pipeline uses to pull topical documents out of a web
+# corpus.  Query terms are data-derived (top-5 document-frequency terms,
+# ties by term) so the operator is self-contained and deterministic.
+# Ranking key is integer/string-only (tf DESC, dl ASC, doc_id ASC) — the
+# same cross-engine-portable discipline as text_tfidf_topk: BM25 is
+# monotone in tf and antitone in dl for a fixed term, so the key IS the
+# score order except at exact ties, where floats are not portable; the
+# rounded score is computed and REPORTED, never ranked on.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_NQ = 5      # query terms = top-NQ by document frequency
+_BM25_TOPK = 10   # documents returned per query term
+
+
+@q(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+      FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             AVG(dl) AS avgdl
+      FROM dl
+    ),
+    qterms AS (
+      SELECT term, df FROM df
+      ORDER BY df DESC, term ASC LIMIT {_BM25_NQ}
+    ),
+    scored AS (
+      SELECT tf.term, tf.doc_id, tf.tf, dl.dl, qterms.df,
+             ROUND(
+               ln((stats.n_docs - qterms.df + 0.5)
+                  / (qterms.df + 0.5) + 1.0)
+               * (tf.tf * ({_BM25_K1} + 1.0))
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * dl.dl / stats.avgdl)), 4) AS bm25,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.term
+               ORDER BY tf.tf DESC, dl.dl ASC, tf.doc_id ASC) AS rk
+      FROM tf
+      JOIN qterms USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    )
+    SELECT term, doc_id, CAST(tf AS INT) AS tf,
+           CAST(dl AS INT) AS dl, bm25
+    FROM scored WHERE rk <= {_BM25_TOPK}
+    """,
+)
+def text_bm25_topk(spark, sf):
+    """Top-{k} documents per query term under Okapi BM25
+    (k1={k1}, b={b}, Lucene ``ln(1 + (N-df+.5)/(df+.5))`` idf).
+
+    Shape (100 TB posture): one explode → two map-side-partial hash aggs
+    (tf keyed by (doc_id, term); dl keyed by doc_id).  The full df table
+    exists here only because the query terms are DATA-DERIVED for
+    determinism (top-NQ by df) — with user-supplied query terms the df
+    agg runs after a broadcast semi-join on those terms and the
+    vocabulary table is never built.  Scoring joins tf to the tiny
+    broadcast qterms frame first, so the window sees only one term's
+    matching docs (never a global sort); n_docs/avgdl is a 1-row
+    broadcast."""
+    d = t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(
+        F.count("*").cast("double").alias("dl")
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    qterms = df.orderBy(F.col("df").desc(), F.col("term").asc()).limit(_BM25_NQ)
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("term").orderBy(
+            F.col("tf").desc(), F.col("dl").asc(), F.col("doc_id").asc()
+        )
+    )
+    return (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "bm25",
+            F.round(
+                F.log((F.col("n_docs") - F.col("df") + 0.5)
+                      / (F.col("df") + 0.5) + 1.0)
+                * (F.col("tf") * (_BM25_K1 + 1.0))
+                / (F.col("tf") + _BM25_K1 * (1.0 - _BM25_B
+                   + _BM25_B * F.col("dl") / F.col("avgdl"))),
+                4,
+            ),
+        )
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= _BM25_TOPK)
+        .select("term", "doc_id", F.col("tf").cast("int").alias("tf"),
+                F.col("dl").cast("int").alias("dl"), "bm25")
+    )
+
+
+text_bm25_topk.__doc__ = text_bm25_topk.__doc__.format(
+    k=_BM25_TOPK, k1=_BM25_K1, b=_BM25_B)
+
+
+# ---------------------------------------------------------------------------
+# PageRank over a deterministic synthetic link graph: the canonical
+# iterative-join workload (the reference class of web-corpus quality
+# signals — link-based document authority feeding curation filters).
+# Edges are hash-derived from doc_id with portable integer arithmetic
+# (Knuth multiplicative constants) so BOTH engines materialize the
+# identical graph without any seeded RNG.
+_PR_DAMP = 0.85
+_PR_ITERS = 3
+_PR_FANOUT = (2654435761, 2246822519, 3266489917)  # one edge per constant
+
+
+def _pr_edges_sql() -> str:
+    """DuckDB edge CTE: src=doc_id, dst=(doc_id*C+k) % n_docs, k=1..3,
+    self-loops dropped, duplicates collapsed."""
+    legs = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id * {c} + {k + 1}) % n_docs AS dst "
+        f"FROM documents CROSS JOIN n"
+        for k, c in enumerate(_PR_FANOUT)
+    )
+    return f"({legs})"
+
+
+@q(
+    "graph_pagerank",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    edges AS (
+      SELECT DISTINCT src, dst FROM {_pr_edges_sql()} WHERE src <> dst
+    ),
+    outdeg AS (
+      SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY src
+    ),
+    r0 AS (
+      SELECT doc_id AS id, 1.0 / n_docs AS r FROM documents CROSS JOIN n
+    ),
+    r1 AS (
+      SELECT d.doc_id AS id,
+             (1.0 - {_PR_DAMP}) / MAX(n.n_docs)
+             + {_PR_DAMP} * COALESCE(SUM(r0.r / outdeg.deg), 0.0) AS r
+      FROM documents d CROSS JOIN n
+      LEFT JOIN edges ON edges.dst = d.doc_id
+      LEFT JOIN outdeg ON outdeg.src = edges.src
+      LEFT JOIN r0 ON r0.id = edges.src
+      GROUP BY d.doc_id
+    ),
+    r2 AS (
+      SELECT d.doc_id AS id,
+             (1.0 - {_PR_DAMP}) / MAX(n.n_docs)
+             + {_PR_DAMP} * COALESCE(SUM(r1.r / outdeg.deg), 0.0) AS r
+      FROM documents d CROSS JOIN n
+      LEFT JOIN edges ON edges.dst = d.doc_id
+      LEFT JOIN outdeg ON outdeg.src = edges.src
+      LEFT JOIN r1 ON r1.id = edges.src
+      GROUP BY d.doc_id
+    ),
+    r3 AS (
+      SELECT d.doc_id AS id,
+             (1.0 - {_PR_DAMP}) / MAX(n.n_docs)
+             + {_PR_DAMP} * COALESCE(SUM(r2.r / outdeg.deg), 0.0) AS r
+      FROM documents d CROSS JOIN n
+      LEFT JOIN edges ON edges.dst = d.doc_id
+      LEFT JOIN outdeg ON outdeg.src = edges.src
+      LEFT JOIN r2 ON r2.id = edges.src
+      GROUP BY d.doc_id
+    )
+    SELECT id AS doc_id, ROUND(r, 8) AS pagerank FROM r3
+    """,
+)
+def graph_pagerank(spark, sf):
+    """{iters}-iteration damped PageRank (d={damp}) over the derived
+    link graph; dangling mass is dropped (defined semantics — no
+    redistribution), matching the unrolled-CTE oracle exactly.
+
+    Shape (100 TB posture): the edge list + out-degrees are built once
+    and cached behind a single exchange keyed on ``dst`` — every
+    iteration is then ONE shuffle hash join (ranks are keyed on id =
+    the edge build's src key) + one map-side-partial sum keyed on dst.
+    No windows, no driver-side graph, no per-iteration re-derivation of
+    the graph.  Iteration count is fixed (power iteration converges
+    geometrically; production runs ~10 rounds with a reliable
+    ``checkpoint`` every few rounds exactly as dedup_connected_components
+    does — elided here because 3 unrolled rounds keep the oracle
+    SQL-expressible)."""
+    d = t(spark, sf, "documents").select("doc_id")
+    n_docs = d.count()  # scalar graph size: one tiny job, drives literals
+    legs = None
+    for k, c in enumerate(_PR_FANOUT):
+        leg = d.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * F.lit(c) + F.lit(k + 1)) % F.lit(n_docs))
+            .alias("dst"),
+        )
+        legs = leg if legs is None else legs.unionByName(leg)
+    edges = legs.filter(F.col("src") != F.col("dst")).distinct()
+    outdeg = edges.groupBy("src").agg(
+        F.count("*").cast("double").alias("deg")
+    )
+    # contribution edges: (src, dst, 1/deg) — built once, reused by all
+    # iterations (persist() at real scale; at sf the ReusedExchange
+    # covers it)
+    contrib = edges.join(outdeg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
+    )
+    ranks = d.select(
+        F.col("doc_id").alias("id"), F.lit(1.0 / n_docs).alias("r")
+    )
+    base = (1.0 - _PR_DAMP) / n_docs
+    for _ in range(_PR_ITERS):
+        inbound = (
+            contrib.join(ranks, contrib.src == ranks.id)
+            .groupBy("dst").agg(F.sum(F.col("r") * F.col("w")).alias("m"))
+        )
+        ranks = d.join(
+            inbound, d.doc_id == inbound.dst, "left"
+        ).select(
+            F.col("doc_id").alias("id"),
+            (F.lit(base) + F.lit(_PR_DAMP) * F.coalesce("m", F.lit(0.0)))
+            .alias("r"),
+        )
+    return ranks.select(
+        F.col("id").alias("doc_id"), F.round("r", 8).alias("pagerank")
+    )
+
+
+graph_pagerank.__doc__ = graph_pagerank.__doc__.format(
+    iters=_PR_ITERS, damp=_PR_DAMP)

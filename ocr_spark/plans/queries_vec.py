@@ -495,3 +495,87 @@ def ann_ivf_kmeans(spark, sf):
             ).alias("found_original")
         )
     )
+
+
+@q(
+    "vec_quantize_int8",
+    oracle="""
+    WITH rng AS (
+      SELECT vec_id, label, embedding,
+             CAST(list_min(embedding) AS DOUBLE) AS mn,
+             CAST(list_max(embedding) AS DOUBLE) AS mx
+      FROM embeddings
+    ),
+    codes AS (
+      SELECT vec_id, label, mn, mx,
+             CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS scale,
+             list_transform(embedding, x ->
+               CASE WHEN mx > mn THEN
+                 CAST(floor((CAST(x AS DOUBLE) - mn) / ((mx - mn) / 255.0)
+                            + 0.5) AS BIGINT) - 128
+               ELSE CAST(0 AS BIGINT) END) AS c,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+      FROM rng
+    )
+    SELECT vec_id, label,
+           CAST(len(c) AS INT) AS dim,
+           list_sum(c) AS code_sum,
+           CAST(list_min(c) AS INT) AS code_min,
+           CAST(list_max(c) AS INT) AS code_max,
+           ROUND(mn, 6) AS vmin,
+           ROUND(mx, 6) AS vmax,
+           ROUND(list_sum(list_transform(generate_series(1, len(c)),
+                 i -> (xs[i] - (mn + (c[i] + 128) * scale))
+                      * (xs[i] - (mn + (c[i] + 128) * scale))))
+                 / len(c), 12) AS mse
+    FROM codes
+    """,
+)
+def vec_quantize_int8(spark, sf):
+    """Per-vector scalar int8 quantization — the standard 4x embedding
+    compression an ANN serving layer applies before indexing: codes =
+    round((x - min) / ((max - min)/255)) - 128 in [-128, 127], plus the
+    reconstruction MSE so a pipeline can gate on quantization loss.
+
+    Rounding uses floor(v + 0.5) explicitly in BOTH engines (never the
+    engine's round(): Spark HALF_UP vs DuckDB's banker's-rounding
+    disagree at exact .5 ties).  Everything is element-wise JVM HOF
+    arithmetic on the embedding array — zero shuffle, zero Python, one
+    narrow pass; at 100 TB this pipelines inside whole-stage codegen on
+    the scan.  Output is scalar summaries (code checksum, min/max, MSE),
+    not the code array itself — oracle-hashable and what a gate needs."""
+    e = t(spark, sf, "embeddings")
+    mn = "CAST(array_min(embedding) AS DOUBLE)"
+    mx = "CAST(array_max(embedding) AS DOUBLE)"
+    scale = f"CASE WHEN {mx} > {mn} THEN ({mx} - {mn}) / 255.0 ELSE 1.0 END"
+    codes = (
+        f"transform(embedding, x -> CASE WHEN {mx} > {mn} THEN "
+        f"CAST(floor((CAST(x AS DOUBLE) - {mn}) / (({mx} - {mn}) / 255.0)"
+        f" + 0.5) AS BIGINT) - 128 ELSE CAST(0 AS BIGINT) END)"
+    )
+    c = e.select(
+        "vec_id", "label",
+        F.expr(mn).alias("mn"), F.expr(mx).alias("mx"),
+        F.expr(scale).alias("scale"),
+        F.expr(codes).alias("c"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("xs"),
+    )
+    return c.select(
+        "vec_id", "label",
+        F.size("c").alias("dim"),
+        F.expr(
+            "aggregate(c, CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("code_sum"),
+        F.expr("CAST(array_min(c) AS INT)").alias("code_min"),
+        F.expr("CAST(array_max(c) AS INT)").alias("code_max"),
+        F.round("mn", 6).alias("vmin"),
+        F.round("mx", 6).alias("vmax"),
+        F.round(
+            F.expr(
+                "aggregate(zip_with(xs, c, (x, v) ->"
+                " (x - (mn + (v + 128) * scale)) * (x - (mn + (v + 128) * scale))),"
+                " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / size(c)"
+            ),
+            12,
+        ).alias("mse"),
+    )

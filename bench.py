@@ -59,6 +59,12 @@ HEADLINE = [
     "text_tfidf_topk",
     "events_funnel",
     "url_canonicalize",
+    # round 4: new curation/analytics operators
+    "text_bm25_topk",
+    "graph_pagerank",
+    "vec_quantize_int8",
+    "events_attribution",
+    "window_distribution",
 ]
 
 # Iterative operators run their rounds EAGERLY at build time (hash-min

@@ -39,6 +39,9 @@ PICKS = {
     "sample_importance_weighted": "weighted Bernoulli sampling as a stateless codegen filter — zero exchange",
     "vocab_top_bigram_merges": "BPE merge selection: HOF bigram build, partial-agg counts, TakeOrderedAndProject top-k",
     "dedup_minhash_recall": "production-threshold MinHash: int64 gram sets, narrow band join, slim verify re-attach",
+    "text_bm25_topk": "BM25: tf/dl partial aggs, broadcast query-term + corpus-stats frames, per-term window only",
+    "vec_quantize_int8": "int8 embedding quantization entirely inside WholeStageCodegen — zero exchange, zero Python",
+    "events_attribution": "first/last-touch attribution: min_by/max_by hash aggs keyed on user_id — two shuffles, no windows over raw events",
 }
 
 

@@ -1095,24 +1095,47 @@ def text_bm25_topk(spark, sf):
     """Top-{k} documents per query term under Okapi BM25
     (k1={k1}, b={b}, Lucene ``ln(1 + (N-df+.5)/(df+.5))`` idf).
 
-    Shape (100 TB posture): one explode → two map-side-partial hash aggs
-    (tf keyed by (doc_id, term); dl keyed by doc_id).  The full df table
-    exists here only because the query terms are DATA-DERIVED for
-    determinism (top-NQ by df) — with user-supplied query terms the df
-    agg runs after a broadcast semi-join on those terms and the
-    vocabulary table is never built.  Scoring joins tf to the tiny
-    broadcast qterms frame first, so the window sees only one term's
-    matching docs (never a global sort); n_docs/avgdl is a 1-row
-    broadcast."""
+    Shape (100 TB posture): the corpus is tokenized/exploded EXACTLY
+    ONCE — every downstream frame derives from the tf aggregate behind
+    one exchange (the _grams_df ReusedExchange pattern): dl = per-doc
+    SUM(tf) (never a second pass over tokens), df/qterms = per-term
+    count over tf, corpus stats = 1-row agg over dl.  Nulls are
+    filtered BEFORE the agg so join-pushed IsNotNull predicates cannot
+    break exchange-subtree equality (four scans → one, plan-asserted
+    in tests/test_plan_shape.py).  The full df table exists here only
+    because the query terms are DATA-DERIVED for determinism (top-NQ
+    by df) — with user-supplied query terms the df agg runs after a
+    broadcast semi-join on those terms and the vocabulary table is
+    never built.  Scoring joins tf to the tiny broadcast qterms frame
+    first, so the window sees only one term's matching docs (never a
+    global sort); n_docs/avgdl is a 1-row broadcast."""
     d = t(spark, sf, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("term")
-    )
+    ).filter(F.col("doc_id").isNotNull() & F.col("term").isNotNull())
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dl = toks.groupBy("doc_id").agg(
-        F.count("*").cast("double").alias("dl")
+    # `_pin` is a semantics-neutral column pin: every branch must keep
+    # an identical column set below the tokenize exchange or Catalyst
+    # prunes each branch's copy differently (the df branch's count gets
+    # rewritten to a distinct, the dl branch drops `term`), the
+    # canonical subtrees stop matching, and ReuseExchange re-tokenizes
+    # the corpus once per branch.  Spark has no public plan-barrier
+    # API; an unprovable tautology over BOTH the agg output (`tf >= 1`
+    # holds because tf is a count — and referencing it blocks pushdown
+    # below the aggregate) and the group key (`term >= ''` holds for
+    # non-null strings) is a zero-cost codegen predicate that pins the
+    # columns without changing results.  Only the shuffle subtree under
+    # the exchange must canonicalize equal — the cheap final-agg step
+    # above it may differ per branch.
+    def _pin(frame):
+        return frame.filter(
+            (F.col("tf") >= F.lit(1)) | (F.col("term") >= F.lit(""))
+        )
+
+    dl = _pin(tf).groupBy("doc_id").agg(
+        F.sum("tf").cast("double").alias("dl")
     )
-    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    df = _pin(tf).groupBy("term").agg(F.count("*").alias("df"))
     qterms = df.orderBy(F.col("df").desc(), F.col("term").asc()).limit(_BM25_NQ)
     stats = dl.agg(
         F.count("*").cast("double").alias("n_docs"),

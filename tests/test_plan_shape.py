@@ -155,3 +155,21 @@ def test_substring_window_build_reused(spark, sf_dir):
     df.collect()  # AQE: reuse markers appear in the FINAL plan
     plan = _plan(df)
     assert "ReusedExchange" in plan or "ReusedQueryStage" in plan
+
+
+def test_bm25_tokenizes_corpus_exactly_once(spark, sf_dir):
+    """text_bm25_topk derives tf, dl, df/qterms AND corpus stats from a
+    single tokenize-explode pass: the partial-agg exchange over the
+    token stream must be built once and ReusedExchange'd by every other
+    branch (the `_pin` tautology in queries_text.py holds the canonical
+    subtrees equal).  At 100 TB each extra pass is a full corpus
+    re-tokenize — the final plan must contain exactly ONE explode."""
+    df = registry.QUERIES["text_bm25_topk"](spark, sf_dir)
+    df.collect()  # AQE: reuse markers appear in the FINAL plan
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert final.count("Generate explode") == 1, (
+        f"corpus tokenized {final.count('Generate explode')}x in bm25"
+    )
+    assert final.count("ReusedExchange") >= 3

@@ -65,6 +65,10 @@ HEADLINE = [
     "vec_quantize_int8",
     "events_attribution",
     "window_distribution",
+    "dedup_semantic",
+    "tpch_q3",
+    "events_downsample_ohlc",
+    "mix_to_target_distribution",
 ]
 
 # Iterative operators run their rounds EAGERLY at build time (hash-min

@@ -42,6 +42,9 @@ PICKS = {
     "text_bm25_topk": "BM25: tf/dl partial aggs, broadcast query-term + corpus-stats frames, per-term window only",
     "vec_quantize_int8": "int8 embedding quantization entirely inside WholeStageCodegen — zero exchange, zero Python",
     "events_attribution": "first/last-touch attribution: min_by/max_by hash aggs keyed on user_id — two shuffles, no windows over raw events",
+    "dedup_semantic": "SemDeDup: broadcast centroid assign (max_by agg), within-cluster pair join on cid — never all-pairs",
+    "tpch_q3": "star join: pushed date/segment filters, broadcast dims, single fact scan",
+    "events_downsample_ohlc": "OHLC bars in ONE hash agg: min_by/max_by composite time key, map-side partials, no window over raw events",
 }
 
 

@@ -1019,3 +1019,83 @@ def vocab_top_bigram_merges(spark, sf):
         bg.groupBy("bigram").agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), "bigram").limit(20)
     )
+
+
+@q(
+    "mix_to_target_distribution",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n,
+             CASE WHEN source IN ('src0','src1','src2','src3') THEN 6
+                  WHEN source IN ('src4','src5','src6','src7','src8','src9')
+                       THEN 3
+                  ELSE 1 END AS wt
+      FROM counts
+    ),
+    tot AS (SELECT SUM(n) AS nn, SUM(wt) AS wsum FROM w),
+    quota AS (
+      SELECT source, LEAST((wt * ((3 * nn) // 10)) // wsum, n) AS cap
+      FROM w, tot
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY {_H4_SQL}, doc_id) AS rn
+      FROM documents
+    )
+    SELECT r.doc_id, r.source
+    FROM ranked r JOIN quota q USING (source)
+    WHERE r.rn <= q.cap
+    """,
+)
+def mix_to_target_distribution(spark, sf):
+    """Training-mixture construction (the DoReMi / Pile-style reweighting
+    step): given per-source mixture WEIGHTS (here 6:3:1 across three
+    source tiers) and a total token/doc budget (30% of the corpus),
+    compute each source's quota and draw exactly that many documents —
+    deterministically, by the same portable md5 hash order the sampling
+    family uses, so re-runs and engine twins agree row-for-row.
+
+    All quota arithmetic is INTEGER (wt·B // Σwt) — no float rounding
+    to diverge between engines at exact-integer boundaries.
+
+    Shape (100 TB posture): counts/weights/quotas live in a ~#sources-row
+    frame built by one map-side-combined agg and broadcast back; the
+    corpus-side work is one window row_number per source partition.  A
+    source-skewed corpus makes that window's partition huge — production
+    either pre-filters with a hash-threshold estimate (keep ~cap/n by
+    hash, then exact-rank the survivors) or accepts approximate quotas
+    with a pure hash filter (zero shuffle, the sample_stratified shape);
+    the exact-rank reference semantics are kept here."""
+    d = t(spark, sf, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n"))
+    wt = (
+        F.when(F.col("source").isin("src0", "src1", "src2", "src3"), 6)
+        .when(F.col("source").isin(
+            "src4", "src5", "src6", "src7", "src8", "src9"), 3)
+        .otherwise(1)
+    )
+    w = counts.select("source", "n", wt.alias("wt"))
+    tot = w.agg(F.sum("n").alias("nn"), F.sum("wt").alias("wsum"))
+    quota = (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.least(
+                F.expr("(wt * ((3 * nn) div 10)) div wsum"), F.col("n")
+            ).alias("cap"),
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    win = _W.partitionBy("source").orderBy(F.expr(_H4), "doc_id")
+    ranked = d.select(
+        "doc_id", "source", F.row_number().over(win).alias("rn"))
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .filter(F.col("rn") <= F.col("cap"))
+        .select("doc_id", "source")
+    )

@@ -1052,3 +1052,57 @@ def events_attribution(spark, sf):
         F.count("*").cast("int").alias("n_pre_events"),
         F.round(F.max("conv_value"), 4).alias("conv_value"),
     )
+
+
+@q(
+    "events_downsample_ohlc",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             value, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rf,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rl
+      FROM events
+    )
+    SELECT event_type, bucket,
+           ROUND(MAX(CASE WHEN rf = 1 THEN value END), 4) AS open_v,
+           ROUND(MAX(value), 4) AS high_v,
+           ROUND(MIN(value), 4) AS low_v,
+           ROUND(MAX(CASE WHEN rl = 1 THEN value END), 4) AS close_v,
+           CAST(COUNT(*) AS INT) AS n
+    FROM ranked GROUP BY event_type, bucket
+    """,
+)
+def events_downsample_ohlc(spark, sf):
+    """Time-series downsampling to hourly OHLC bars (the hypertable /
+    continuous-aggregate rollup shape): per (event_type, hour) emit
+    open/high/low/close/count, with open/close tie-broken by
+    (ts, event_id) so concurrent events downsample deterministically.
+
+    Shape (100 TB posture): ONE hash aggregation — open/close are
+    ``min_by``/``max_by`` over the composite time key, so partial
+    aggregation folds each bar map-side and no raw event ever crosses
+    the shuffle unaggregated (vs the window-rank formulation, which
+    shuffles and sorts the full stream; the oracle uses that form
+    precisely because it is the independent reference).  Bars are
+    mergeable: re-aggregating hourly bars with the same min_by/max_by
+    over bucket boundaries yields exact daily bars — the rollup chain
+    agg_hll_rollup documents for sketches holds here too."""
+    e = t(spark, sf, "events")
+    return (
+        e.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(
+            F.round(
+                F.expr("min_by(value, struct(ts, event_id))"), 4
+            ).alias("open_v"),
+            F.round(F.max("value"), 4).alias("high_v"),
+            F.round(F.min("value"), 4).alias("low_v"),
+            F.round(
+                F.expr("max_by(value, struct(ts, event_id))"), 4
+            ).alias("close_v"),
+            F.count("*").cast("int").alias("n"),
+        )
+    )

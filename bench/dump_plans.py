@@ -45,6 +45,8 @@ PICKS = {
     "dedup_semantic": "SemDeDup: broadcast centroid assign (max_by agg), within-cluster pair join on cid — never all-pairs",
     "tpch_q3": "star join: pushed date/segment filters, broadcast dims, single fact scan",
     "events_downsample_ohlc": "OHLC bars in ONE hash agg: min_by/max_by composite time key, map-side partials, no window over raw events",
+    "filter_quality_gate": "C4 quality rules as integer cross-comparisons — whole-stage codegen, zero exchange",
+    "text_bigram_logprob": "bigram LM score: two map-side-combined passes, micro-nat fixed-point re-attach join",
 }
 
 

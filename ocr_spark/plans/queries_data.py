@@ -1099,3 +1099,196 @@ def mix_to_target_distribution(spark, sf):
         .filter(F.col("rn") <= F.col("cap"))
         .select("doc_id", "source")
     )
+
+
+@q(
+    "filter_quality_gate",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws,
+             length(text) AS n_chars,
+             length(text)
+               - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+               AS n_sym
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, n_chars, n_sym,
+             len(ws) AS n_words,
+             len(list_distinct(ws)) AS n_distinct,
+             -- COALESCE: list_sum([]) is NULL in DuckDB but the Spark
+             -- side's aggregate() starts from 0 — keep twins equal on
+             -- zero-word documents
+             COALESCE(list_sum(list_transform(ws, w -> length(w))), 0)
+               AS sum_wlen,
+             list_max(list_transform(ws, w -> length(w))) AS max_wlen
+      FROM f
+    )
+    SELECT doc_id,
+           CAST(n_words AS INT) AS n_words,
+           (n_words >= 5)                        AS r_min_words,
+           (sum_wlen >= 3 * n_words
+            AND sum_wlen <= 10 * n_words)        AS r_mean_wlen,
+           (max_wlen <= 20)                      AS r_max_wlen,
+           (10 * n_sym <= n_chars)               AS r_symbol_ratio,
+           (10 * n_distinct >= 3 * n_words)      AS r_repetition,
+           (n_words >= 5 AND sum_wlen >= 3 * n_words
+            AND sum_wlen <= 10 * n_words AND max_wlen <= 20
+            AND 10 * n_sym <= n_chars
+            AND 10 * n_distinct >= 3 * n_words)  AS kept
+    FROM m
+    """,
+)
+def filter_quality_gate(spark, sf):
+    """C4-family heuristic quality gate (Raffel et al. 2020, §2.2
+    adapted to this corpus): a document passes only if it clears ALL
+    rules — minimum word count, mean word length in [3, 10], no
+    over-long token (> 20 chars), symbol ratio ≤ 10%, and a distinct/
+    total token ratio ≥ 0.3 (boilerplate repetition).  Per-rule
+    booleans are emitted alongside the verdict so a curation run can
+    report WHY documents were dropped (the rejection-breakdown table
+    every production filter job ships).
+
+    Every threshold is an INTEGER cross-comparison (sum_wlen ≤
+    10·n_words, 10·n_sym ≤ n_chars, ...) — no float ratio ever
+    materializes, so engines cannot disagree at rule boundaries.
+
+    Shape (100 TB posture): pure row-local codegen (HOF token metrics +
+    integer compares), zero shuffle, composes with parquet pushdown on
+    upstream predicates; the natural first stage of any curation DAG."""
+    d = t(spark, sf, "documents")
+    ws = F.expr("filter(split(trim(text), ' '), w -> w <> '')")
+    m = d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        (F.length("text")
+         - F.length(F.regexp_replace("text", "[^A-Za-z0-9 ]", ""))
+         ).alias("n_sym"),
+        F.size(ws).alias("n_words"),
+        F.size(F.array_distinct(ws)).alias("n_distinct"),
+        F.expr(
+            "aggregate(filter(split(trim(text), ' '), w -> w <> ''),"
+            " CAST(0 AS BIGINT), (acc, w) -> acc + length(w))"
+        ).alias("sum_wlen"),
+        F.expr(
+            "array_max(transform(filter(split(trim(text), ' '),"
+            " w -> w <> ''), w -> length(w)))"
+        ).alias("max_wlen"),
+    )
+    r_min_words = F.col("n_words") >= 5
+    r_mean_wlen = (F.col("sum_wlen") >= 3 * F.col("n_words")) & (
+        F.col("sum_wlen") <= 10 * F.col("n_words"))
+    r_max_wlen = F.col("max_wlen") <= 20
+    r_symbol = 10 * F.col("n_sym") <= F.col("n_chars")
+    r_rep = 10 * F.col("n_distinct") >= 3 * F.col("n_words")
+    return m.select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        r_min_words.alias("r_min_words"),
+        r_mean_wlen.alias("r_mean_wlen"),
+        r_max_wlen.alias("r_max_wlen"),
+        r_symbol.alias("r_symbol_ratio"),
+        r_rep.alias("r_repetition"),
+        (r_min_words & r_mean_wlen & r_max_wlen & r_symbol & r_rep)
+        .alias("kept"),
+    )
+
+
+@q(
+    "text_bigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(lower(text)), ' '),
+                         w -> w <> '') AS ws
+      FROM documents
+    ),
+    bgs AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(2, len(ws)),
+               i -> ws[i-1] || ' ' || ws[i])) AS bg
+      FROM toks WHERE len(ws) >= 2
+    ),
+    uni AS (
+      SELECT w, COUNT(*) AS c1
+      FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w
+    ),
+    vocab AS (SELECT COUNT(*) AS v FROM uni),
+    bgfreq AS (SELECT bg, COUNT(*) AS c2 FROM bgs GROUP BY bg),
+    lp AS (
+      SELECT bg,
+             CAST(ROUND(ln((c2 + 1.0) / (c1 + v)) * 1000000) AS BIGINT)
+               AS lp_fix
+      FROM bgfreq
+      JOIN uni ON string_split(bg, ' ')[1] = uni.w
+      CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(lp_fix) AS DOUBLE) / 1000000.0 / COUNT(*)
+             AS avg_logprob
+    FROM bgs JOIN lp USING (bg)
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark, sf):
+    """CCNet-style LM quality score, one order up from
+    ``text_unigram_logprob``: mean log P(wᵢ | wᵢ₋₁) under the corpus's
+    own add-1-smoothed bigram model — P = (c(wᵢ₋₁wᵢ)+1)/(c(wᵢ₋₁)+V).
+    Low scores surface shuffled/gibberish text that unigram frequency
+    alone cannot catch (same words, impossible transitions) — the
+    perplexity-bucket signal Wenzek et al. (CCNet, 2020) filter on.
+
+    Cross-engine float parity: each bigram TYPE's log-prob is
+    fixed-pointed to integer micro-nats ONCE (one double ln per type,
+    identical in both engines), so the per-doc reduction is an exact
+    int64 sum immune to aggregation order.
+
+    Shape (100 TB posture): two corpus passes (bigram explode → count;
+    re-attach per-type scores → per-doc agg), both map-side-combined
+    hash aggs.  The score table is type-count-sized; it ships here via
+    an equi-join on bg (AQE broadcasts it at this SF) — at real scale
+    the standard trim is top-M bigrams + unigram backoff for the tail,
+    which caps the table without changing this plan's shape.  Docs with
+    fewer than two tokens have no bigrams and are absent from the
+    output by definition (score undefined)."""
+    d = t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.expr(
+            "filter(split(trim(lower(text)), ' '), w -> w <> '')"
+        ).alias("ws"),
+    )
+    bgs = toks.filter(F.size("ws") >= 2).select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(2, size(ws)),"
+            " i -> concat(element_at(ws, i - 1), ' ', element_at(ws, i)))"
+        )).alias("bg"),
+    )
+    uni = toks.select(F.explode("ws").alias("w")).groupBy("w").agg(
+        F.count("*").alias("c1"))
+    vocab = uni.agg(F.count("*").alias("v"))
+    bgfreq = bgs.groupBy("bg").agg(F.count("*").alias("c2"))
+    lp = (
+        bgfreq
+        .join(uni, F.expr("split(bg, ' ')[0]") == F.col("w"))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            F.round(
+                F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v")))
+                * 1000000
+            ).cast("long").alias("lp_fix"),
+        )
+    )
+    return (
+        bgs.join(lp, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (F.sum("lp_fix").cast("double") / F.lit(1000000.0)
+             / F.count("*")).alias("avg_logprob"),
+        )
+    )

@@ -77,10 +77,15 @@ Supported PDF subset (documented per SURVEY.md §7 "hard parts"):
     drops mode-3 runs (hidden-keyword-spam defense for web corpora).
     Tr is text STATE: it persists across BT..ET within a stream
   - encrypted documents (/Encrypt in any trailer, classic or
-    xref-stream, checked even when the page walk fails): strings and
-    stream bodies are ciphertext without the key, so extraction emits
-    ZERO runs/figures — never ciphertext-as-text via the positional
-    fallback; the doc still flows through lineage with 0 spans
+    xref-stream, checked even when the page walk fails): the standard
+    security handler's RC4 subset (V≤2, R 2/3, EMPTY user password —
+    the "secured but readable" web PDF) is DECRYPTED in-subset
+    (functions/pdfcrypt.py: file key from /O //P //ID per §7.6.3,
+    verified against /U, per-object keys over stream bodies and dict
+    strings); anything else — AES V≥4, a real password, a tampered /U
+    — emits ZERO runs/figures, never ciphertext-as-text via the
+    positional fallback; the doc still flows through lineage with 0
+    spans
   - filled AcroForm text fields (structured-parse path): /Subtype
     /Widget annotations with /FT /Tx and a literal-string /V (merged
     widget+field dicts, the common producer layout) render as
@@ -312,11 +317,18 @@ class _Doc:
         self.xref: dict[int, tuple] = {}   # obj → ('n', off) | ('c', stm, idx)
         self.root: int | None = None
         #: trailer declares /Encrypt: strings and stream bodies are
-        #: ciphertext (RC4/AES) — without the key there is nothing to
-        #: tokenize, so callers must emit NO runs rather than garbage
+        #: ciphertext (RC4/AES) — decryptable in-subset when the
+        #: standard security handler verifies with the EMPTY user
+        #: password (V≤2 RC4, the "secured but readable" web PDF);
+        #: otherwise callers must emit NO runs rather than garbage
         self.encrypted = False
+        self.encrypt_ref: int | None = None   # /Encrypt obj num (newest)
+        self.id0: bytes | None = None         # /ID[0] raw bytes (newest)
+        self.crypt_key: bytes | None = None   # file key once verified
         self._objstm_cache: dict[int, dict[int, bytes]] = {}
         self._load_xref_chain()
+        if self.encrypted:
+            self._setup_decryption()
 
     # -- xref ---------------------------------------------------------------
     def _load_xref_chain(self):
@@ -362,6 +374,7 @@ class _Doc:
                     self.root = _dict_ref(td, b"Root")
                 if re.search(rb"/Encrypt\b", td):
                     self.encrypted = True
+                    self._capture_encrypt_meta(td)
                 # hybrid-reference file (PDF 32000 §7.5.8.4): the classic
                 # trailer points at a companion xref STREAM holding the
                 # entries (typically the objstm-compressed objects) that
@@ -413,7 +426,90 @@ class _Doc:
             self.root = _dict_ref(d, b"Root")
         if re.search(rb"/Encrypt\b", d):
             self.encrypted = True
+            self._capture_encrypt_meta(d)
         return _dict_num(d, b"Prev")
+
+    def _capture_encrypt_meta(self, td: bytes) -> None:
+        """Remember the /Encrypt object ref and /ID[0] from the NEWEST
+        trailer that carries them (the chain walks newest-first)."""
+        if self.encrypt_ref is None:
+            self.encrypt_ref = _dict_ref(td, b"Encrypt")
+        if self.id0 is None:
+            m = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>", td)
+            if m:
+                self.id0 = bytes.fromhex(m.group(1).decode("ascii"))
+
+    def _setup_decryption(self) -> None:
+        """Standard security handler, empty user password (PDF 32000
+        §7.6.3): resolve the /Encrypt dict, derive the file key, verify
+        it against /U, and keep it for per-object stream/string
+        decryption.  Out-of-subset handlers (AES V≥4, custom filters,
+        non-empty passwords) leave ``crypt_key`` None — the caller then
+        takes the emit-nothing path, never the ciphertext-as-text one."""
+        from ocr_spark.functions import pdfcrypt
+
+        if self.encrypt_ref is None or self.id0 is None:
+            return
+        try:
+            ed = self.obj(self.encrypt_ref)
+        except Exception:
+            return
+        if not ed or ed[0] is None:
+            return
+        d = ed[0]
+        if _dict_name(d, b"Filter") != b"Standard":
+            return
+        v = _dict_num(d, b"V") or 0
+        rm = re.search(rb"/R\s+(\d+)", d)
+        r = int(rm.group(1)) if rm else 0
+        if v not in (1, 2) or r not in (2, 3):
+            return
+        n = (_dict_num(d, b"Length") or 40) // 8
+        pm = re.search(rb"/P\s+(-?\d+)", d)
+        p = int(pm.group(1)) if pm else -1
+        o = self._encrypt_str(d, b"O")
+        u = self._encrypt_str(d, b"U")
+        if o is None or u is None:
+            return
+        self.crypt_key = pdfcrypt.verify_user_pw(
+            u, o, p, self.id0, r, n)
+
+    @staticmethod
+    def _encrypt_str(d: bytes, key: bytes) -> bytes | None:
+        """/O //U entry bytes from the encrypt dict — hex or literal
+        form (these two strings are never themselves encrypted)."""
+        m = re.search(rb"/" + key + rb"\s*<([0-9A-Fa-f\s]*)>", d)
+        if m:
+            return bytes.fromhex(
+                m.group(1).decode("ascii").replace(" ", "")
+                .replace("\n", "").replace("\r", ""))
+        m = re.search(rb"/" + key + rb"\s*\(((?:\\.|[^\\()])*)\)", d,
+                      re.DOTALL)
+        if m:
+            from ocr_spark.functions.pdfcrypt import _unescape_bytes
+            return _unescape_bytes(m.group(1))
+        return None
+
+    def _dict_str(self, d: bytes, key: bytes, num: int) -> str | None:
+        """Decoded text of a literal-string dict entry (e.g. /Title,
+        /V), decrypting with the per-object key when the document is
+        encrypted.  Objects living INSIDE an object stream are exempt
+        (the containing /ObjStm stream was already decrypted — spec
+        says their strings are not separately encrypted).  Generation
+        is taken as 0: the xref keeps no gen and non-zero gens are
+        vanishingly rare in practice."""
+        m = re.search(rb"/" + key + rb"\s*\(((?:[^()\\]|\\.)*)\)", d)
+        if m is None:
+            return None
+        ent = self.xref.get(num)
+        if self.crypt_key is not None and ent is not None and \
+                ent[0] == "n":
+            from ocr_spark.functions.pdfcrypt import (
+                _unescape_bytes, obj_key, rc4)
+            plain = rc4(obj_key(self.crypt_key, num, 0),
+                        _unescape_bytes(m.group(1)))
+            return _pdf_text(plain.decode("latin-1"))
+        return _pdf_text(_unescape(m.group(1).decode("latin-1")))
 
     # -- objects ------------------------------------------------------------
     def _balanced_dict(self, pos: int) -> bytes | None:
@@ -443,9 +539,26 @@ class _Doc:
                 if v and v[1] is None and v[0] and v[0].isdigit():
                     length = int(v[0])
         if length is not None and start + length <= len(data):
-            return d, data[start:start + length]
-        em = data.find(b"endstream", start)
-        return d, (data[start:em].rstrip(b"\r\n") if em > 0 else None)
+            body = data[start:start + length]
+        else:
+            em = data.find(b"endstream", start)
+            body = data[start:em].rstrip(b"\r\n") if em > 0 else None
+        return d, self._maybe_decrypt(d, body, int(m.group(1)),
+                                      int(m.group(2)))
+
+    def _maybe_decrypt(self, d: bytes, body: bytes | None, num: int,
+                       gen: int):
+        """RC4-decrypt a stream body with its per-object key once the
+        file key is verified.  Cross-reference streams are NEVER
+        encrypted (PDF 32000 §7.5.8.2 — they must be readable before
+        any key exists), and the /Encrypt dict itself carries no
+        stream.  Runs BEFORE _decode_stream_body: on disk the order is
+        encrypt(flate(data)), so reading is flate(decrypt(data))."""
+        if body is None or self.crypt_key is None or \
+                _dict_name(d, b"Type") == b"XRef":
+            return body
+        from ocr_spark.functions.pdfcrypt import obj_key, rc4
+        return rc4(obj_key(self.crypt_key, num, gen), body)
 
     def _objstm(self, num: int) -> dict[int, bytes]:
         if num in self._objstm_cache:
@@ -705,10 +818,9 @@ class _Doc:
                 if not node or node[0] is None:
                     return
                 d = node[0]
-                tm = re.search(rb"/Title\s*\(((?:[^()\\]|\\.)*)\)", d)
-                if tm:
-                    titles.append(_pdf_text(
-                        _unescape(tm.group(1).decode("latin-1"))))
+                title = self._dict_str(d, b"Title", num)
+                if title is not None:
+                    titles.append(title)
                 walk(_dict_ref(d, b"First"), depth + 1)
                 num = _dict_ref(d, b"Next")
 
@@ -731,7 +843,8 @@ class _Doc:
         if aarr is None:
             return fields
         for am in re.finditer(rb"(\d+)\s+\d+\s+R\b", aarr):
-            ao = self.obj(int(am.group(1)))
+            anum = int(am.group(1))
+            ao = self.obj(anum)
             if not ao or ao[0] is None:
                 continue
             ad = ao[0]
@@ -741,14 +854,14 @@ class _Doc:
             rm = re.search(
                 rb"/Rect\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)"
                 rb"\s+([\d.+-]+)\s*\]", ad)
-            vm = re.search(rb"/V\s*\(((?:[^()\\]|\\.)*)\)", ad)
-            if not rm or not vm:
+            if not rm:
+                continue
+            val = self._dict_str(ad, b"V", anum)
+            if val is None:
                 continue
             x0, y0, x1, y1 = (float(rm.group(i)) for i in range(1, 5))
-            val = _pdf_text(_unescape(vm.group(1).decode("latin-1")))
-            nm = re.search(rb"/T\s*\(((?:[^()\\]|\\.)*)\)", ad)
-            if nm:
-                name = _pdf_text(_unescape(nm.group(1).decode("latin-1")))
+            name = self._dict_str(ad, b"T", anum)
+            if name is not None:
                 val = f"{name}: {val}"
             if val:
                 fields.append((min(x0, x1), min(y0, y1), val))
@@ -874,7 +987,10 @@ def _structured_page_contents(
     bytes as phantom text)."""
     try:
         doc = _Doc(data)
-        if doc.encrypted:
+        if doc.encrypted and doc.crypt_key is None:
+            # declared /Encrypt and the empty-user-password RC4 subset
+            # could not verify a key (AES, real password, corrupt dict):
+            # emit nothing, never ciphertext garbage
             raise _EncryptedPdf
         return ([(c.decode("latin-1"), fonts, xobjs, rot, media, links, wdg)
                  for c, fonts, xobjs, rot, media, links, wdg

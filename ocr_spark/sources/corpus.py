@@ -94,7 +94,7 @@ def _pdf_payload(rng: random.Random, heft: int = 1,
                  link_rng: random.Random | None = None,
                  ocr_rng: random.Random | None = None,
                  field_rng: random.Random | None = None,
-                 encrypted: bool = False,
+                 encrypted: bool = False, rc4: bool = False,
                  outline_rng: random.Random | None = None) -> str:
     blocks = [
         {"kind": "header", "x": 72, "y": 760, "lines": [f"Page header {_words(rng, 2)}"]},
@@ -161,10 +161,14 @@ def _pdf_payload(rng: random.Random, heft: int = 1,
         from ocr_spark.functions.pdfx import write_pdf_encrypted
         return write_pdf_encrypted(blocks, compress=compress).decode("latin-1")
     from ocr_spark.functions.pdfx import write_pdf_pages
-    return write_pdf_pages([blocks], compress=compress,
-                           xref_stream=xref_stream, type0=type0,
-                           form_xobject=form_xobject,
-                           outlines=outlines).decode("latin-1")
+    raw = write_pdf_pages([blocks], compress=compress,
+                          xref_stream=xref_stream, type0=type0,
+                          form_xobject=form_xobject,
+                          outlines=outlines)
+    if rc4:
+        from ocr_spark.functions.pdfcrypt import encrypt_pdf_rc4
+        raw = encrypt_pdf_rc4(raw)
+    return raw.decode("latin-1")
 
 
 def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
@@ -173,7 +177,7 @@ def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
              form_every: int = 0, html_table_every: int = 0,
              pdf_link_every: int = 0, ocr_layer_every: int = 0,
              field_every: int = 0, encrypted_every: int = 0,
-             outline_every: int = 0) -> dict:
+             outline_every: int = 0, rc4_every: int = 0) -> dict:
     """Pure function (seed, i) → one interleaved document row.
 
     ``heft`` multiplies per-payload content volume (paragraphs / PDF text
@@ -211,6 +215,10 @@ def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
     ``outline_every=N`` adds 1-3 /Outlines bookmark titles (forked rng,
     classic-xref spans only; one title may be non-latin-1, exercising
     UTF-16BE titles) emitted as a leading 'toc' span;
+    ``rc4_every=N`` REALLY encrypts every Nth PDF span (standard
+    security handler RC4 V=1/R=2, empty user password, classic-xref
+    spans only) — unlike ``encrypted_every``, extraction must DECRYPT
+    these and emit spans identical to the rc4-off twin corpus;
     0 = never (default, goldens bit-identical)."""
     doc_id = f"doc{i:08d}"
     rng = _rng(seed, "doc", i)
@@ -248,6 +256,8 @@ def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
                     if field_every and (i + j) % field_every == 0
                     else None)
             enc = bool(encrypted_every) and (i + j) % encrypted_every == 0
+            rc4 = (bool(rc4_every) and (i + j) % rc4_every == 0
+                   and not (xrs or t0f) and not enc)
             trng2 = (_rng(seed, "toc", i, j)
                      if outline_every and (i + j) % outline_every == 0
                      and not (xrs or t0f) else None)
@@ -256,7 +266,8 @@ def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
                                        xref_stream=xrs or t0f, type0=t0f,
                                        form_xobject=frm, link_rng=lrng,
                                        ocr_rng=orng, field_rng=frng,
-                                       encrypted=enc, outline_rng=trng2),
+                                       encrypted=enc, rc4=rc4,
+                                       outline_rng=trng2),
                   "media_ref": None, "offset": offset}
         else:
             sp = {"kind": "media", "text": None,
@@ -271,12 +282,12 @@ def make_docs(n_docs: int, seed: int = 42, mega_every: int = 1000,
               form_every: int = 0, html_table_every: int = 0,
               pdf_link_every: int = 0, ocr_layer_every: int = 0,
               field_every: int = 0, encrypted_every: int = 0,
-              outline_every: int = 0) -> list[dict]:
+              outline_every: int = 0, rc4_every: int = 0) -> list[dict]:
     """Driver-side generation for small test fixtures (pure Python)."""
     return [make_doc(i, seed, mega_every, heft, compress_every, xref_every,
                      type0_every, form_every, html_table_every,
                      pdf_link_every, ocr_layer_every, field_every,
-                     encrypted_every, outline_every)
+                     encrypted_every, outline_every, rc4_every)
             for i in range(n_docs)]
 
 

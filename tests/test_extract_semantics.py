@@ -1601,3 +1601,94 @@ def test_review_regressions_operands_inline_ei_xref_width():
     assert len(big) > 65536
     bs2 = extract_pdf_blocks(big)
     assert sum(1 for b in bs2 if b.kind == "text-block") >= 40
+
+
+def test_pdf_rc4_decrypt_roundtrip():
+    """REAL RC4 encryption (PDF 32000 §7.6.3 standard security handler,
+    empty user password) round-trips: the fixture encryptor re-encrypts
+    every stream body and dict literal string under per-object keys
+    (V=1/R=2 40-bit and V=2/R=3 128-bit), and extraction of the
+    encrypted document equals extraction of the plaintext one —
+    including flate-compressed streams, /Outlines UTF-16BE titles, and
+    filled AcroForm field strings (the three string/stream read paths).
+    A non-empty user password must fail /U verification and emit
+    NOTHING (never ciphertext garbage)."""
+    from ocr_spark.functions.pdfcrypt import encrypt_pdf_rc4
+    from ocr_spark.functions.pdfx import (
+        extract_pdf_blocks, write_pdf, write_pdf_pages)
+
+    blocks = [
+        {"kind": "text", "x": 72, "y": 700,
+         "lines": ["form page body text", "second body line words"]},
+        {"kind": "field", "x": 72, "y": 600, "name": "Name",
+         "value": "Ada Lovelace"},
+    ]
+    for compress in (False, True):
+        plain = write_pdf(blocks, compress=compress)
+        ref = [(b.kind, b.text) for b in extract_pdf_blocks(plain)]
+        assert any("Ada Lovelace" in t for _, t in ref)
+        for r, kb in ((2, 40), (3, 128)):
+            enc = encrypt_pdf_rc4(plain, r=r, keybits=kb)
+            assert enc != plain
+            got = [(b.kind, b.text) for b in extract_pdf_blocks(enc)]
+            assert got == ref, (compress, r, kb)
+        locked = encrypt_pdf_rc4(plain, user_pw=b"secret")
+        assert extract_pdf_blocks(locked) == []
+
+    # outline titles are dict strings on their own objects — the
+    # per-object key must be the OUTLINE item's, not the page's
+    pages = [[{"kind": "text", "x": 72, "y": 700,
+               "lines": ["chapter one body text here",
+                         "second body line here"]}]]
+    titles = ["Chapter 1 — Début", "Appendix A"]
+    plain = write_pdf_pages(pages, outlines=titles)
+    ref = [(b.kind, b.text) for b in extract_pdf_blocks(plain)]
+    assert ref[0][0] == "toc" and "Début" in ref[0][1]
+    got = [(b.kind, b.text)
+           for b in extract_pdf_blocks(encrypt_pdf_rc4(plain))]
+    assert got == ref
+
+
+def test_pdf_rc4_tampered_u_entry_is_skipped():
+    """A corrupted /U entry must fail key verification — the document
+    then takes the emit-nothing encrypted path instead of decrypting
+    with a wrong key (which would emit garbage text)."""
+    from ocr_spark.functions.pdfcrypt import encrypt_pdf_rc4
+    from ocr_spark.functions.pdfx import extract_pdf_blocks, write_pdf
+
+    blocks = [{"kind": "text", "x": 72, "y": 700,
+               "lines": ["tamper test body text", "line two of the body"]}]
+    enc = bytearray(encrypt_pdf_rc4(write_pdf(blocks)))
+    i = enc.find(b"/U <")
+    assert i > 0
+    enc[i + 4:i + 8] = b"0000" if enc[i + 4:i + 8] != b"0000" else b"1111"
+    assert extract_pdf_blocks(bytes(enc)) == []
+
+
+def test_rc4_corpus_twin_extracts_identically():
+    """``rc4_every`` writes REALLY-encrypted PDF payloads (standard
+    security handler, empty user password); the extractor must DECRYPT
+    them so the corpus extracts span-for-span identically to the
+    rc4-off twin — unlike ``encrypted_every`` (unknown key), which must
+    yield zero spans."""
+    from ocr_spark.functions.pdfx import extract_pdf_blocks
+    from ocr_spark.sources.corpus import make_docs
+
+    plain = make_docs(40, seed=7)
+    enc = make_docs(40, seed=7, rc4_every=3)
+    n_enc = 0
+    for dp, de in zip(plain, enc):
+        for sp, se in zip(dp["spans"], de["spans"]):
+            if sp["kind"] != "pdf_bytes":
+                assert sp == se
+                continue
+            if sp["text"] == se["text"]:
+                continue
+            n_enc += 1
+            assert b"/Encrypt" in se["text"].encode("latin-1")
+            bp = [(b.kind, b.text)
+                  for b in extract_pdf_blocks(sp["text"].encode("latin-1"))]
+            be = [(b.kind, b.text)
+                  for b in extract_pdf_blocks(se["text"].encode("latin-1"))]
+            assert bp == be, dp["doc_id"]
+    assert n_enc > 0, "rc4 knob never fired"

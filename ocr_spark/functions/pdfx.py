@@ -1031,11 +1031,19 @@ _ESC = {"\\": "\\", "(": "(", ")": ")", "n": "\n", "r": "\r", "t": "\t"}
 def _pdf_text(s: str) -> str:
     """PDF text-string semantics: a string beginning with the UTF-16BE
     BOM (FE FF) is UTF-16BE — the standard encoding real producers use
-    for any non-ASCII text; everything else is kept as the byte-literal
-    (PDFDocEncoding ≈ latin-1 for our subset)."""
+    for any non-ASCII text; a leading UTF-8 BOM (EF BB BF) marks the
+    PDF 2.0 UTF-8 text-string form (ISO 32000-2 §7.9.2.2); everything
+    else is kept as the byte-literal (PDFDocEncoding ≈ latin-1 for our
+    subset).  Malformed payloads under either BOM fall back to the
+    byte-literal rather than raising mid-extraction."""
     if s.startswith("\xfe\xff"):
         try:
             return s.encode("latin-1").decode("utf-16-be")[1:]
+        except Exception:
+            return s
+    if s.startswith("\xef\xbb\xbf"):
+        try:
+            return s.encode("latin-1")[3:].decode("utf-8")
         except Exception:
             return s
     return s

@@ -1692,3 +1692,42 @@ def test_rc4_corpus_twin_extracts_identically():
                   for b in extract_pdf_blocks(se["text"].encode("latin-1"))]
             assert bp == be, dp["doc_id"]
     assert n_enc > 0, "rc4 knob never fired"
+
+
+def test_pdf_text_utf8_bom_strings():
+    """PDF 2.0 UTF-8 text strings (EF BB BF BOM, ISO 32000-2 §7.9.2.2)
+    decode like the UTF-16BE form; malformed payloads under either BOM
+    fall back to the byte-literal instead of raising mid-extraction."""
+    from ocr_spark.functions.pdfx import _pdf_text
+
+    t = "héllo — Δοκιμή"
+    assert _pdf_text("\xef\xbb\xbf"
+                     + t.encode("utf-8").decode("latin-1")) == t
+    assert _pdf_text("\xfe\xff"
+                     + t.encode("utf-16-be").decode("latin-1")) == t
+    assert _pdf_text("plain latin") == "plain latin"
+    bad = "\xef\xbb\xbf\xff\xfe"
+    assert _pdf_text(bad) == bad
+
+
+def test_rc4_corpus_spark_pipeline_matches_plain_twin(spark):
+    """Spark-level A/B for real RC4 encryption: the distributed extract
+    stage over a corpus with rc4_every=3 produces spans IDENTICAL to
+    the same-seed rc4-off corpus — decryption happens inside the Arrow
+    extract batch, so this is the north-rule span-sequence-equality
+    surface, not just the pure-Python unit."""
+    from ocr_spark.sources.corpus import SPAN_SCHEMA_DDL
+
+    plain = make_docs(60, seed=33, mega_every=40)
+    enc = make_docs(60, seed=33, mega_every=40, rc4_every=3)
+    assert any("/Encrypt" in s["text"] for d in enc for s in d["spans"]
+               if s["kind"] == "pdf_bytes"), "rc4 knob never fired"
+
+    def run(docs):
+        sdf = spark.createDataFrame(
+            [(d["doc_id"], [tuple(s.values()) for s in d["spans"]])
+             for d in docs], SPAN_SCHEMA_DDL).repartition(7)
+        rows = extract_stage(sdf).collect()
+        return _canonical([r.asDict(recursive=True) for r in rows])
+
+    assert run(enc) == run(plain)

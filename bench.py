@@ -72,6 +72,8 @@ HEADLINE = [
     "filter_quality_gate",
     "text_bigram_logprob",
     "events_anomaly_mad",
+    "dedup_incremental_vs_corpus",
+    "sink_compact_small_files",
 ]
 
 # Iterative operators run their rounds EAGERLY at build time (hash-min

@@ -47,6 +47,7 @@ PICKS = {
     "events_downsample_ohlc": "OHLC bars in ONE hash agg: min_by/max_by composite time key, map-side partials, no window over raw events",
     "filter_quality_gate": "C4 quality rules as integer cross-comparisons — whole-stage codegen, zero exchange",
     "text_bigram_logprob": "bigram LM score: two map-side-combined passes, micro-nat fixed-point re-attach join",
+    "dedup_incremental_vs_corpus": "incremental crawl dedup: md5 semi-match + df-capped batch-x-corpus inverted-index join, slim verify re-attach",
 }
 
 

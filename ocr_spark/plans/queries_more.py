@@ -1167,3 +1167,54 @@ def events_anomaly_mad(spark, sf):
             .alias("is_anomaly"),
         )
     )
+
+
+@q(
+    "sink_compact_small_files",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(CAST(('0x' || substring(md5(
+             CAST(doc_id AS VARCHAR) || '|' || source || '|'
+             || CAST(n_chars AS VARCHAR)), 1, 15)) AS BIGINT)) AS checksum,
+           true AS files_reduced
+    FROM documents
+    """,
+)
+def sink_compact_small_files(spark, sf):
+    """Small-files compaction — the table-maintenance job every lake at
+    100 TB runs nightly: a directory fragmented into many tiny parquet
+    files (here: the documents table deliberately written as 64 shards)
+    is rewritten into few right-sized files, preserving content
+    exactly.  Returns (n_rows, portable checksum, files_reduced): the
+    oracle computes the same count + order-independent XOR-of-md5
+    checksum over the ORIGINAL table, so a green row proves the
+    compaction was lossless — and files_reduced booleanizes the actual
+    on-disk file-count drop.
+
+    Shape (100 TB posture): compaction reads only file listings + data
+    once and writes once; the coalesce() avoids a shuffle entirely
+    (narrow merge of input splits into fewer tasks — correct when
+    output files just need to be BIGGER; use repartition() instead when
+    they must also be balanced or cluster-keyed, cf.
+    zorder_cluster_key).  Real table formats do this transactionally
+    (Iceberg rewrite_data_files); the parquet-directory form here is
+    the same plan minus the snapshot commit (SURVEY §4.4 shim)."""
+    d = t(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    frag = _work_dir("compact_in")
+    d.repartition(64).write.mode("overwrite").parquet(frag)
+    spark_files = len([
+        f for f in __import__("os").listdir(frag) if f.endswith(".parquet")])
+    out = _work_dir("compact_out")
+    back = spark.read.schema(d.schema).parquet(frag)
+    back.coalesce(2).write.mode("overwrite").parquet(out)
+    n_out = len([
+        f for f in __import__("os").listdir(out) if f.endswith(".parquet")])
+    comp = spark.read.schema(d.schema).parquet(out)
+    ck = F.expr(
+        "bit_xor(CAST(conv(substring(md5(concat_ws('|', doc_id, source,"
+        " n_chars)), 1, 15), 16, 10) AS BIGINT))")
+    return comp.agg(
+        F.count("*").alias("n_rows"),
+        ck.alias("checksum"),
+        F.lit(n_out < spark_files).alias("files_reduced"),
+    )

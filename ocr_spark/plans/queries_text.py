@@ -1329,3 +1329,100 @@ def graph_pagerank(spark, sf):
 
 graph_pagerank.__doc__ = graph_pagerank.__doc__.format(
     iters=_PR_ITERS, damp=_PR_DAMP)
+
+
+@q(
+    "dedup_incremental_vs_corpus",
+    oracle=f"""
+    {_GRAMS_CTE},
+    existing AS (SELECT * FROM dup WHERE doc_id % 7 = 0),
+    batch    AS (SELECT * FROM dup WHERE doc_id % 7 <> 0),
+    exact AS (
+      SELECT DISTINCT b.doc_id
+      FROM batch b
+      WHERE md5(b.text) IN (SELECT md5(text) FROM existing)
+    ),
+    ex AS (SELECT doc_id, unnest(gset) AS g FROM grams),
+    rare AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= {NGRAM_DF_CAP}),
+    rex AS (SELECT ex.doc_id, ex.g FROM ex JOIN rare USING (g)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS bid, b.doc_id AS eid
+      FROM rex a JOIN rex b ON a.g = b.g
+      WHERE a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0
+    ),
+    near AS (
+      SELECT DISTINCT bid AS doc_id
+      FROM cand
+      JOIN grams ga ON ga.doc_id = bid
+      JOIN grams gb ON gb.doc_id = eid
+      WHERE CAST(len(list_intersect(ga.gset, gb.gset)) AS DOUBLE)
+            / (len(ga.gset) + len(gb.gset)
+               - len(list_intersect(ga.gset, gb.gset))) >= 0.8
+    )
+    SELECT b.doc_id,
+           (e.doc_id IS NULL AND n.doc_id IS NULL) AS kept,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+                WHEN n.doc_id IS NOT NULL THEN 'near' END AS reason
+    FROM batch b
+    LEFT JOIN exact e ON b.doc_id = e.doc_id
+    LEFT JOIN near  n ON b.doc_id = n.doc_id
+    """,
+)
+def dedup_incremental_vs_corpus(spark, sf):
+    """INCREMENTAL dedup — the production crawl shape: dedup a NEW
+    batch against the already-ingested corpus (docs with doc_id%7==0
+    stand in for "yesterday's corpus") instead of re-deduping the whole
+    lake.  A batch document is dropped when its content md5 already
+    exists ('exact') or a word-3-gram Jaccard ≥ 0.8 near-dup exists in
+    the corpus ('near', exact wins the tie); survivors would be
+    appended and the corpus index (hashes + gram postings) extended.
+
+    Shape (100 TB posture): the corpus side never rescans — in
+    production the md5 set and the df-capped gram postings are
+    MAINTAINED tables keyed exactly like this query's join keys, so
+    each increment costs O(batch) plus index lookups: one semi-joinable
+    hash match + one inverted-index join bounded by the df cap, with
+    gram sets re-attached only to candidate pairs (the
+    dedup_ngram_jaccard shape restricted to batch×corpus — never
+    batch×batch or corpus×corpus pairs)."""
+    d = _dup_docs(spark, sf)
+    is_existing = F.col("doc_id") % 7 == 0
+    batch = d.filter(~is_existing)
+    bh = batch.select("doc_id", F.md5("text").alias("h"))
+    eh = d.filter(is_existing).select(F.md5("text").alias("h")).distinct()
+    exact = (
+        bh.join(eh, "h").select("doc_id").distinct()
+        .withColumn("x", F.lit(True))
+    )
+    g = _grams_df(spark, sf)
+    ex = g.select("doc_id", F.explode("gset").alias("g"))
+    dfc = ex.groupBy("g").agg(F.count("*").alias("df"))
+    rare = ex.join(
+        F.broadcast(dfc.filter(F.col("df") <= NGRAM_DF_CAP).select("g")),
+        "g")
+    a = rare.filter(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("bid"), "g")
+    b = rare.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("eid"), "g")
+    cand = a.join(b, "g").select("bid", "eid").distinct()
+    ga = g.select(F.col("doc_id").alias("bid"), F.col("gset").alias("gs_a"))
+    gb = g.select(F.col("doc_id").alias("eid"), F.col("gset").alias("gs_b"))
+    inter = F.size(F.array_intersect("gs_a", "gs_b"))
+    jac = inter.cast("double") / (F.size("gs_a") + F.size("gs_b") - inter)
+    near = (
+        cand.join(ga, "bid").join(gb, "eid")
+        .filter(jac >= 0.8)
+        .select(F.col("bid").alias("doc_id")).distinct()
+        .withColumn("n", F.lit(True))
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("x").isNull() & F.col("n").isNull()).alias("kept"),
+            F.when(F.col("x").isNotNull(), "exact")
+            .when(F.col("n").isNotNull(), "near").alias("reason"),
+        )
+    )

@@ -67,6 +67,9 @@ _CHANGED_THIS_ROUND = [
     "dedup_ngram_jaccard", "dedup_minhash_lsh",
     # round 4: window hashes xxhash64 ints instead of md5 strings
     "dedup_substring_window",
+    # round 4 (late): single-tokenize-pass plan rewrite (results
+    # unchanged, implementation changed — driver should re-verify)
+    "text_bm25_topk",
 ]
 
 

@@ -1,30 +1,39 @@
-"""PDF standard security handler (RC4) — decrypt support for pdfx.
+"""PDF standard security handler (RC4 + AES) — decrypt support for pdfx.
 
-Implements the password-based standard security handler of PDF 32000-1
-§7.6.3 (public spec) for the RC4 ciphers: V=1 (40-bit) and V=2 (up to
-128-bit), revisions R=2 and R=3, with the EMPTY user password — the
-overwhelmingly common "encrypted for permissions, readable by anyone"
-web PDF.  AES (V≥4) and non-empty passwords stay out of scope: the
-reader falls back to the skip-encrypted path (emit nothing, never
-ciphertext garbage).
+Implements the password-based standard security handler for the EMPTY
+user password — the overwhelmingly common "encrypted for permissions,
+readable by anyone" web PDF — across every spec generation:
 
-Everything here is stdlib (hashlib.md5 + bytes): no crypto libs exist
-in this sandbox, and none are needed — RC4 is ~15 lines, and PDF's key
-derivation is just seeded MD5 chains.  Pure-Python RC4 throughput
-(~5 MB/s) only ever applies to documents that ARE encrypted, inside
-the already-Python Arrow extract stage.
+- PDF 32000-1 §7.6.3: V=1 (RC4-40), V=2 (RC4 ≤128), R=2/3;
+- V=4 crypt filters (§7.6.5): /CFM /V2 (RC4 in the V4 container) and
+  /CFM /AESV2 (AES-128-CBC, per-object key salted with ``sAlT``);
+- ISO 32000-2 (PDF 2.0) §7.6.4: V=5 R=6 /AESV3 — AES-256-CBC with the
+  SHA-2 iterated key-derivation hash (Algorithm 2.B) and the /U //UE
+  key-wrapping entries.
 
-Also provides ``encrypt_pdf_rc4`` — the fixture-side transform that
-turns any ``write_pdf`` output into a REAL spec-conformant encrypted
-document (per-object RC4 keys, /O //U entries, incremental-update
-/Encrypt trailer), so tests can assert decrypt(encrypt(x)) == x instead
-of trusting the decoder about itself.
+Non-empty passwords stay out of scope; the reader falls back to the
+skip-encrypted path (emit nothing, never ciphertext garbage).
+
+Everything here is stdlib (hashlib + bytes): no crypto libs exist in
+this sandbox, and none are needed — RC4 is ~15 lines, AES lives in
+``functions/aes.py`` (FIPS-197, known-answer-tested), and PDF's key
+derivation is seeded MD5/SHA-2 chains.  Pure-Python cipher throughput
+only ever applies to documents that ARE encrypted, inside the
+already-Python Arrow extract stage.
+
+Also provides ``encrypt_pdf_rc4`` / ``encrypt_pdf_aes`` — fixture-side
+transforms that turn any ``write_pdf`` output into a REAL
+spec-conformant encrypted document (per-object keys, /O //U //UE
+entries, rebuilt xref + /Encrypt trailer), so tests can assert
+decrypt(encrypt(x)) == x instead of trusting the decoder about itself.
 """
 
 from __future__ import annotations
 
 import hashlib
 import re
+
+from ocr_spark.functions.aes import cbc_decrypt, cbc_encrypt
 
 # PDF 32000-1 §7.6.3.3 Algorithm 2: the 32-byte password pad constant
 _PAD = bytes([
@@ -110,15 +119,63 @@ def verify_user_pw(u: bytes, o: bytes, p: int, id0: bytes,
     return key if ok else None
 
 
-def obj_key(key: bytes, num: int, gen: int) -> bytes:
+def obj_key(key: bytes, num: int, gen: int, aes: bool = False) -> bytes:
     """Algorithm 1: the per-object key — md5(file key + 3 low bytes of
     the object number + 2 low bytes of the generation), truncated to
-    min(len(key)+5, 16)."""
+    min(len(key)+5, 16).  For /AESV2 the spec appends the constant
+    ``sAlT`` (0x73416C54) to the hash input.  V=5 does NOT use this:
+    AESV3 encrypts every object directly under the file key."""
     h = hashlib.md5(
         key + (num & 0xFFFFFF).to_bytes(3, "little")
         + (gen & 0xFFFF).to_bytes(2, "little")
+        + (b"sAlT" if aes else b"")
     ).digest()
     return h[:min(len(key) + 5, 16)]
+
+
+def aes_decrypt_payload(key: bytes, data: bytes) -> bytes:
+    """PDF AES stream/string payload: leading 16-byte IV, then
+    AES-CBC ciphertext with PKCS#7 padding (§7.6.3.1)."""
+    if len(data) < 32:
+        return b""
+    return cbc_decrypt(key, data[16:], iv=data[:16])
+
+
+def aes_encrypt_payload(key: bytes, data: bytes, iv: bytes) -> bytes:
+    return iv + cbc_encrypt(key, data, iv=iv)
+
+
+# ---------------------------------------------------------------------------
+# PDF 2.0 (ISO 32000-2) V=5 R=6 — AES-256 with SHA-2 key derivation
+# ---------------------------------------------------------------------------
+
+def hash_2b(pw: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """Algorithm 2.B: the iterated SHA-256/384/512 password hash.  The
+    round hash is chosen by the first AES block mod 3; iteration stops
+    at round ≥ 64 once the last byte of E ≤ round - 32."""
+    k = hashlib.sha256(pw + salt + udata).digest()
+    rnd = 0
+    while True:
+        k1 = (pw + k + udata) * 64
+        e = cbc_encrypt(k[:16], k1, iv=k[16:32], pad=False)
+        k = (hashlib.sha256, hashlib.sha384,
+             hashlib.sha512)[sum(e[:16]) % 3](e).digest()
+        rnd += 1
+        if rnd >= 64 and e[-1] <= rnd - 32:
+            return k[:32]
+
+
+def verify_user_pw_r6(u: bytes, ue: bytes,
+                      user_pw: bytes = b"") -> bytes | None:
+    """Algorithm 2.A (user-password leg): /U is hash(pw, vsalt) ‖
+    vsalt(8) ‖ ksalt(8); on match the file key is the AES-256-CBC
+    unwrap of /UE under hash(pw, ksalt) with a zero IV, no padding."""
+    if len(u) < 48 or len(ue) < 32:
+        return None
+    if hash_2b(user_pw, u[32:40]) != u[:32]:
+        return None
+    return cbc_decrypt(hash_2b(user_pw, u[40:48]), ue[:32],
+                       iv=b"\x00" * 16, unpad=False)
 
 
 # ---------------------------------------------------------------------------
@@ -173,26 +230,15 @@ def _escape_bytes(s: bytes) -> bytes:
     return bytes(out)
 
 
-def encrypt_pdf_rc4(raw: bytes, user_pw: bytes = b"",
-                    owner_pw: bytes = b"owner", r: int = 2,
-                    keybits: int = 40) -> bytes:
-    """Re-serialize a classic-xref PDF as a REAL spec-conformant
-    RC4-encrypted document: every stream body AND every dict literal
-    string is re-encrypted under its per-object key (Algorithm 1), the
-    /Encrypt dictionary is appended as a new object, and a fresh
-    classic xref + trailer (carrying /Encrypt and /ID) is emitted —
-    string ciphertext needs re-escaping, which shifts offsets, so the
-    xref is rebuilt rather than patched.  ``r``/``keybits``: (2, 40) →
-    V=1; (3, 40..128) → V=2.  The /Encrypt dict's own /O //U strings
-    are hex and (per spec) never themselves encrypted."""
-    n = keybits // 8
-    v = 1 if (r == 2 and keybits == 40) else 2
-    p = -64  # permissions bits; opaque to extraction
-    id0 = hashlib.md5(raw).digest()
-    o = owner_entry(owner_pw, user_pw, r, n)
-    key = file_key(o, p, id0, user_pw, r, n)
-    u = user_entry(key, id0, r)
-
+def _rewrite_encrypted(raw: bytes, cipher, enc_dict: str,
+                       id0: bytes, header: bytes = b"%PDF-1.4\n") -> bytes:
+    """Re-serialize a classic-xref PDF with every stream body AND every
+    dict literal string run through ``cipher(num, gen, plaintext)``,
+    the given /Encrypt dictionary appended as a new object, and a fresh
+    classic xref + trailer (carrying /Encrypt and /ID) — string
+    ciphertext needs re-escaping, which shifts offsets, so the xref is
+    rebuilt rather than patched.  The /Encrypt dict's own /O //U //UE
+    strings are hex and (per spec) never themselves encrypted."""
     root = re.search(rb"/Root\s+(\d+)\s+(\d+)\s+R", raw)
     root_ref = (root.group(0) if root else b"/Root 1 0 R").decode("latin-1")
 
@@ -200,17 +246,21 @@ def encrypt_pdf_rc4(raw: bytes, user_pw: bytes = b"",
     for om in _OBJ_SPAN_RE.finditer(raw):
         num, gen = int(om.group(1)), int(om.group(2))
         seg = om.group(0)
-        ok = obj_key(key, num, gen)
         sm = _STREAM_RE.search(seg)
         head = seg[:sm.start()] if sm else seg
 
-        def _enc_lit(m: re.Match, _ok=ok) -> bytes:
+        def _enc_lit(m: re.Match, _n=num, _g=gen) -> bytes:
             return b"(" + _escape_bytes(
-                rc4(_ok, _unescape_bytes(m.group(1)))) + b")"
+                cipher(_n, _g, _unescape_bytes(m.group(1)))) + b")"
 
         head = _LIT_RE.sub(_enc_lit, head)
         if sm:
-            body = rc4(ok, seg[sm.start(2):sm.end(2)])
+            body = cipher(num, gen, seg[sm.start(2):sm.end(2)])
+            # ciphertext length ≠ plaintext length under AES (IV +
+            # padding) — rewrite /Length so the reader slices correctly
+            # (direct lengths only: `(?!…R)` spares `/Length 8 0 R`)
+            head = re.sub(rb"/Length\s+\d+(?![\d\s]*R)",
+                          b"/Length %d" % len(body), head)
             seg = (head + seg[sm.start():sm.start(2)] + body
                    + seg[sm.end(2):])
         else:
@@ -219,11 +269,9 @@ def encrypt_pdf_rc4(raw: bytes, user_pw: bytes = b"",
 
     enum = max(num for num, _ in objs) + 1
     objs.append((enum, (
-        f"{enum} 0 obj\n<< /Filter /Standard /V {v} /R {r} "
-        f"/Length {keybits} /P {p} /O <{o.hex()}> /U <{u[:32].hex()}> >>"
-        f"\nendobj").encode("latin-1")))
+        f"{enum} 0 obj\n{enc_dict}\nendobj").encode("latin-1")))
 
-    out = bytearray(b"%PDF-1.4\n")
+    out = bytearray(header)
     offs: dict[int, int] = {}
     for num, seg in objs:
         offs[num] = len(out)
@@ -241,3 +289,88 @@ def encrypt_pdf_rc4(raw: bytes, user_pw: bytes = b"",
         f"startxref\n{xref_off}\n%%EOF\n"
     ).encode("latin-1")
     return bytes(out)
+
+
+def encrypt_pdf_rc4(raw: bytes, user_pw: bytes = b"",
+                    owner_pw: bytes = b"owner", r: int = 2,
+                    keybits: int = 40) -> bytes:
+    """RC4-encrypt a classic-xref PDF (fixture side).  ``r``/``keybits``:
+    (2, 40) → V=1; (3, 40..128) → V=2."""
+    n = keybits // 8
+    v = 1 if (r == 2 and keybits == 40) else 2
+    p = -64  # permissions bits; opaque to extraction
+    id0 = hashlib.md5(raw).digest()
+    o = owner_entry(owner_pw, user_pw, r, n)
+    key = file_key(o, p, id0, user_pw, r, n)
+    u = user_entry(key, id0, r)
+    return _rewrite_encrypted(
+        raw,
+        lambda num, gen, data: rc4(obj_key(key, num, gen), data),
+        f"<< /Filter /Standard /V {v} /R {r} /Length {keybits} /P {p} "
+        f"/O <{o.hex()}> /U <{u[:32].hex()}> >>",
+        id0)
+
+
+def encrypt_pdf_aes(raw: bytes, user_pw: bytes = b"",
+                    owner_pw: bytes = b"owner", v: int = 4,
+                    cfm: str = "AESV2") -> bytes:
+    """AES-encrypt a classic-xref PDF (fixture side).
+
+    ``v=4, cfm='AESV2'`` → AES-128-CBC per-object-``sAlT`` keys
+    (§7.6.5); ``v=4, cfm='V2'`` → RC4-128 inside the V4 crypt-filter
+    container; ``v=5`` → PDF 2.0 AES-256 R6 (cfm forced to AESV3).
+    Per-object IVs are deterministic functions of (/ID, num, gen) —
+    the spec only asks that they be unpredictable to an attacker, and
+    determinism keeps fixtures byte-stable."""
+    p = -64
+    id0 = hashlib.md5(raw).digest()
+
+    def _iv(num: int, gen: int) -> bytes:
+        return hashlib.md5(b"iv" + id0 + bytes([num & 0xFF,
+                                                gen & 0xFF])).digest()
+
+    if v == 5:
+        fkey = hashlib.sha256(b"filekey" + id0).digest()
+        uvs = hashlib.md5(b"uvs" + id0).digest()[:8]
+        uks = hashlib.md5(b"uks" + id0).digest()[:8]
+        u = hash_2b(user_pw, uvs) + uvs + uks
+        ue = cbc_encrypt(hash_2b(user_pw, uks), fkey,
+                         iv=b"\x00" * 16, pad=False)
+        ovs = hashlib.md5(b"ovs" + id0).digest()[:8]
+        oks = hashlib.md5(b"oks" + id0).digest()[:8]
+        o = hash_2b(owner_pw, ovs, u) + ovs + oks
+        oe = cbc_encrypt(hash_2b(owner_pw, oks, u), fkey,
+                         iv=b"\x00" * 16, pad=False)
+        perms = cbc_encrypt(fkey, (p & 0xFFFFFFFF).to_bytes(4, "little")
+                            + b"\xff\xff\xff\xffTadbnois",
+                            iv=b"\x00" * 16, pad=False)
+        return _rewrite_encrypted(
+            raw,
+            lambda num, gen, data:
+                aes_encrypt_payload(fkey, data, _iv(num, gen)),
+            f"<< /Filter /Standard /V 5 /R 6 /Length 256 /P {p} "
+            f"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen "
+            f"/Length 32 >> >> /StmF /StdCF /StrF /StdCF "
+            f"/O <{o.hex()}> /U <{u.hex()}> "
+            f"/OE <{oe.hex()}> /UE <{ue.hex()}> /Perms <{perms.hex()}> >>",
+            id0, header=b"%PDF-2.0\n")
+
+    # V=4 container: AESV2 (AES-128) or V2 (RC4-128) crypt filter
+    r, n = 4, 16
+    o = owner_entry(owner_pw, user_pw, r, n)
+    key = file_key(o, p, id0, user_pw, r, n)
+    u = user_entry(key, id0, r)
+    if cfm == "AESV2":
+        def cipher(num, gen, data):
+            return aes_encrypt_payload(
+                obj_key(key, num, gen, aes=True), data, _iv(num, gen))
+    else:
+        def cipher(num, gen, data):
+            return rc4(obj_key(key, num, gen), data)
+    return _rewrite_encrypted(
+        raw, cipher,
+        f"<< /Filter /Standard /V 4 /R 4 /Length 128 /P {p} "
+        f"/CF << /StdCF << /CFM /{cfm} /AuthEvent /DocOpen "
+        f"/Length 16 >> >> /StmF /StdCF /StrF /StdCF "
+        f"/O <{o.hex()}> /U <{u[:32].hex()}> >>",
+        id0)

@@ -325,6 +325,8 @@ class _Doc:
         self.encrypt_ref: int | None = None   # /Encrypt obj num (newest)
         self.id0: bytes | None = None         # /ID[0] raw bytes (newest)
         self.crypt_key: bytes | None = None   # file key once verified
+        self.crypt_aes = False                # cipher: AES-CBC vs RC4
+        self.crypt_v5 = False                 # V=5: file key used directly
         self._objstm_cache: dict[int, dict[int, bytes]] = {}
         self._load_xref_chain()
         if self.encrypted:
@@ -440,15 +442,19 @@ class _Doc:
                 self.id0 = bytes.fromhex(m.group(1).decode("ascii"))
 
     def _setup_decryption(self) -> None:
-        """Standard security handler, empty user password (PDF 32000
-        §7.6.3): resolve the /Encrypt dict, derive the file key, verify
-        it against /U, and keep it for per-object stream/string
-        decryption.  Out-of-subset handlers (AES V≥4, custom filters,
-        non-empty passwords) leave ``crypt_key`` None — the caller then
-        takes the emit-nothing path, never the ciphertext-as-text one."""
+        """Standard security handler, empty user password: resolve the
+        /Encrypt dict, derive the file key, verify it against /U, and
+        keep it for per-object stream/string decryption.  In-subset:
+        V=1/2 RC4 (PDF 32000 §7.6.3), V=4 crypt filters with /CFM /V2
+        (RC4) or /AESV2 (AES-128, §7.6.5), and V=5 R=6 /AESV3 (PDF 2.0
+        AES-256, ISO 32000-2 Algorithm 2.A/2.B).  Out-of-subset
+        handlers (custom security handlers, /Identity or per-stream
+        crypt filters, non-empty passwords, deprecated R=5) leave
+        ``crypt_key`` None — the caller then takes the emit-nothing
+        path, never the ciphertext-as-text one."""
         from ocr_spark.functions import pdfcrypt
 
-        if self.encrypt_ref is None or self.id0 is None:
+        if self.encrypt_ref is None:
             return
         try:
             ed = self.obj(self.encrypt_ref)
@@ -462,17 +468,48 @@ class _Doc:
         v = _dict_num(d, b"V") or 0
         rm = re.search(rb"/R\s+(\d+)", d)
         r = int(rm.group(1)) if rm else 0
-        if v not in (1, 2) or r not in (2, 3):
-            return
-        n = (_dict_num(d, b"Length") or 40) // 8
-        pm = re.search(rb"/P\s+(-?\d+)", d)
-        p = int(pm.group(1)) if pm else -1
         o = self._encrypt_str(d, b"O")
         u = self._encrypt_str(d, b"U")
         if o is None or u is None:
             return
+
+        if v == 5:
+            # PDF 2.0 AES-256: /ID plays no key role; /U carries the
+            # salts, /UE wraps the file key
+            if r != 6:
+                return
+            ue = self._encrypt_str(d, b"UE")
+            if ue is None:
+                return
+            self.crypt_key = pdfcrypt.verify_user_pw_r6(u, ue)
+            self.crypt_aes = self.crypt_key is not None
+            self.crypt_v5 = self.crypt_aes
+            return
+
+        if self.id0 is None:
+            return
+        n = (_dict_num(d, b"Length") or 40) // 8
+        if v == 4:
+            # crypt-filter container: only the uniform /StdCF layout
+            # with both stream and string filters pointing at it
+            if r != 4 or _dict_name(d, b"StmF") != b"StdCF" \
+                    or _dict_name(d, b"StrF") != b"StdCF":
+                return
+            cm = re.search(
+                rb"/StdCF\s*<<(.*?)>>", d, re.DOTALL)
+            cfm = _dict_name(cm.group(1), b"CFM") if cm else None
+            if cfm not in (b"V2", b"AESV2"):
+                return
+            self.crypt_aes = cfm == b"AESV2"
+            n = 16
+        elif v not in (1, 2) or r not in (2, 3):
+            return
+        pm = re.search(rb"/P\s+(-?\d+)", d)
+        p = int(pm.group(1)) if pm else -1
         self.crypt_key = pdfcrypt.verify_user_pw(
             u, o, p, self.id0, r, n)
+        if self.crypt_key is None:
+            self.crypt_aes = False
 
     @staticmethod
     def _encrypt_str(d: bytes, key: bytes) -> bytes | None:
@@ -504,10 +541,9 @@ class _Doc:
         ent = self.xref.get(num)
         if self.crypt_key is not None and ent is not None and \
                 ent[0] == "n":
-            from ocr_spark.functions.pdfcrypt import (
-                _unescape_bytes, obj_key, rc4)
-            plain = rc4(obj_key(self.crypt_key, num, 0),
-                        _unescape_bytes(m.group(1)))
+            from ocr_spark.functions.pdfcrypt import _unescape_bytes
+            plain = self._decrypt_payload(
+                _unescape_bytes(m.group(1)), num, 0)
             return _pdf_text(plain.decode("latin-1"))
         return _pdf_text(_unescape(m.group(1).decode("latin-1")))
 
@@ -557,8 +593,20 @@ class _Doc:
         if body is None or self.crypt_key is None or \
                 _dict_name(d, b"Type") == b"XRef":
             return body
-        from ocr_spark.functions.pdfcrypt import obj_key, rc4
-        return rc4(obj_key(self.crypt_key, num, gen), body)
+        return self._decrypt_payload(body, num, gen)
+
+    def _decrypt_payload(self, data: bytes, num: int, gen: int) -> bytes:
+        """Per-object decrypt under the verified file key: RC4 with the
+        Algorithm-1 key (V≤2, V=4 /CFM /V2); AES-CBC with the sAlT-ed
+        Algorithm-1 key (/AESV2) or the file key directly (V=5 /AESV3,
+        which skips per-object derivation entirely)."""
+        from ocr_spark.functions import pdfcrypt
+        if self.crypt_aes:
+            key = (self.crypt_key if self.crypt_v5 else
+                   pdfcrypt.obj_key(self.crypt_key, num, gen, aes=True))
+            return pdfcrypt.aes_decrypt_payload(key, data)
+        return pdfcrypt.rc4(pdfcrypt.obj_key(self.crypt_key, num, gen),
+                            data)
 
     def _objstm(self, num: int) -> dict[int, bytes]:
         if num in self._objstm_cache:

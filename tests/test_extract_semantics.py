@@ -1694,6 +1694,84 @@ def test_rc4_corpus_twin_extracts_identically():
     assert n_enc > 0, "rc4 knob never fired"
 
 
+def test_aes_fips197_known_answers():
+    """The from-scratch AES (functions/aes.py) pinned against the
+    FIPS-197 Appendix C example vectors for all three key sizes, both
+    directions, plus CBC chaining + PKCS#7 round-trip on a non-aligned
+    payload."""
+    from ocr_spark.functions.aes import (
+        _decrypt_block, _encrypt_block, _expand_key, cbc_decrypt,
+        cbc_encrypt)
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    for keyhex, cthex in (
+        ("000102030405060708090a0b0c0d0e0f",
+         "69c4e0d86a7b0430d8cdb78070b4c55a"),
+        ("000102030405060708090a0b0c0d0e0f1011121314151617",
+         "dda97ca4864cdfe06eaf70a0ec0d7191"),
+        ("000102030405060708090a0b0c0d0e0f"
+         "101112131415161718191a1b1c1d1e1f",
+         "8ea2b7ca516745bfeafc49904b496089"),
+    ):
+        rk = _expand_key(bytes.fromhex(keyhex))
+        ct = bytes.fromhex(cthex)
+        assert _encrypt_block(rk, pt) == ct, keyhex
+        assert _decrypt_block(rk, ct) == pt, keyhex
+
+    key, iv = bytes(range(16)), bytes(range(16, 32))
+    msg = b"seventeen bytes!!"  # forces a full PKCS#7 pad block split
+    enc = cbc_encrypt(key, msg, iv=iv)
+    assert len(enc) % 16 == 0 and enc != msg
+    assert cbc_decrypt(key, enc, iv=iv) == msg
+    # wrong key must yield garbage, not raise (extract-batch contract)
+    assert cbc_decrypt(bytes(16), enc, iv=iv) != msg
+
+
+def test_pdf_aes_decrypt_roundtrip():
+    """REAL AES encryption round-trips at every spec generation: V=4
+    /AESV2 (AES-128-CBC, sAlT-ed per-object keys, §7.6.5), V=4 /CFM /V2
+    (RC4 inside the crypt-filter container), and V=5 R=6 /AESV3
+    (PDF 2.0 AES-256 with the Algorithm 2.B SHA-2 KDF) — extraction of
+    each encrypted document equals extraction of the plaintext one
+    across streams, outline dict strings, and form field values.  A
+    non-empty user password fails /U (or 2.A) verification and emits
+    NOTHING."""
+    from ocr_spark.functions.pdfcrypt import encrypt_pdf_aes
+    from ocr_spark.functions.pdfx import (
+        extract_pdf_blocks, write_pdf, write_pdf_pages)
+
+    blocks = [
+        {"kind": "text", "x": 72, "y": 700,
+         "lines": ["aes page body text", "second body line words"]},
+        {"kind": "field", "x": 72, "y": 600, "name": "Name",
+         "value": "Grace Hopper"},
+    ]
+    variants = [dict(v=4, cfm="AESV2"), dict(v=4, cfm="V2"), dict(v=5)]
+    for compress in (False, True):
+        plain = write_pdf(blocks, compress=compress)
+        ref = [(b.kind, b.text) for b in extract_pdf_blocks(plain)]
+        assert any("Grace Hopper" in t for _, t in ref)
+        for kw in variants:
+            enc = encrypt_pdf_aes(plain, **kw)
+            assert enc != plain and b"/Encrypt" in enc
+            got = [(b.kind, b.text) for b in extract_pdf_blocks(enc)]
+            assert got == ref, (compress, kw)
+            locked = encrypt_pdf_aes(plain, user_pw=b"secret", **kw)
+            assert extract_pdf_blocks(locked) == [], (compress, kw)
+
+    # outline titles exercise the dict-string decrypt path per object
+    pages = [[{"kind": "text", "x": 72, "y": 700,
+               "lines": ["chapter body text here words",
+                         "second body line here words"]}]]
+    plain = write_pdf_pages(pages, outlines=["Chapter 1 — Début"])
+    ref = [(b.kind, b.text) for b in extract_pdf_blocks(plain)]
+    assert ref and ref[0][0] == "toc" and "Début" in ref[0][1]
+    for kw in variants:
+        got = [(b.kind, b.text)
+               for b in extract_pdf_blocks(encrypt_pdf_aes(plain, **kw))]
+        assert got == ref, kw
+
+
 def test_pdf_text_utf8_bom_strings():
     """PDF 2.0 UTF-8 text strings (EF BB BF BOM, ISO 32000-2 §7.9.2.2)
     decode like the UTF-16BE form; malformed payloads under either BOM

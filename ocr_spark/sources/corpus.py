@@ -95,7 +95,8 @@ def _pdf_payload(rng: random.Random, heft: int = 1,
                  ocr_rng: random.Random | None = None,
                  field_rng: random.Random | None = None,
                  encrypted: bool = False, rc4: bool = False,
-                 outline_rng: random.Random | None = None) -> str:
+                 outline_rng: random.Random | None = None,
+                 aes: str | None = None) -> str:
     blocks = [
         {"kind": "header", "x": 72, "y": 760, "lines": [f"Page header {_words(rng, 2)}"]},
     ]
@@ -168,6 +169,10 @@ def _pdf_payload(rng: random.Random, heft: int = 1,
     if rc4:
         from ocr_spark.functions.pdfcrypt import encrypt_pdf_rc4
         raw = encrypt_pdf_rc4(raw)
+    elif aes is not None:
+        from ocr_spark.functions.pdfcrypt import encrypt_pdf_aes
+        raw = encrypt_pdf_aes(raw, v=5 if aes == "AESV3" else 4,
+                              cfm="V2" if aes == "V2" else "AESV2")
     return raw.decode("latin-1")
 
 
@@ -177,7 +182,8 @@ def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
              form_every: int = 0, html_table_every: int = 0,
              pdf_link_every: int = 0, ocr_layer_every: int = 0,
              field_every: int = 0, encrypted_every: int = 0,
-             outline_every: int = 0, rc4_every: int = 0) -> dict:
+             outline_every: int = 0, rc4_every: int = 0,
+             aes_every: int = 0) -> dict:
     """Pure function (seed, i) → one interleaved document row.
 
     ``heft`` multiplies per-payload content volume (paragraphs / PDF text
@@ -219,7 +225,10 @@ def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
     security handler RC4 V=1/R=2, empty user password, classic-xref
     spans only) — unlike ``encrypted_every``, extraction must DECRYPT
     these and emit spans identical to the rc4-off twin corpus;
-    0 = never (default, goldens bit-identical)."""
+    ``aes_every=N`` likewise AES-encrypts every Nth PDF span, cycling
+    /AESV2 (AES-128 crypt filter), V=4 /CFM /V2, and PDF 2.0 /AESV3
+    (AES-256 R=6) by span index so all three handler generations are
+    exercised corpus-wide; 0 = never (default, goldens bit-identical)."""
     doc_id = f"doc{i:08d}"
     rng = _rng(seed, "doc", i)
     n = 1 + min(int(rng.lognormvariate(0.8, 0.7)), 40)
@@ -258,6 +267,9 @@ def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
             enc = bool(encrypted_every) and (i + j) % encrypted_every == 0
             rc4 = (bool(rc4_every) and (i + j) % rc4_every == 0
                    and not (xrs or t0f) and not enc)
+            aes = (("AESV2", "V2", "AESV3")[(i + j) // aes_every % 3]
+                   if aes_every and (i + j) % aes_every == 0
+                   and not (xrs or t0f) and not (enc or rc4) else None)
             trng2 = (_rng(seed, "toc", i, j)
                      if outline_every and (i + j) % outline_every == 0
                      and not (xrs or t0f) else None)
@@ -267,7 +279,7 @@ def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
                                        form_xobject=frm, link_rng=lrng,
                                        ocr_rng=orng, field_rng=frng,
                                        encrypted=enc, rc4=rc4,
-                                       outline_rng=trng2),
+                                       outline_rng=trng2, aes=aes),
                   "media_ref": None, "offset": offset}
         else:
             sp = {"kind": "media", "text": None,
@@ -282,12 +294,13 @@ def make_docs(n_docs: int, seed: int = 42, mega_every: int = 1000,
               form_every: int = 0, html_table_every: int = 0,
               pdf_link_every: int = 0, ocr_layer_every: int = 0,
               field_every: int = 0, encrypted_every: int = 0,
-              outline_every: int = 0, rc4_every: int = 0) -> list[dict]:
+              outline_every: int = 0, rc4_every: int = 0,
+              aes_every: int = 0) -> list[dict]:
     """Driver-side generation for small test fixtures (pure Python)."""
     return [make_doc(i, seed, mega_every, heft, compress_every, xref_every,
                      type0_every, form_every, html_table_every,
                      pdf_link_every, ocr_layer_every, field_every,
-                     encrypted_every, outline_every, rc4_every)
+                     encrypted_every, outline_every, rc4_every, aes_every)
             for i in range(n_docs)]
 
 

@@ -1809,3 +1809,29 @@ def test_rc4_corpus_spark_pipeline_matches_plain_twin(spark):
         return _canonical([r.asDict(recursive=True) for r in rows])
 
     assert run(enc) == run(plain)
+
+
+def test_aes_corpus_spark_pipeline_matches_plain_twin(spark):
+    """Spark-level A/B for real AES encryption: ``aes_every`` cycles
+    /AESV2, V=4 /CFM /V2, and PDF 2.0 /AESV3 across the corpus, and the
+    distributed extract stage produces spans IDENTICAL to the same-seed
+    aes-off twin — all three handler generations decrypt inside the
+    Arrow extract batch at the north-rule span-equality surface."""
+    from ocr_spark.sources.corpus import SPAN_SCHEMA_DDL
+
+    plain = make_docs(60, seed=34, mega_every=40)
+    enc = make_docs(60, seed=34, mega_every=40, aes_every=3)
+    gens = {v for d in enc for s in d["spans"]
+            if s["kind"] == "pdf_bytes" and "/Encrypt" in s["text"]
+            for v in ("AESV2", "AESV3", "/CFM /V2")
+            if v in s["text"]}
+    assert gens == {"AESV2", "AESV3", "/CFM /V2"}, gens
+
+    def run(docs):
+        sdf = spark.createDataFrame(
+            [(d["doc_id"], [tuple(s.values()) for s in d["spans"]])
+             for d in docs], SPAN_SCHEMA_DDL).repartition(7)
+        rows = extract_stage(sdf).collect()
+        return _canonical([r.asDict(recursive=True) for r in rows])
+
+    assert run(enc) == run(plain)

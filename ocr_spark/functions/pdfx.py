@@ -191,14 +191,6 @@ def _stream_segments(data: bytes):
         yield d or b"", body
 
 
-def _is_flate(stream_dict: bytes) -> bool:
-    fm = _FILTER_RE.search(stream_dict)
-    if not fm:
-        return False
-    arr, name = fm.groups()
-    return b"FlateDecode" in (arr or name or b"")
-
-
 # ---------------------------------------------------------------------------
 # structured (xref-driven) document parse — PDF 1.5 xref/object streams
 # ---------------------------------------------------------------------------
@@ -295,16 +287,77 @@ def _unpredict(data: bytes, predictor: int, columns: int) -> bytes:
     return bytes(out)
 
 
+def _filters_of(d: bytes) -> list[bytes]:
+    """/Filter entry as an ordered (decode-order) list of filter names —
+    single name or array form; [] when the stream is unfiltered."""
+    fm = _FILTER_RE.search(d)
+    if not fm:
+        return []
+    arr, name = fm.groups()
+    if name:
+        return [name]
+    return re.findall(rb"/([A-Za-z0-9]+)", arr or b"")
+
+
+def _parms_of(d: bytes, n: int) -> list[bytes | None]:
+    """/DecodeParms (or /DP) per filter: a single dict applies to the
+    first filter; the array form pairs ``null``/dict entries with the
+    /Filter array positionally (PDF 32000 §7.3.8.2)."""
+    m = re.search(rb"/(?:DecodeParms|DP)\b\s*", d)
+    out: list[bytes | None] = []
+    if m:
+        pos = m.end()
+        if d[pos:pos + 1] == b"[":
+            pos += 1
+            while len(out) < n:
+                while pos < len(d) and d[pos:pos + 1].isspace():
+                    pos += 1
+                if d.startswith(b"null", pos):
+                    out.append(None)
+                    pos += 4
+                elif d.startswith(b"<<", pos):
+                    blk = _balanced_slice(d, pos)
+                    if blk is None:
+                        break
+                    out.append(blk)
+                    pos += len(blk)
+                else:
+                    break
+        else:
+            out.append(_balanced_slice(d, pos))
+    out += [None] * (n - len(out))
+    return out[:n]
+
+
 def _decode_stream_body(d: bytes, body: bytes) -> bytes:
-    """Apply /Filter (+ /DecodeParms predictor) to a stream body."""
+    """Apply the /Filter chain (+ per-filter /DecodeParms) to a stream
+    body: Flate via zlib, LZW/ASCII85/ASCIIHex/RunLength via the
+    from-scratch codecs in ``pdffilters``, PNG row predictors after
+    Flate/LZW.  An image-only or unknown filter raises — the structured
+    parse then falls back to the positional scan, which skips the
+    stream: undecodable bytes must never tokenize as phantom text."""
     import zlib
 
-    if _is_flate(d):
-        body = zlib.decompress(body)
-        pm = re.search(rb"/DecodeParms\s*<<(.*?)>>", d, re.DOTALL)
-        if pm:
-            pred = _dict_num(pm.group(1), b"Predictor") or 1
-            cols = _dict_num(pm.group(1), b"Columns") or 1
+    from ocr_spark.functions.pdffilters import DECODERS, lzw_decode
+
+    filters = _filters_of(d)
+    if not filters:
+        return body
+    for name, pm in zip(filters, _parms_of(d, len(filters))):
+        if name in (b"FlateDecode", b"Fl"):
+            body = zlib.decompress(body)
+        elif name in (b"LZWDecode", b"LZW"):
+            early = _dict_num(pm, b"EarlyChange") if pm else None
+            body = lzw_decode(body, 1 if early is None else early)
+        elif name in DECODERS:
+            body = DECODERS[name](body)
+        elif name == b"Crypt":
+            continue  # decryption already ran (only /Identity survives)
+        else:
+            raise ValueError(f"unsupported stream filter {name!r}")
+        if pm and name in (b"FlateDecode", b"Fl", b"LZWDecode", b"LZW"):
+            pred = _dict_num(pm, b"Predictor") or 1
+            cols = _dict_num(pm, b"Columns") or 1
             body = _unpredict(body, pred, cols)
     return body
 
@@ -1258,20 +1311,14 @@ _CONTAINER_TYPE_RE = re.compile(rb"/Type\s*/(ObjStm|XRef)\b")
 
 
 def _stream_contents(data: bytes):
-    """Decoded (inflated if /FlateDecode) content string per stream —
-    the positional fallback path (no xref needed)."""
-    import zlib
-
+    """Decoded (/Filter chain applied) content string per stream — the
+    positional fallback path (no xref needed).  Corrupt or unsupported
+    (image-only) filters skip the stream deterministically."""
     for sdict, raw in _stream_segments(data):
         if _CONTAINER_TYPE_RE.search(sdict):
             continue  # object/xref container, not page content
-        if _is_flate(sdict):
-            try:
-                raw = zlib.decompress(raw)
-            except Exception:
-                continue  # corrupt compressed stream — skip deterministically
         try:
-            yield raw.decode("latin-1")
+            yield _decode_stream_body(sdict, raw).decode("latin-1")
         except Exception:
             continue
 
@@ -1810,14 +1857,26 @@ def _page_content(blocks: list[dict], cmap: dict[str, int] | None = None) -> str
     return "".join(parts)
 
 
-def _stream_obj(content: str, compress: bool) -> str:
-    if compress:
-        import zlib
+def _stream_obj(content: str, compress: bool | str) -> str:
+    """Serialize one stream object.  ``compress`` is False (raw), True
+    (/FlateDecode), or a '+'-joined DECODE-order filter-chain spec
+    (e.g. ``"ASCII85Decode+FlateDecode"``) — encoding applies the chain
+    in reverse, mirroring how a reader undoes it front-to-back."""
+    if not compress:
+        return f"<< /Length {len(content)} >>\nstream\n{content}\nendstream"
+    import zlib
 
-        body = zlib.compress(content.encode("latin-1"))
-        return (f"<< /Length {len(body)} /Filter /FlateDecode >>\nstream\n"
-                + body.decode("latin-1") + "\nendstream")
-    return f"<< /Length {len(content)} >>\nstream\n{content}\nendstream"
+    from ocr_spark.functions.pdffilters import ENCODERS
+
+    names = ["FlateDecode"] if compress is True else compress.split("+")
+    body = content.encode("latin-1")
+    for name in reversed(names):
+        body = (zlib.compress(body) if name == "FlateDecode"
+                else ENCODERS[name.encode("ascii")](body))
+    filt = (f"/{names[0]}" if len(names) == 1
+            else "[" + " ".join("/" + n for n in names) + "]")
+    return (f"<< /Length {len(body)} /Filter {filt} >>\nstream\n"
+            + body.decode("latin-1") + "\nendstream")
 
 
 def _rot_author_blocks(blocks: list[dict], rotate: int) -> list[dict]:

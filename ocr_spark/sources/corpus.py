@@ -183,7 +183,7 @@ def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
              pdf_link_every: int = 0, ocr_layer_every: int = 0,
              field_every: int = 0, encrypted_every: int = 0,
              outline_every: int = 0, rc4_every: int = 0,
-             aes_every: int = 0) -> dict:
+             aes_every: int = 0, filter_every: int = 0) -> dict:
     """Pure function (seed, i) → one interleaved document row.
 
     ``heft`` multiplies per-payload content volume (paragraphs / PDF text
@@ -228,7 +228,11 @@ def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
     ``aes_every=N`` likewise AES-encrypts every Nth PDF span, cycling
     /AESV2 (AES-128 crypt filter), V=4 /CFM /V2, and PDF 2.0 /AESV3
     (AES-256 R=6) by span index so all three handler generations are
-    exercised corpus-wide; 0 = never (default, goldens bit-identical)."""
+    exercised corpus-wide; ``filter_every=N`` writes every Nth PDF
+    span's content streams under a non-Flate /Filter chain, cycling
+    LZWDecode, [ASCII85Decode FlateDecode], ASCIIHexDecode, and
+    RunLengthDecode by span index (the older-producer / ASCII-armored
+    corpus slice); 0 = never (default, goldens bit-identical)."""
     doc_id = f"doc{i:08d}"
     rng = _rng(seed, "doc", i)
     n = 1 + min(int(rng.lognormvariate(0.8, 0.7)), 40)
@@ -270,11 +274,17 @@ def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
             aes = (("AESV2", "V2", "AESV3")[(i + j) // aes_every % 3]
                    if aes_every and (i + j) % aes_every == 0
                    and not (xrs or t0f) and not (enc or rc4) else None)
+            flt = (("LZWDecode", "ASCII85Decode+FlateDecode",
+                    "ASCIIHexDecode", "RunLengthDecode")
+                   [(i + j) // filter_every % 4]
+                   if filter_every and (i + j) % filter_every == 0
+                   and not enc else None)
             trng2 = (_rng(seed, "toc", i, j)
                      if outline_every and (i + j) % outline_every == 0
                      and not (xrs or t0f) else None)
             sp = {"kind": "pdf_bytes",
-                  "text": _pdf_payload(srng, heft, compress=comp,
+                  "text": _pdf_payload(srng, heft,
+                                       compress=flt if flt else comp,
                                        xref_stream=xrs or t0f, type0=t0f,
                                        form_xobject=frm, link_rng=lrng,
                                        ocr_rng=orng, field_rng=frng,
@@ -295,12 +305,13 @@ def make_docs(n_docs: int, seed: int = 42, mega_every: int = 1000,
               pdf_link_every: int = 0, ocr_layer_every: int = 0,
               field_every: int = 0, encrypted_every: int = 0,
               outline_every: int = 0, rc4_every: int = 0,
-              aes_every: int = 0) -> list[dict]:
+              aes_every: int = 0, filter_every: int = 0) -> list[dict]:
     """Driver-side generation for small test fixtures (pure Python)."""
     return [make_doc(i, seed, mega_every, heft, compress_every, xref_every,
                      type0_every, form_every, html_table_every,
                      pdf_link_every, ocr_layer_every, field_every,
-                     encrypted_every, outline_every, rc4_every, aes_every)
+                     encrypted_every, outline_every, rc4_every, aes_every,
+                     filter_every)
             for i in range(n_docs)]
 
 

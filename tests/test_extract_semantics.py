@@ -1772,6 +1772,116 @@ def test_pdf_aes_decrypt_roundtrip():
         assert got == ref, kw
 
 
+def test_pdf_filter_codecs_kat_and_roundtrip():
+    """The from-scratch LZW/ASCII85/ASCIIHex/RunLength codecs
+    (functions/pdffilters.py): LZW pinned to the PDF 32000-1 §7.4.4.2
+    worked example (incl. the EarlyChange bit-width convention), ASCII85
+    to the classic btoa vector, plus seeded encode→decode round-trips
+    over low-entropy and full-byte payloads large enough to cross LZW
+    width growth (9→12 bits) and table resets."""
+    import random
+
+    from ocr_spark.functions.pdffilters import (
+        ascii85_decode, ascii85_encode, ascii_hex_decode, ascii_hex_encode,
+        lzw_decode, lzw_encode, runlength_decode, runlength_encode)
+
+    src = bytes([45] * 5 + [65] + [45] * 3 + [66])
+    assert lzw_encode(src) == bytes.fromhex("800b6050220c0c8501")
+    assert lzw_decode(bytes.fromhex("800b6050220c0c8501")) == src
+    assert ascii85_encode(b"Man ") == b"9jqo^~>"
+    assert ascii85_decode(b"9jqo^~>") == b"Man "
+    assert ascii85_decode(b"z~>") == b"\x00" * 4
+    assert ascii_hex_decode(b"48 6\n9>") == b"Hi"  # odd digit → pad 0
+    assert runlength_decode(bytes([2]) + b"abc" + bytes([254, 120, 128])) \
+        == b"abc" + b"x" * 3
+
+    rng = random.Random(11)
+    for trial in range(40):
+        n = rng.randint(0, 3000)
+        b = bytes(rng.randrange(4 if trial % 2 else 256) for _ in range(n))
+        for enc, dec in ((lzw_encode, lzw_decode),
+                         (ascii85_encode, ascii85_decode),
+                         (ascii_hex_encode, ascii_hex_decode),
+                         (runlength_encode, runlength_decode)):
+            assert dec(enc(b)) == b, (trial, enc.__name__)
+    big = bytes(random.Random(12).randrange(16) for _ in range(200_000))
+    assert lzw_decode(lzw_encode(big)) == big  # width growth + resets
+
+    # corrupt payloads raise (never silently mis-decode)
+    for dec, bad in ((ascii_hex_decode, b"4G>"), (ascii85_decode, b"\x20v"),
+                     (runlength_decode, bytes([5]) + b"ab"),
+                     (lzw_decode, bytes([0xFF] * 8))):
+        try:
+            dec(bad)
+        except ValueError:
+            continue
+        raise AssertionError(f"{dec.__name__} accepted corrupt input")
+
+
+def test_pdf_filter_chains_extract_identically():
+    """Content streams under every supported /Filter — LZW, ASCIIHex,
+    ASCII85, RunLength, and two-stage CHAINS (ASCII armor over
+    Flate/LZW) — extract span-for-span identically to the raw twin;
+    abbreviated names (/LZW) and image-only filters (/DCTDecode →
+    skip-not-garbage) are honored."""
+    from ocr_spark.functions.pdfx import extract_pdf_blocks, write_pdf
+
+    blocks = [
+        {"kind": "text", "x": 72, "y": 700,
+         "lines": ["filter chain body text", "second line of words here"]},
+        {"kind": "field", "x": 72, "y": 600, "name": "Name", "value": "Ada"},
+    ]
+    ref = [(b.kind, b.text) for b in extract_pdf_blocks(write_pdf(blocks))]
+    assert any("filter chain body" in t for _, t in ref)
+    for spec in ("LZWDecode", "ASCIIHexDecode", "RunLengthDecode",
+                 "ASCII85Decode+FlateDecode", "ASCII85Decode+LZWDecode",
+                 "RunLengthDecode+FlateDecode", "ASCIIHexDecode+LZWDecode"):
+        got = [(b.kind, b.text)
+               for b in extract_pdf_blocks(write_pdf(blocks, compress=spec))]
+        assert got == ref, spec
+
+    # abbreviated name form
+    abbr = write_pdf(blocks, compress="LZWDecode").replace(
+        b"/LZWDecode", b"/LZW      ")
+    assert [(b.kind, b.text) for b in extract_pdf_blocks(abbr)] == ref
+
+    # image-only filter on a content stream: skip, never phantom text
+    bad = write_pdf(blocks, compress=True).replace(
+        b"/FlateDecode", b"/DCTDecode  ")
+    assert extract_pdf_blocks(bad) == []
+
+    # truncated LZW payload: deterministic skip, no crash
+    lzw = bytearray(write_pdf(blocks, compress="LZWDecode"))
+    i = lzw.find(b"stream\n") + 7
+    lzw[i:i + 40] = bytes(40)
+    assert isinstance(extract_pdf_blocks(bytes(lzw)), list)
+
+
+def test_filter_corpus_spark_pipeline_matches_plain_twin(spark):
+    """Spark-level A/B for non-Flate stream filters: ``filter_every``
+    cycles LZW / ASCII85+Flate / ASCIIHex / RunLength across the corpus
+    and the distributed extract stage produces spans IDENTICAL to the
+    same-seed filter-off twin."""
+    from ocr_spark.sources.corpus import SPAN_SCHEMA_DDL
+
+    plain = make_docs(80, seed=35, mega_every=40)
+    enc = make_docs(80, seed=35, mega_every=40, filter_every=3)
+    kinds = {k for d in enc for s in d["spans"]
+             if s["kind"] == "pdf_bytes"
+             for k in ("LZWDecode", "ASCII85Decode", "ASCIIHexDecode",
+                       "RunLengthDecode") if "/" + k in s["text"]}
+    assert len(kinds) >= 3, kinds
+
+    def run(docs):
+        sdf = spark.createDataFrame(
+            [(d["doc_id"], [tuple(s.values()) for s in d["spans"]])
+             for d in docs], SPAN_SCHEMA_DDL).repartition(7)
+        rows = extract_stage(sdf).collect()
+        return _canonical([r.asDict(recursive=True) for r in rows])
+
+    assert run(enc) == run(plain)
+
+
 def test_pdf_text_utf8_bom_strings():
     """PDF 2.0 UTF-8 text strings (EF BB BF BOM, ISO 32000-2 §7.9.2.2)
     decode like the UTF-16BE form; malformed payloads under either BOM

@@ -46,6 +46,14 @@ class ExtractConfig:
     # content.  False drops mode-3 runs at parse time — the hidden-text
     # keyword-spam defense a web-corpus curation pipeline wants.
     keep_invisible_text: bool = True
+    # marked-content /Artifact spans (``/Artifact <<…>> BDC … EMC``,
+    # PDF 32000 §14.8.2.2) — how real producers tag running headers/
+    # footers, page numbers, watermarks, and decorative rules as
+    # non-content.  False (default) strips them at parse time: they are
+    # by definition not main content.  True keeps them for archival
+    # extraction (they then classify through the normal band/layout
+    # heuristics like untagged headers/footers).
+    keep_artifacts: bool = False
 
     # ---- skew handling (E2) ----
     # Stable bucket count for lineage/restart AND the salted shuffle key:

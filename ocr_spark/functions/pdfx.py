@@ -1038,6 +1038,8 @@ def parse_tounicode_cmap(data: bytes) -> dict[int, str]:
     txt = data.decode("latin-1", errors="replace")
 
     def _u(hexstr: str) -> str:
+        if len(hexstr) % 2:  # odd digit count: implicit leading 0
+            hexstr = "0" + hexstr
         raw = bytes.fromhex(hexstr)
         try:
             return raw.decode("utf-16-be")
@@ -1057,9 +1059,17 @@ def parse_tounicode_cmap(data: bytes) -> dict[int, str]:
                 block):
             lo, hi = int(m.group(1), 16), int(m.group(2), 16)
             if m.group(3) is not None:  # contiguous run from a base dst
-                base = int(m.group(3), 16)
+                # decode the base THROUGH UTF-16BE and step its last
+                # character: a non-BMP base (8-hex-digit surrogate
+                # pair) or a multi-char ligature expansion increments
+                # the final code point — int(hex) would misread a
+                # surrogate pair as one 32-bit scalar
+                base_s = _u(m.group(3))
+                last = ord(base_s[-1]) if base_s else None
                 for c in range(lo, hi + 1):
-                    cmap[c] = chr(base + (c - lo))
+                    if last is None or last + (c - lo) > 0x10FFFF:
+                        break
+                    cmap[c] = base_s[:-1] + chr(last + (c - lo))
             else:  # explicit per-code destination array
                 dsts = re.findall(r"<([0-9A-Fa-f]+)>", m.group(4))
                 for c, dst in zip(range(lo, hi + 1), dsts):
@@ -1415,6 +1425,100 @@ def _strip_inline_images(content: str) -> str:
     return "".join(out)
 
 
+_MC_WORD_RE = re.compile(r"[A-Za-z'\"*]+")
+_NAME_WORD_RE = re.compile(r"[A-Za-z0-9]*")
+
+
+def _strip_artifacts(content: str) -> str:
+    """Remove ``/Artifact … BDC … EMC`` marked-content spans (PDF 32000
+    §14.8.2.2): real producers tag running headers/footers, page
+    numbers, watermarks, and decorative rules as pagination/layout
+    artifacts — by definition NOT part of the page's real content, so a
+    main-content extractor drops them (``cfg.keep_artifacts`` keeps
+    them for archival extraction).
+
+    The scan mirrors ``_strip_inline_images``: literal ``(…)`` and hex
+    ``<…>`` strings are skipped (prose mentioning ``/Artifact BDC`` is
+    never stripped), ``<<…>>`` property dicts are skipped opaquely so
+    names inside them can't masquerade as the tag operand, and nested
+    marked content inside an artifact (``BMC``/``BDC`` … ``EMC``) is
+    counted so the strip ends at the MATCHING ``EMC``.  An unterminated
+    artifact drops the stream remainder — corrupt spans must never leak
+    as phantom content.  Non-artifact marked content (``/Span``,
+    ``/P``, ``/ReversedChars`` …) passes through untouched: the main
+    tokenizer treats BMC/BDC/EMC as unknown no-op operators."""
+    if "/Artifact" not in content:
+        return content
+    out: list[str] = []
+    pos = 0           # start of not-yet-emitted text
+    i, n = 0, len(content)
+    ddepth = 0        # << >> dict nesting (operands are opaque inside)
+    art_depth = 0     # marked-content nesting INSIDE an open artifact
+    art_from = 0      # splice start (the /Artifact tag position)
+    first_operand: str | None = None
+    operand_pos = 0
+    while i < n:
+        c = content[i]
+        if c == "(":  # literal string: skip to balanced close
+            depth = 1
+            i += 1
+            while i < n and depth:
+                ch = content[i]
+                if ch == "\\":
+                    i += 2
+                    continue
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                i += 1
+            continue
+        if c == "<":
+            if content[i + 1:i + 2] == "<":  # dict open
+                ddepth += 1
+                i += 2
+                continue
+            j = content.find(">", i + 1)  # hex string
+            i = n if j == -1 else j + 1
+            continue
+        if c == ">" and content[i + 1:i + 2] == ">":
+            ddepth = max(0, ddepth - 1)
+            i += 2
+            continue
+        if ddepth:
+            i += 1
+            continue
+        if c == "/":
+            m = _NAME_WORD_RE.match(content, i + 1)
+            if first_operand is None:
+                first_operand, operand_pos = m.group(0), i
+            i = m.end()
+            continue
+        if c.isalpha() and (i == 0 or content[i - 1] in _PDF_DELIMS):
+            m = _MC_WORD_RE.match(content, i)
+            word = m.group(0)
+            if word in ("BDC", "BMC"):
+                if art_depth:
+                    art_depth += 1
+                elif first_operand == "Artifact":
+                    art_depth, art_from = 1, operand_pos
+            elif word == "EMC" and art_depth:
+                art_depth -= 1
+                if art_depth == 0:
+                    out.append(content[pos:art_from])
+                    out.append(" ")
+                    pos = m.end()
+            first_operand = None
+            i = m.end()
+            continue
+        i += 1
+    if art_depth:  # unterminated artifact: drop the remainder
+        out.append(content[pos:art_from])
+        return "".join(out)
+    out.append(content[pos:])
+    return "".join(out)
+
+
 def _cid_decode(raw: str, cmap: dict[int, str]) -> str:
     """Type0/CID show-string: consecutive 2-byte codes through the
     font's ToUnicode CMap (Identity-H byte order); unmapped codes keep
@@ -1435,6 +1539,8 @@ def _parse_content(content, runs, figures, cfg, fonts=None, xobjs=None,
     # current transformation matrix (the standard `q w 0 0 h x y cm
     # BI … EI Q` producer idiom)
     content = _strip_inline_images(content)
+    if not cfg.keep_artifacts:
+        content = _strip_artifacts(content)
     toks = _TOK_RE.findall(content)
     x = y = 0.0
     size = 12.0
@@ -1826,6 +1932,14 @@ def _page_content(blocks: list[dict], cmap: dict[str, int] | None = None) -> str
             figs.append(b)
             continue
         x, y = b["x"], b["y"]
+        art = b.get("artifact")
+        if art:
+            # tagged pagination artifact (PDF 32000 §14.8.2.2): how real
+            # producers mark running headers/footers/watermarks as
+            # non-content; the extractor strips the whole span unless
+            # cfg.keep_artifacts
+            parts.append(f"/Artifact <</Type /Pagination /Subtype /{art}>>"
+                         " BDC\n")
         if b.get("invisible"):
             # the OCR-layer idiom: text painted in rendering mode 3
             # (invisible) over the scanned page image
@@ -1841,6 +1955,8 @@ def _page_content(blocks: list[dict], cmap: dict[str, int] | None = None) -> str
                 parts.append(f"({_esc(line)}) Tj\n")
         if b.get("invisible"):
             parts.append("0 Tr\n")
+        if art:
+            parts.append("EMC\n")
     parts.append("ET\n")
     for b in figs:
         w, h = b.get("w", 100), b.get("h", 80)

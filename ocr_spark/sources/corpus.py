@@ -96,10 +96,22 @@ def _pdf_payload(rng: random.Random, heft: int = 1,
                  field_rng: random.Random | None = None,
                  encrypted: bool = False, rc4: bool = False,
                  outline_rng: random.Random | None = None,
-                 aes: str | None = None) -> str:
+                 aes: str | None = None, artifact: bool = False) -> str:
     blocks = [
         {"kind": "header", "x": 72, "y": 760, "lines": [f"Page header {_words(rng, 2)}"]},
     ]
+    if artifact:
+        # the tagged-producer variant: running header/footer carry
+        # /Artifact marked content (redundant with the band heuristic —
+        # both paths drop them), PLUS a mid-page watermark that ONLY
+        # the artifact tag identifies as non-content (the band
+        # heuristic keeps mid-page text).  Constant text: must not
+        # consume rng draws, so the tagged corpus's other spans stay
+        # bit-identical to the untagged twin.
+        blocks[0]["artifact"] = "Header"
+        blocks.append({"kind": "text", "x": 180, "y": 400,
+                       "lines": ["DRAFT - internal review copy"],
+                       "artifact": "Watermark"})
     y = 700
     for _ in range(rng.randint(1, 3) * heft):
         n_lines = rng.randint(2, 6)
@@ -151,7 +163,8 @@ def _pdf_payload(rng: random.Random, heft: int = 1,
                 "name": _words(field_rng, 1),
                 "value": _words(field_rng, field_rng.randint(1, 4)),
             })
-    blocks.append({"kind": "footer", "x": 72, "y": 30, "lines": ["p. 1"]})
+    blocks.append({"kind": "footer", "x": 72, "y": 30, "lines": ["p. 1"],
+                   **({"artifact": "Footer"} if artifact else {})})
     # /Outlines bookmarks (forked rng): 1-3 titles, incl. a non-latin-1
     # one so the UTF-16BE title path is exercised corpus-wide
     outlines = None
@@ -183,7 +196,8 @@ def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
              pdf_link_every: int = 0, ocr_layer_every: int = 0,
              field_every: int = 0, encrypted_every: int = 0,
              outline_every: int = 0, rc4_every: int = 0,
-             aes_every: int = 0, filter_every: int = 0) -> dict:
+             aes_every: int = 0, filter_every: int = 0,
+             artifact_every: int = 0) -> dict:
     """Pure function (seed, i) → one interleaved document row.
 
     ``heft`` multiplies per-payload content volume (paragraphs / PDF text
@@ -232,7 +246,13 @@ def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
     span's content streams under a non-Flate /Filter chain, cycling
     LZWDecode, [ASCII85Decode FlateDecode], ASCIIHexDecode, and
     RunLengthDecode by span index (the older-producer / ASCII-armored
-    corpus slice); 0 = never (default, goldens bit-identical)."""
+    corpus slice); ``artifact_every=N`` tags every Nth PDF span's
+    running header and footer as ``/Artifact … BDC … EMC`` marked
+    content (the tagged-producer variant, PDF 32000 §14.8.2.2) —
+    extraction must DROP exactly those two blocks under the default
+    ``keep_artifacts=False`` and reproduce the untagged twin under
+    ``keep_artifacts=True``; 0 = never (default, goldens
+    bit-identical)."""
     doc_id = f"doc{i:08d}"
     rng = _rng(seed, "doc", i)
     n = 1 + min(int(rng.lognormvariate(0.8, 0.7)), 40)
@@ -279,6 +299,7 @@ def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
                    [(i + j) // filter_every % 4]
                    if filter_every and (i + j) % filter_every == 0
                    and not enc else None)
+            art = bool(artifact_every) and (i + j) % artifact_every == 0
             trng2 = (_rng(seed, "toc", i, j)
                      if outline_every and (i + j) % outline_every == 0
                      and not (xrs or t0f) else None)
@@ -289,7 +310,8 @@ def make_doc(i: int, seed: int = 42, mega_every: int = 1000,
                                        form_xobject=frm, link_rng=lrng,
                                        ocr_rng=orng, field_rng=frng,
                                        encrypted=enc, rc4=rc4,
-                                       outline_rng=trng2, aes=aes),
+                                       outline_rng=trng2, aes=aes,
+                                       artifact=art),
                   "media_ref": None, "offset": offset}
         else:
             sp = {"kind": "media", "text": None,
@@ -305,13 +327,14 @@ def make_docs(n_docs: int, seed: int = 42, mega_every: int = 1000,
               pdf_link_every: int = 0, ocr_layer_every: int = 0,
               field_every: int = 0, encrypted_every: int = 0,
               outline_every: int = 0, rc4_every: int = 0,
-              aes_every: int = 0, filter_every: int = 0) -> list[dict]:
+              aes_every: int = 0, filter_every: int = 0,
+              artifact_every: int = 0) -> list[dict]:
     """Driver-side generation for small test fixtures (pure Python)."""
     return [make_doc(i, seed, mega_every, heft, compress_every, xref_every,
                      type0_every, form_every, html_table_every,
                      pdf_link_every, ocr_layer_every, field_every,
                      encrypted_every, outline_every, rc4_every, aes_every,
-                     filter_every)
+                     filter_every, artifact_every)
             for i in range(n_docs)]
 
 

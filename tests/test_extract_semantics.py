@@ -652,6 +652,28 @@ def test_tounicode_cmap_parser_forms():
     assert (cmap[0x10], cmap[0x11], cmap[0x12]) == ("a", "b", "c")
     assert (cmap[0x20], cmap[0x21]) == ("X", "Z")
 
+    # non-BMP bfrange base (UTF-16BE surrogate pair, 8 hex digits):
+    # stepping must increment the CODE POINT, not misread the pair as
+    # one 32-bit scalar; ligature-expansion bases step their LAST char;
+    # odd-digit hex gets an implicit leading zero (both in the wild)
+    cmap = parse_tounicode_cmap(b"""
+    begincmap
+    1 beginbfrange
+    <0030> <0032> <D835DC00>
+    endbfrange
+    1 beginbfrange
+    <0040> <0041> <00660069>
+    endbfrange
+    1 beginbfchar
+    <0050> <041>
+    endbfchar
+    endcmap
+    """)
+    assert (cmap[0x30], cmap[0x31], cmap[0x32]) == (
+        "\U0001D400", "\U0001D401", "\U0001D402")
+    assert (cmap[0x40], cmap[0x41]) == ("fi", "fj")
+    assert cmap[0x50] == "A"
+
 
 def test_type0_corpus_extracts_identically(spark):
     """Corpus-wide A/B: rendering every PDF span through the synthetic
@@ -1945,3 +1967,93 @@ def test_aes_corpus_spark_pipeline_matches_plain_twin(spark):
         return _canonical([r.asDict(recursive=True) for r in rows])
 
     assert run(enc) == run(plain)
+
+
+def test_artifact_marked_content_stripped():
+    """``/Artifact … BDC … EMC`` pagination artifacts (PDF 32000
+    §14.8.2.2 — how real producers tag running headers/footers) are
+    dropped whole under the default config, kept verbatim under
+    ``keep_artifacts=True``, and the scanner is string-aware: prose
+    mentioning the operators is never treated as a span."""
+    from ocr_spark.config import ExtractConfig
+    from ocr_spark.functions.pdfx import (_strip_artifacts,
+                                          extract_pdf_blocks, write_pdf)
+
+    blocks = [
+        {"kind": "header", "x": 72, "y": 760,
+         "lines": ["Running header"], "artifact": "Header"},
+        {"kind": "text", "x": 72, "y": 700,
+         "lines": ["body line one", "body line two"]},
+        {"kind": "footer", "x": 72, "y": 30,
+         "lines": ["p. 1"], "artifact": "Footer"},
+    ]
+    plain = [{k: v for k, v in b.items() if k != "artifact"} for b in blocks]
+
+    def spans(data, **kw):
+        return [(b.kind, [ln.text for ln in b.lines])
+                for b in extract_pdf_blocks(data, ExtractConfig(**kw))]
+
+    for kw in ({}, {"compress": True}, {"xref_stream": True},
+               {"type0": True, "xref_stream": True}):
+        tagged, untagged = write_pdf(blocks, **kw), write_pdf(plain, **kw)
+        assert spans(tagged) == [("text-block",
+                                  ["body line one", "body line two"])], kw
+        assert spans(tagged, keep_artifacts=True) == spans(untagged), kw
+
+    # scanner edge cases -------------------------------------------------
+    # prose mentioning the operators inside a literal string: untouched
+    c = "BT (see the /Artifact <<x>> BDC marker) Tj ET"
+    assert _strip_artifacts(c) == c
+    # nested marked content inside an artifact ends at the MATCHING EMC
+    r = _strip_artifacts("/Artifact <</Type /Pagination>> BDC (hdr) Tj "
+                         "/Span <<>> BDC (in) Tj EMC (hdr2) Tj EMC "
+                         "(body) Tj")
+    assert "hdr" not in r and "(in)" not in r and "(body) Tj" in r
+    # unterminated artifact: remainder dropped, earlier content kept
+    r = _strip_artifacts("(keep) Tj /Artifact <<>> BDC (gone) Tj")
+    assert "(keep) Tj" in r and "gone" not in r
+    # BMC (no property list) form
+    r = _strip_artifacts("/Artifact BMC (w) Tj EMC (b) Tj")
+    assert "(w)" not in r and "(b) Tj" in r
+    # non-artifact marked content passes through untouched
+    r = _strip_artifacts("/Artifact BMC EMC /P <</MCID 0>> BDC (para) Tj EMC")
+    assert "(para) Tj" in r and "/P" in r
+
+
+def test_artifact_corpus_spark_pipeline_drops_tagged_watermark(spark):
+    """Corpus-wide A/B for tagged pagination artifacts
+    (artifact_every=2).  Tagged payloads carry a MID-PAGE watermark
+    that only the /Artifact tag identifies as non-content (the
+    header/footer band heuristic keeps mid-page text): under the
+    default config the tagged corpus extracts span-for-span IDENTICAL
+    to the untagged twin — the watermark never leaks — while
+    ``keep_artifacts=True`` surfaces exactly one watermark span per
+    tagged payload, proving the default-path equality is the strip at
+    work and not a vacuous no-op."""
+    from ocr_spark.config import ExtractConfig
+    from ocr_spark.sources.corpus import SPAN_SCHEMA_DDL
+
+    plain = make_docs(60, seed=35, mega_every=40)
+    tagged = make_docs(60, seed=35, mega_every=40, artifact_every=2)
+    n_tagged = sum(1 for d in tagged for s in d["spans"]
+                   if s["kind"] == "pdf_bytes" and "/Artifact" in s["text"])
+    assert n_tagged > 0, "artifact knob never fired"
+
+    def run(docs, cfg=DEFAULT):
+        sdf = spark.createDataFrame(
+            [(d["doc_id"], [tuple(s.values()) for s in d["spans"]])
+             for d in docs], SPAN_SCHEMA_DDL).repartition(7)
+        rows = extract_stage(sdf, cfg).collect()
+        return _canonical([r.asDict(recursive=True) for r in rows])
+
+    base = run(plain)
+    assert run(tagged) == base  # watermark + tagged header/footer all gone
+
+    kept = run(tagged, ExtractConfig(keep_artifacts=True))
+    n_wm = sum("DRAFT - internal review copy" in t
+               for spans in kept.values() for _, t, _, _ in spans
+               if t is not None)
+    assert n_wm == n_tagged
+    n_wm_base = sum("DRAFT" in t for spans in base.values()
+                    for _, t, _, _ in spans if t is not None)
+    assert n_wm_base == 0

@@ -1545,7 +1545,8 @@ def _parse_content(content, runs, figures, cfg, fonts=None, xobjs=None,
     x = y = 0.0
     size = 12.0
     leading = 14.0
-    ctm = (1.0, 1.0, 0.0, 0.0)  # (a, d, e, f) of the last cm seen
+    ctm = (1.0, 1.0, 0.0, 0.0)  # CTM (a, d, e, f) — b=c=0 subset
+    gs_stack: list[tuple] = []  # q/Q save/restore: (ctm, Tr mode)
     in_text = False
     stack: list = []  # operand stack (numbers / strings / arrays)
     arr: list | None = None
@@ -1669,7 +1670,18 @@ def _parse_content(content, runs, figures, cfg, fonts=None, xobjs=None,
                 figures.append(tuple(v))
         elif t == "cm":
             if (v := nums(6)) is not None:
-                ctm = (v[0], v[3], v[4], v[5])
+                # concatenate with the current CTM (PDF 32000 §8.4.4) —
+                # replacing instead only looks right when every producer
+                # wraps each placement in its own q…cm…Q; diag+translate
+                # subset (b=c=0), matching all placement math here
+                a, d, e, f = ctm
+                ctm = (v[0] * a, v[3] * d, v[4] * a + e, v[5] * d + f)
+        elif t == "q":
+            if len(gs_stack) < 64:  # bound: corrupt streams can spam q
+                gs_stack.append((ctm, mode))
+        elif t == "Q":
+            if gs_stack:
+                ctm, mode = gs_stack.pop()
         elif t == "INLIMG":
             if not in_text:
                 # unit image square scaled by (a, d), placed at (e, f)

@@ -2057,3 +2057,39 @@ def test_artifact_corpus_spark_pipeline_drops_tagged_watermark(spark):
     n_wm_base = sum("DRAFT" in t for spans in base.values()
                     for _, t, _, _ in spans if t is not None)
     assert n_wm_base == 0
+
+
+def test_graphics_state_q_Q_save_restore():
+    """``q``/``Q`` save/restore the graphics state and ``cm``
+    CONCATENATES with the current CTM (PDF 32000 §8.4.4): a placement
+    after ``q … cm … Q`` must see the identity CTM again (not the
+    leaked scale), nested ``cm`` compose, and the text rendering mode
+    (Tr — text state, part of the graphics state) restores on Q.  The
+    synthetic writer masks all three (every placement carries its own
+    q…cm…Q with a single cm) — these are real-producer stream shapes."""
+    from ocr_spark.config import DEFAULT, ExtractConfig
+    from ocr_spark.functions.pdfx import _parse_content
+
+    xobjs = {"Im1": ("image",), "Im2": ("image",)}
+
+    runs, figs = [], []
+    _parse_content("q 2 0 0 2 10 20 cm /Im1 Do Q /Im2 Do",
+                   runs, figs, DEFAULT, None, xobjs)
+    assert figs == [(10.0, 20.0, 2.0, 2.0), (0.0, 0.0, 1.0, 1.0)]
+
+    runs, figs = [], []
+    _parse_content("q 2 0 0 2 0 0 cm q 1 0 0 1 5 5 cm /Im1 Do Q Q /Im2 Do",
+                   runs, figs, DEFAULT, None, xobjs)
+    assert figs == [(10.0, 10.0, 2.0, 2.0), (0.0, 0.0, 1.0, 1.0)]
+
+    cfg = ExtractConfig(keep_invisible_text=False)
+    runs, figs = [], []
+    _parse_content("q BT 3 Tr (hidden) Tj ET Q BT (visible) Tj ET",
+                   runs, figs, cfg)
+    assert [r.text for r in runs] == ["visible"]
+
+    # corrupt shapes degrade, never raise: unbalanced Q, spammed q
+    runs, figs = [], []
+    _parse_content("Q Q (t) 0 0 1 1 re f " + "q " * 200 + "/Im1 Do",
+                   runs, figs, DEFAULT, None, xobjs)
+    assert figs[0] == (0.0, 0.0, 1.0, 1.0)

@@ -27,6 +27,12 @@ class ExtractConfig:
     table_min_lines: int = 2                # a table block has >= this many lines
     table_col_gap_frac: float = 0.6         # ... and >= this fraction of columnar lines
     tj_space_kern: float = -100.0           # TJ adjustment below this inserts a space
+    # same-line run joining: a space is inferred between two runs on one
+    # baseline only when the x-gap between the previous run's estimated
+    # extent and the next run's start is at least this many ems —
+    # kerning/font-switch word fragments (small or negative gap)
+    # concatenate, word breaks (≥ ~0.2 em in real fonts) get the space
+    run_join_space_min: float = 0.15
     # multi-column reading order: a page splits at a vertical gutter —
     # an x-gap no body run crosses — at least this wide (pt), provided
     # both sides hold at least column_min_lines runs.  Full-width runs

@@ -1225,7 +1225,8 @@ def tokenize_pdf(data: bytes, cfg: ExtractConfig = DEFAULT) -> tuple[
         list[TextRun],
         list[tuple[int, float, float, float, float]],
         list[tuple[int, float, float, float, float, str]],
-        list[str]]:
+        list[str],
+        list[float]]:
     """Parse content streams → positioned text runs + figure rects +
     link-annotation rects + /Outlines bookmark titles (structured-parse
     path only — raw fragments have no catalog), PAGE-TAGGED: each
@@ -1247,13 +1248,14 @@ def tokenize_pdf(data: bytes, cfg: ExtractConfig = DEFAULT) -> tuple[
     figures: list[tuple[int, float, float, float, float]] = []
     links: list[tuple[int, float, float, float, float, str]] = []
     toc: list[str] = []
+    heights: list[float] = []  # per-page DISPLAY height (post-/Rotate)
     try:
         structured = _structured_page_contents(data)
     except _EncryptedPdf:
         # /Encrypt with no key: every string and stream body is
         # ciphertext — the only honest extraction is the empty one
         # (the doc still flows through lineage with 0 spans)
-        return runs, figures, links, toc
+        return runs, figures, links, toc, heights
     if structured is None:
         pages = [(content, {}, {}, 0, (612.0, 792.0), [], [])
                  for content in _stream_contents(data)]
@@ -1275,7 +1277,10 @@ def tokenize_pdf(data: bytes, cfg: ExtractConfig = DEFAULT) -> tuple[
         runs.extend(r)
         figures.extend((page, *fig) for fig in f)
         links.extend((page, *lk) for lk in lks)
-    return runs, figures, links, toc
+        # header/footer bands are fractions of the page's OWN height
+        # (A4 ≠ US Letter); rotation swaps the display axes
+        heights.append(media[0] if rot in (90, 270) else media[1])
+    return runs, figures, links, toc, heights
 
 
 def _rot_point(x: float, y: float, rot: int, media: tuple) -> tuple:
@@ -1713,7 +1718,8 @@ def _parse_content(content, runs, figures, cfg, fonts=None, xobjs=None,
     return runs, figures
 
 
-def assign_columns(runs, figures, cfg: ExtractConfig = DEFAULT):
+def assign_columns(runs, figures, cfg: ExtractConfig = DEFAULT,
+                   page_heights: list[float] | None = None):
     """Multi-column reading order: per page, find vertical gutters — an
     x-gap at least ``column_gutter_min`` wide that no BODY run's
     estimated extent crosses — and assign every run/figure a column
@@ -1728,8 +1734,11 @@ def assign_columns(runs, figures, cfg: ExtractConfig = DEFAULT):
     by_page: dict[int, list[TextRun]] = {}
     for r in runs:
         by_page.setdefault(r.page, []).append(r)
+    ph = page_heights or []
     bounds_by_page = {
-        page: _column_bounds(rs, cfg) for page, rs in by_page.items()
+        page: _column_bounds(
+            rs, cfg, ph[page] if page < len(ph) else cfg.page_height)
+        for page, rs in by_page.items()
     }
 
     def col_of(page: int, x: float) -> int:
@@ -1746,14 +1755,16 @@ def assign_columns(runs, figures, cfg: ExtractConfig = DEFAULT):
     return runs, out_figs
 
 
-def _column_bounds(rs: list, cfg: ExtractConfig) -> list[float]:
+def _column_bounds(rs: list, cfg: ExtractConfig,
+                   page_h: float | None = None) -> list[float]:
     """Gutter center x-positions for one page's runs (possibly several —
     3-column layouts split recursively by construction: every gap in the
     merged-interval walk is its own boundary)."""
     if not cfg.column_gutter_min or len(rs) < 2 * cfg.column_min_lines:
         return []
-    top_band = cfg.page_height * (1.0 - cfg.header_footer_band)
-    bot_band = cfg.page_height * cfg.header_footer_band
+    page_h = page_h or cfg.page_height
+    top_band = page_h * (1.0 - cfg.header_footer_band)
+    bot_band = page_h * cfg.header_footer_band
     body = [r for r in rs if bot_band < r.y < top_band]
     if len(body) < 2 * cfg.column_min_lines:
         return []
@@ -1776,11 +1787,19 @@ def _column_bounds(rs: list, cfg: ExtractConfig) -> list[float]:
     return bounds
 
 
-def group_lines(runs: list[TextRun]) -> list[PdfLine]:
+def group_lines(runs: list[TextRun],
+                cfg: ExtractConfig = DEFAULT) -> list[PdfLine]:
     """Group runs by (page, column, y) (y within 0.5pt) → lines;
     x-ordered text; line order = page, then column left→right, then top
     of page first — two runs at the same y in DIFFERENT columns are
-    different lines (merging them interleaves the columns' text)."""
+    different lines (merging them interleaves the columns' text).
+
+    Adjacent runs on one line join with a space only when the x-gap
+    between the previous run's estimated extent and the next run's
+    start is at least ``run_join_space_min`` ems: producers routinely
+    split one WORD across several Tj/Td runs for kerning or font
+    switches (``(ex) Tj 12.3 0 Td (ample) Tj``), and the unconditional
+    space the old join inserted broke those words apart."""
     lines: list[PdfLine] = []
     by_key: dict[tuple[int, int, float], list[TextRun]] = {}
     for r in runs:
@@ -1788,7 +1807,13 @@ def group_lines(runs: list[TextRun]) -> list[PdfLine]:
         by_key.setdefault(key, []).append(r)
     for page, col, y in sorted(by_key, key=lambda k: (k[0], k[1], -k[2])):
         rs = sorted(by_key[(page, col, y)], key=lambda r: r.x)
-        text = " ".join(r.text for r in rs)
+        parts = [rs[0].text]
+        for prev, r in zip(rs, rs[1:]):
+            gap = r.x - (prev.x + 0.5 * prev.size * len(prev.text))
+            if gap >= cfg.run_join_space_min * prev.size:
+                parts.append(" ")
+            parts.append(r.text)
+        text = "".join(parts)
         width = sum(0.5 * r.size * len(r.text) for r in rs)
         lines.append(PdfLine(y, rs[0].x, rs[0].x + width, text, rs[0].size,
                              page, col))
@@ -1796,7 +1821,8 @@ def group_lines(runs: list[TextRun]) -> list[PdfLine]:
 
 
 def group_blocks(lines: list[PdfLine], figures, cfg: ExtractConfig = DEFAULT,
-                 links=()) -> list[PdfBlock]:
+                 links=(), page_heights: list[float] | None = None
+                 ) -> list[PdfBlock]:
     """Lines (page/column-major, top→bottom) → blocks split on page or
     column change or y-gap; classify each block; final order (page,
     column, descending top-y) — page keys first so multi-page documents
@@ -1813,12 +1839,12 @@ def group_blocks(lines: list[PdfLine], figures, cfg: ExtractConfig = DEFAULT,
             ln.page != prev_page or ln.col != prev_col
             or (prev_y - ln.y) > cfg.block_gap
         ):
-            blocks.append(_finish_block(cur, cfg))
+            blocks.append(_finish_block(cur, cfg, page_heights))
             cur = []
         cur.append(ln)
         prev_y, prev_page, prev_col = ln.y, ln.page, ln.col
     if cur:
-        blocks.append(_finish_block(cur, cfg))
+        blocks.append(_finish_block(cur, cfg, page_heights))
     for fig in figures:
         if len(fig) == 6:
             pg, col, rx, ry, rw, rh = fig
@@ -1835,20 +1861,26 @@ def group_blocks(lines: list[PdfLine], figures, cfg: ExtractConfig = DEFAULT,
     return blocks
 
 
-def _finish_block(lines: list[PdfLine], cfg: ExtractConfig) -> PdfBlock:
+def _finish_block(lines: list[PdfLine], cfg: ExtractConfig,
+                  page_heights: list[float] | None = None) -> PdfBlock:
     x0 = min(ln.x0 for ln in lines)
     x1 = max(ln.x1 for ln in lines)
     y0 = min(ln.y for ln in lines)
     y1 = max(ln.y for ln in lines) + lines[0].size
-    kind = _classify_text_block(lines, (x0, y0, x1, y1), cfg)
+    pg, ph = lines[0].page, page_heights or []
+    kind = _classify_text_block(
+        lines, (x0, y0, x1, y1), cfg,
+        ph[pg] if 0 <= pg < len(ph) else cfg.page_height)
     return PdfBlock(kind, lines, (x0, y0, x1, y1), lines[0].page,
                     lines[0].col)
 
 
-def _classify_text_block(lines, bbox, cfg: ExtractConfig) -> str:
+def _classify_text_block(lines, bbox, cfg: ExtractConfig,
+                         page_h: float | None = None) -> str:
     # boilerplate: a single short line in the top/bottom page band (header/footer)
-    top_band = cfg.page_height * (1.0 - cfg.header_footer_band)
-    bot_band = cfg.page_height * cfg.header_footer_band
+    page_h = page_h or cfg.page_height
+    top_band = page_h * (1.0 - cfg.header_footer_band)
+    bot_band = page_h * cfg.header_footer_band
     if len(lines) == 1 and (lines[0].y >= top_band or lines[0].y <= bot_band):
         return "boilerplate"
     # table: enough lines and most lines columnar (>= 2 runs of 2+ spaces)
@@ -1867,12 +1899,13 @@ def extract_pdf_blocks(data: bytes, cfg: ExtractConfig = DEFAULT) -> list[PdfBlo
     synthetic corpus) are unchanged from the historical grouping.
     Link rects ride through column assignment as pseudo-figures so a
     link in the right column sorts with that column's reading order."""
-    runs, figures, links, toc = tokenize_pdf(data, cfg)
+    runs, figures, links, toc, heights = tokenize_pdf(data, cfg)
     fig_all = figures + [lk[:5] for lk in links]
-    runs, fig_all = assign_columns(runs, fig_all, cfg)
+    runs, fig_all = assign_columns(runs, fig_all, cfg, heights)
     figures6 = fig_all[:len(figures)]
     links7 = [(*f6, lk[5]) for f6, lk in zip(fig_all[len(figures):], links)]
-    blocks = group_blocks(group_lines(runs), figures6, cfg, links=links7)
+    blocks = group_blocks(group_lines(runs, cfg), figures6, cfg, links=links7,
+                          page_heights=heights)
     if toc:
         # bookmark titles lead the document (the bookmarks-panel reading
         # of a scanned book): one 'toc' block at page -1 sorts before
@@ -2072,7 +2105,8 @@ def write_pdf_pages(pages: list[list[dict]], compress: bool = False,
                     encoding_diffs: dict[int, str] | None = None,
                     hybrid: bool = False,
                     inherit_fonts: bool = False,
-                    outlines: list[str] | None = None) -> bytes:
+                    outlines: list[str] | None = None,
+                    page_size: tuple[float, float] = (612, 792)) -> bytes:
     """Multi-page variant: one content stream per page, each page its
     own coordinate space (the standard producer layout the per-stream
     extractor ordering relies on).  ``form_xobject=True`` moves each
@@ -2090,7 +2124,9 @@ def write_pdf_pages(pages: list[list[dict]], compress: bool = False,
         return _write_pdf_xref_stream(pages, compress, type0, hybrid)
     if rotate in (90, 180, 270):
         pages = [_rot_author_blocks(blocks, rotate) for blocks in pages]
-    media = "0 0 792 612" if rotate in (90, 270) else "0 0 612 792"
+    pw, ph = page_size
+    media = (f"0 0 {ph:g} {pw:g}" if rotate in (90, 270)
+             else f"0 0 {pw:g} {ph:g}")
     rot_attr = f" /Rotate {rotate}" if rotate in (90, 180, 270) else ""
     n = len(pages)
     cmap = _char_table(pages) if type0 else None

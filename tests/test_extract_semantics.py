@@ -1260,7 +1260,7 @@ def test_pdf_encrypted_emits_nothing():
                for b in extract_pdf_blocks(write_pdf(blocks)))
     enc = write_pdf_encrypted(blocks)
     assert extract_pdf_blocks(enc) == []
-    assert tokenize_pdf(enc) == ([], [], [], [])
+    assert tokenize_pdf(enc) == ([], [], [], [], [])
     # compressed variant
     assert extract_pdf_blocks(write_pdf_encrypted(blocks, compress=True)) == []
     # corrupt xref: structured parse fails, but the trailer /Encrypt
@@ -2093,3 +2093,48 @@ def test_graphics_state_q_Q_save_restore():
     _parse_content("Q Q (t) 0 0 1 1 re f " + "q " * 200 + "/Im1 Do",
                    runs, figs, DEFAULT, None, xobjs)
     assert figs[0] == (0.0, 0.0, 1.0, 1.0)
+
+
+def test_mediabox_page_height_drives_band_classification():
+    """Header/footer bands are fractions of the page's OWN /MediaBox
+    height, not a hardcoded US-Letter 792: a single body line at y=745
+    on an A4 page (842 high, band starts 757.8) is main content, while
+    the same content on a letter page (band starts 712.8) is a header
+    — the old fixed-height bands silently dropped upper-body text on
+    every A4 document."""
+    from ocr_spark.functions.pdfx import extract_pdf_blocks, write_pdf_pages
+
+    pages = [[
+        {"kind": "header", "x": 72, "y": 812, "lines": ["Page Header"]},
+        {"kind": "text", "x": 72, "y": 745,
+         "lines": ["single upper body line"]},
+        {"kind": "text", "x": 72, "y": 400,
+         "lines": ["mid page body", "second line"]},
+        {"kind": "footer", "x": 72, "y": 30, "lines": ["p. 1"]},
+    ]]
+    a4 = [(b.kind, b.text) for b in
+          extract_pdf_blocks(write_pdf_pages(pages, page_size=(595, 842)))]
+    assert ("text-block", "single upper body line") in a4
+    assert ("boilerplate", "Page Header") in a4
+    letter = [(b.kind, b.text) for b in
+              extract_pdf_blocks(write_pdf_pages(pages))]
+    assert ("boilerplate", "single upper body line") in letter
+
+
+def test_same_line_run_joining_is_gap_aware():
+    """Producers split one WORD across several Tj/Td runs for kerning
+    or font switches; a space is inferred between same-baseline runs
+    only when the x-gap clears ``run_join_space_min`` ems — fragments
+    rejoin seamlessly, real word breaks still get their space."""
+    from ocr_spark.functions.pdfx import extract_pdf_blocks
+
+    content = (b"BT /F1 12 Tf 1 0 0 1 72 400 Tm "
+               b"(exam) Tj 24.2 0 Td (ple) Tj 21 0 Td (word) Tj ET")
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+           b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+           b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+           b"4 0 obj << /Length " + str(len(content)).encode() +
+           b" >>\nstream\n" + content +
+           b"\nendstream\nendobj\ntrailer << /Root 1 0 R >>")
+    assert [b.text for b in extract_pdf_blocks(pdf)] == ["example word"]

@@ -1292,3 +1292,39 @@ def text_bigram_logprob(spark, sf):
              / F.count("*")).alias("avg_logprob"),
         )
     )
+
+
+@q(
+    "text_dehyphenate",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(
+             'pipe-' || chr(10) || 'lined ' || text ||
+             ' frag-' || chr(10) || 'mentation of the TOP-' ||
+             chr(10) || 'Secret file',
+             '([a-z])-' || chr(10) || '([a-z])', '\\1\\2', 'g'),
+             chr(10), ' ', 'g') AS text_clean
+    FROM documents
+    """,
+)
+def text_dehyphenate(spark, sf):
+    """Line-break dehyphenation after PDF extraction: justified print
+    layouts break words at line ends ('pipe-\\nlined'), and rejoining
+    them is a standard main-content cleanup (Trafilatura/Grobid do the
+    same) — without it token counts inflate and every hash-keyed dedup
+    under-recalls on print-derived text.  Merge rule: lowercase letter,
+    hyphen, newline, lowercase letter → drop the break; anything else
+    (e.g. 'TOP-\\nSecret', a real compound across lines) keeps its
+    hyphen and the newline becomes a space.  The hyphenated input is
+    synthesized around the corpus text so the oracle reproduces it; the
+    rejoin chain is the operator.
+
+    100 TB shape: two regexp_replace calls inside whole-stage codegen —
+    narrow map over the scan, no shuffle, no Python."""
+    d = t(spark, sf, "documents")
+    messy = F.concat(
+        F.lit("pipe-\nlined "), F.col("text"),
+        F.lit(" frag-\nmentation of the TOP-\nSecret file"))
+    col = F.regexp_replace(messy, "([a-z])-\n([a-z])", "$1$2")
+    col = F.regexp_replace(col, "\n", " ")
+    return d.select("doc_id", col.alias("text_clean"))

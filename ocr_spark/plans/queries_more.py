@@ -1218,3 +1218,70 @@ def sink_compact_small_files(spark, sf):
         ck.alias("checksum"),
         F.lit(n_out < spark_files).alias("files_reduced"),
     )
+
+
+@q(
+    "events_anomaly_mad",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(round(value * 1000000) AS BIGINT) AS vfp
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, quantile_cont(vfp, 0.5) AS med
+      FROM v GROUP BY event_type
+    ),
+    d AS (
+      SELECT v.event_type, abs(vfp - med) AS dev, med
+      FROM v JOIN m USING (event_type)
+    ),
+    md AS (
+      SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      FROM d GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(any_value(d.med) * 2 AS BIGINT) AS med_fp2,
+           CAST(any_value(md.mad) * 2 AS BIGINT) AS mad_fp2,
+           CAST(SUM(CASE WHEN d.dev > 3 * md.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           COUNT(*) AS n
+    FROM d JOIN md USING (event_type)
+    GROUP BY event_type
+    """,
+)
+def events_anomaly_mad(spark, sf):
+    """Robust outlier detection per event type: median + MAD (median
+    absolute deviation), the standard telemetry-cleaning primitive —
+    unlike mean/stddev, one wild sensor value cannot drag the threshold
+    toward itself.  Values go through a ×1e6 fixed-point BIGINT first,
+    so both engines interpolate medians over integers (exact halves in
+    doubles) and the outputs (med/mad ×2 → integers) compare
+    bit-identically; flags use dev > 3·MAD.
+
+    100 TB shape: two hash aggregations over (event_type) with the tiny
+    per-type median/MAD frames BROADCAST back — the corpus shuffles
+    once per aggregate, never for the joins.  Exact percentile sorts
+    within groups; at true 100 TB the drop-in scale path is
+    percentile_approx (covered by agg_percentile_approx) with the same
+    two-broadcast shape."""
+    e = t(spark, sf, "events").select(
+        "event_type",
+        F.round(F.col("value") * 1e6).cast("long").alias("vfp"))
+    med = e.groupBy("event_type").agg(
+        F.percentile("vfp", 0.5).alias("med"))
+    dev = (e.join(F.broadcast(med), "event_type")
+             .withColumn("dev", F.abs(F.col("vfp") - F.col("med"))))
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("dev", 0.5).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            (F.first("med") * 2).cast("long").alias("med_fp2"),
+            (F.first("mad") * 2).cast("long").alias("mad_fp2"),
+            F.sum((F.col("dev") > 3 * F.col("mad")).cast("long"))
+             .alias("n_outliers"),
+            F.count("*").alias("n"),
+        )
+    )

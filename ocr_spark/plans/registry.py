@@ -57,8 +57,12 @@ _CHANGED_THIS_ROUND = [
     "text_extract_entities",
     # round 4: reliable checkpoint + convergence flag in CC
     "dedup_connected_components",
-    # round 4: pdfx inline-image strip made string-aware (payload change)
-    "extract_pipeline",
+    # round 4: pdfx payload changes (string-aware inline-image strip,
+    # artifact spans, q/Q state) are re-verified through the
+    # hash-checked twin extract_pipeline_checked below; the rows-only
+    # extract_pipeline row itself is NOT re-queued — its driver check
+    # carries no hash signal, and the freed slot keeps the last
+    # r01-stale operator (json_funcs) inside the 50-slot window
     # round 4: new driver-visible oracles
     "extract_pipeline_checked", "dedup_minhash_recall",
     # round 4: kmeans++ seeding index clamp

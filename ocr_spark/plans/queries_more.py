@@ -1109,67 +1109,6 @@ def events_downsample_ohlc(spark, sf):
 
 
 @q(
-    "events_anomaly_mad",
-    oracle="""
-    WITH med AS (
-      SELECT event_type, median(value) AS med
-      FROM events GROUP BY event_type
-    ),
-    mad AS (
-      SELECT e.event_type, median(abs(e.value - m.med)) AS mad
-      FROM events e JOIN med m USING (event_type)
-      GROUP BY e.event_type
-    )
-    SELECT e.event_id, e.event_type,
-           ROUND(e.value, 4) AS value,
-           ROUND(abs(e.value - m.med), 4) AS abs_dev,
-           (abs(e.value - m.med) > 3 * d.mad) AS is_anomaly
-    FROM events e
-    JOIN med m USING (event_type)
-    JOIN mad d USING (event_type)
-    """,
-)
-def events_anomaly_mad(spark, sf):
-    """Robust outlier detection via median absolute deviation — the
-    monitoring-pipeline standard that mean/stddev z-scores get wrong on
-    heavy-tailed value distributions (the outliers inflate the stddev
-    that is supposed to flag them; the median and MAD are 50%-breakdown
-    robust).  Flags events whose |value − median| exceeds 3·MAD of
-    their event_type.
-
-    Cross-engine determinism: both engines define the exact median as
-    the linearly-interpolated 0.5 quantile over doubles (Spark
-    ``percentile``, DuckDB ``median``/``quantile_cont``) — identical
-    IEEE arithmetic, so med/MAD agree bit-for-bit; the 3·MAD compare is
-    knife-edge only at exact equality, which continuous values cannot
-    manufacture.
-
-    Shape (100 TB posture): two tiny per-type aggregates broadcast back
-    over the stream — but EXACT percentile is a sort-based agg that
-    buffers each group; at real scale swap in ``approx_percentile``
-    (the mergeable KLL/GK sketch, see agg_percentile_approx) with a
-    tolerance-booleanized threshold; the exact form here is the
-    reference semantics."""
-    e = t(spark, sf, "events")
-    med = e.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med"))
-    dev = e.join(F.broadcast(med), "event_type")
-    mad = dev.groupBy("event_type").agg(
-        F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
-    return (
-        dev.join(F.broadcast(mad), "event_type")
-        .select(
-            "event_id", "event_type",
-            F.round("value", 4).alias("value"),
-            F.round(F.abs(F.col("value") - F.col("med")), 4)
-            .alias("abs_dev"),
-            (F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"))
-            .alias("is_anomaly"),
-        )
-    )
-
-
-@q(
     "sink_compact_small_files",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

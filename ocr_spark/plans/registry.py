@@ -95,6 +95,8 @@ _DEFER_FIRST_CHECK = [
     "tpch_q5", "tpch_q10", "tpch_q14",
     "window_percent_rank", "unpivot_long", "table_profile",
     "vec_rrf_fusion", "dedup_fuzzy_blocked",
+    "graph_triangle_count", "vocab_bpe_apply", "sample_fixed_k",
+    "events_sliding_distinct",
 ]
 
 

@@ -1512,8 +1512,7 @@ def dedup_fuzzy_blocked(spark, sf):
     ),
     tri AS (
       SELECT COUNT(*) AS n_tri FROM wedge w
-      JOIN ori e3 ON (e3.u = w.x AND e3.v = w.y)
-                  OR (e3.u = w.y AND e3.v = w.x)
+      JOIN und e3 ON e3.a = w.x AND e3.b = w.y
     )
     SELECT CAST((SELECT COUNT(*) FROM und) AS BIGINT) AS n_edges,
            CAST((SELECT COUNT(*) FROM wedge) AS BIGINT) AS n_wedges,
@@ -1532,13 +1531,13 @@ def graph_triangle_count(spark, sf):
     graph as graph_pagerank, so both engines materialize identical
     edges with no RNG.
 
-    Shape (100 TB posture): two equi-joins (wedge build on the shared
-    low vertex, closure check against the oriented edge list) + hash
-    aggs — no windows, no driver-side adjacency.  The closure join's
-    OR-of-two-orientations stays an equi-join in practice because
-    production keeps BOTH orientations of the closure probe side in a
-    bucketed table; at this scale Catalyst plans it as a single join
-    with a composite condition."""
+    Shape (100 TB posture): equi-joins only — wedge build on the shared
+    low vertex, then the closure check probes the CANONICAL undirected
+    edge set on (x, y) directly: wedges carry x < y by construction and
+    canonical edges carry a < b, so no OR-of-orientations condition is
+    ever needed (an OR there degrades to BroadcastNestedLoopJoin —
+    asserted against in test_plan_shape).  No windows, no driver-side
+    adjacency."""
     d = t(spark, sf, "documents").select("doc_id")
     n_docs = d.count()
     legs = None
@@ -1574,12 +1573,8 @@ def graph_triangle_count(spark, sf):
     e1 = ori.select("u", F.col("v").alias("x"))
     e2 = ori.select("u", F.col("v").alias("y"))
     wedge = e1.join(e2, "u").filter(F.col("x") < F.col("y")).select("x", "y")
-    e3 = ori.select(F.col("u").alias("cu"), F.col("v").alias("cv"))
-    tri = wedge.join(
-        e3,
-        ((F.col("cu") == F.col("x")) & (F.col("cv") == F.col("y")))
-        | ((F.col("cu") == F.col("y")) & (F.col("cv") == F.col("x"))),
-    )
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tri = wedge.join(e3, ["x", "y"])
     n_edges = und.count()
     n_wedges = wedge.count()
     return tri.agg(

@@ -212,3 +212,94 @@ def test_rrf_fusion_single_score_pass(spark, sf_dir):
     plan = _plan(registry.QUERIES["vec_rrf_fusion"](spark, sf_dir))
     assert plan.count("BroadcastNestedLoopJoin") + plan.count(
         "BroadcastHashJoin") == 1, f"candidate set scored twice:\n{plan[:1500]}"
+
+
+def test_triangle_count_equi_joins_only(spark, sf_dir):
+    """The closure check must probe the canonical edge set as a pure
+    equi-join; an OR-of-orientations condition degrades to
+    BroadcastNestedLoopJoin — O(wedges x edges) work at scale."""
+    plan = _plan(registry.QUERIES["graph_triangle_count"](spark, sf_dir))
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan, (
+        f"non-equi join in triangle closure:\n{plan[:1500]}")
+
+
+def test_sample_fixed_k_take_ordered_pruned(spark, sf_dir):
+    """Exactly-k sampling must plan as TakeOrderedAndProject (per-
+    partition k-heap + driver merge), never a global Sort, and the scan
+    must read only the two projected columns."""
+    df = registry.QUERIES["sample_fixed_k"](spark, sf_dir)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, f"global sort:\n{plan[:1200]}"
+    fmt = _formatted(df)
+    rs = fmt.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "text" not in rs and "title" not in rs, f"unpruned scan: {rs}"
+
+
+def test_sliding_distinct_in_task_fanout(spark, sf_dir):
+    """The x3 window fan-out must happen in-task (one Generate, before
+    any exchange) and the exact distinct must two-phase: at most the
+    two exchanges of Spark's count-distinct rewrite, no Python."""
+    plan = _plan(registry.QUERIES["events_sliding_distinct"](spark, sf_dir))
+    assert plan.count("Generate") == 1
+    assert plan.count("Exchange") <= 2, f"extra shuffle:\n{plan[:1500]}"
+    assert "Python" not in plan
+
+
+def test_bpe_merge_apply_no_shuffle(spark, sf_dir):
+    """Applying a chosen BPE merge is narrow JVM array surgery: the
+    merged-corpus token recount must carry no join and no Python; its
+    only exchange is the final 1-row global-sum merge."""
+    from pyspark.sql import functions as F
+    from ocr_spark.plans.queries_data import t
+
+    d = t(spark, sf_dir, "documents")
+    cur = d.select("doc_id", F.split(F.trim("text"), " ").alias("ws"))
+    sz = F.size("ws")
+    ws = F.col("ws")
+    xl, yl = F.lit("the"), F.lit("of")
+    kept = F.filter(
+        F.sequence(F.lit(1), sz),
+        lambda i: ~((i >= 2) & (F.element_at(ws, i - 1) == xl)
+                    & (F.element_at(ws, i) == yl)))
+    merged = F.transform(
+        kept,
+        lambda i: F.when(
+            (i < sz) & (F.element_at(ws, i) == xl)
+            & (F.element_at(ws, (i + 1).cast("int")) == yl),
+            F.concat(xl, F.lit("_"), yl)).otherwise(F.element_at(ws, i)))
+    counted = cur.select("doc_id", merged.alias("ws")).agg(
+        F.sum(F.size("ws")))
+    plan = _plan(counted)
+    assert "Join" not in plan and "Python" not in plan
+    assert plan.count("Exchange") <= 1, f"merge-apply shuffles:\n{plan[:1500]}"
+
+
+def test_tpch_q6_pure_scan_aggregate(spark, sf_dir):
+    """Q6 is the pushdown probe: every predicate must reach the parquet
+    scan and the whole query is one scan + partial/final agg — exactly
+    one exchange, no join."""
+    df = registry.QUERIES["tpch_q6"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1, f"extra shuffle:\n{plan[:1200]}"
+    fmt = _formatted(df)
+    pushed = fmt.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed \
+        and "l_quantity" in pushed, f"filters not pushed: {pushed}"
+
+
+def test_tpch_q19_stays_hash_join(spark, sf_dir):
+    """The disjunctive (brand, size, quantity) condition must NOT
+    contaminate the join: p_partkey stays the equi key (hash join), the
+    OR evaluates as a residual filter."""
+    plan = _plan(registry.QUERIES["tpch_q19"](spark, sf_dir))
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan, (
+        f"disjunction degraded the join:\n{plan[:1500]}")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_tpch_q4_decorrelates_to_semi_join(spark, sf_dir):
+    """The correlated EXISTS must plan as a LEFT SEMI join (stop at
+    first match), never a full join + distinct."""
+    plan = _plan(registry.QUERIES["tpch_q4"](spark, sf_dir))
+    assert "LeftSemi" in plan, f"EXISTS not a semi join:\n{plan[:1200]}"

@@ -97,6 +97,8 @@ _DEFER_FIRST_CHECK = [
     "vec_rrf_fusion", "dedup_fuzzy_blocked",
     "graph_triangle_count", "vocab_bpe_apply", "sample_fixed_k",
     "events_sliding_distinct",
+    "tpch_q4", "tpch_q6", "tpch_q12", "tpch_q13", "tpch_q17",
+    "tpch_q18", "tpch_q19", "tpch_q22",
 ]
 
 

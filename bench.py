@@ -81,6 +81,13 @@ HEADLINE = [
     "table_profile",
     "vec_rrf_fusion",
     "dedup_fuzzy_blocked",
+    # round 4, late additions
+    "graph_triangle_count",
+    "events_sliding_distinct",
+    "tpch_q6",
+    "tpch_q13",
+    "tpch_q18",
+    "tpch_q19",
 ]
 
 # Iterative operators run their rounds EAGERLY at build time (hash-min

@@ -1460,3 +1460,51 @@ def sample_fixed_k(spark, sf):
         .orderBy(F.expr("md5(CAST(doc_id AS STRING))"), "doc_id")
         .limit(100)
     )
+
+
+@q(
+    "sample_balanced_classes",
+    oracle="""
+    WITH m AS (
+      SELECT MIN(cnt) AS mn FROM (
+        SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+      )
+    ),
+    ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang FROM ranked, m WHERE rk <= m.mn
+    """,
+)
+def sample_balanced_classes(spark, sf):
+    """Class-balanced downsampling: every language keeps exactly
+    min-class-count documents, chosen by portable hash order (md5 of
+    the key — seedless, partitioning-invariant, identical in both
+    engines) — the classic imbalance fix before training a classifier,
+    and the language-rebalancing step of multilingual corpus mixes.
+    Exact equal counts, unlike fraction-based sampleBy which is only
+    balanced in expectation.
+
+    Shape (100 TB posture): the per-class quota is a two-level agg
+    collapsing to ONE broadcast row; the per-class rank is a window
+    over lang — with few classes that key is skewed, so production
+    replaces row_number with the per-class hash-threshold prefilter
+    (keep md5 < adaptive cut ≈ quota/cnt quantile, see
+    sample_cap_per_source) and only ranks the ~quota survivors;
+    documented here, exact window semantics kept for the oracle."""
+    d = t(spark, sf, "documents").select("doc_id", "lang")
+    mn = (
+        d.groupBy("lang").agg(F.count("*").alias("cnt"))
+        .agg(F.min("cnt").alias("mn"))
+    )
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .join(F.broadcast(mn), F.col("rk") <= F.col("mn"), "inner")
+        .select("doc_id", "lang")
+    )

@@ -373,3 +373,70 @@ def multimodal_frame_sample(spark, sf):
         & F.col("dims_ok")
     )
     return agg.select("doc_id", frames_ok.alias("frames_ok"))
+
+
+@q(
+    "multimodal_wav_meta",
+    oracle="""
+    SELECT doc_id, 'pcm' AS codec,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+           CAST(64 + n_chars % 256 AS INT) AS n_samples,
+           CAST(((64 + n_chars % 256) * 1000)
+                // (8000 * (1 + doc_id % 3)) AS INT) AS duration_ms
+    FROM documents
+    """,
+)
+def multimodal_wav_meta(spark, sf):
+    """End-to-end REAL audio-container decode: each doc's payload is a
+    genuine spec-valid RIFF/WAVE file synthesized in one Arrow stage
+    (junk LIST chunk before 'fmt ', PCM format block, zero-sample data
+    chunk — see functions/audiox.py) with channel/rate/sample counts
+    that are modular functions of (doc_id, n_chars); a SECOND Arrow
+    stage walks the chunk stream back out with the stdlib parser.  The
+    oracle computes the expected metadata arithmetically, so a
+    value-hash match proves synthesis → binary round-trip → real RIFF
+    chunk walk all agree.  duration_ms is integer floor-division —
+    cross-engine exact.  Corrupt-payload behavior (truncation, bad
+    format tag → None, never a crash) is unit-gated.
+
+    Shape (100 TB posture): binary column stays opaque to the JVM; both
+    crossings are Arrow-batched mapInPandas with tiny per-row payloads;
+    at production scale the synth stage is replaced by reading real
+    audio blobs and the SAME parse stage applies unchanged — metadata
+    extraction never needs an audio codec library."""
+    from ocr_spark.functions.audiox import make_wav, parse_wav_meta
+
+    def synth_batch(batches):
+        for pdf in batches:
+            blobs = [
+                make_wav(1 + int(i) % 2, 8000 * (1 + int(i) % 3),
+                         64 + int(n) % 256)
+                for i, n in zip(pdf["doc_id"], pdf["n_chars"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(),
+                                "payload": blobs})
+
+    def parse_batch(batches):
+        for pdf in batches:
+            rows = []
+            for blob in pdf["payload"]:
+                meta = parse_wav_meta(bytes(blob))
+                if meta is None:
+                    rows.append(("unknown", 0, 0, 0, 0))
+                else:
+                    codec, ch, sr, ns = meta
+                    rows.append((codec, ch, sr, ns, ns * 1000 // sr))
+            out = pd.DataFrame(
+                rows, columns=["codec", "channels", "sample_rate",
+                               "n_samples", "duration_ms"])
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out
+
+    d = t(spark, sf, "documents").select("doc_id", "n_chars")
+    wavs = d.mapInPandas(synth_batch, schema="doc_id long, payload binary")
+    return wavs.mapInPandas(
+        parse_batch,
+        schema="doc_id long, codec string, channels int, sample_rate int, "
+               "n_samples int, duration_ms int",
+    )

@@ -1266,3 +1266,161 @@ def events_sliding_distinct(spark, sf):
             F.count("*").alias("n_events"),
         )
     )
+
+
+@q(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    trans AS (
+      SELECT prev, event_type AS next, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type
+    ),
+    tot AS (SELECT prev, SUM(n) AS tn FROM trans GROUP BY prev)
+    SELECT t.prev, t.next, t.n,
+           ROUND(CAST(t.n AS DOUBLE) / tot.tn, 8) AS prob
+    FROM trans t JOIN tot USING (prev)
+    """,
+)
+def events_markov_transitions(spark, sf):
+    """First-order Markov transition matrix over per-user event
+    streams: lag(event_type) within each user's (ts, event_id)-ordered
+    history, then transition counts and row-normalized probabilities —
+    the session-model / funnel-prior builder.  The (ts, event_id)
+    composite order makes the lag deterministic under timestamp ties.
+
+    Shape (100 TB posture): events are scanned ONCE — one shuffle on
+    user_id feeds the lag window (per-user state is a single previous
+    row — bounded, streaming-friendly), transition counts are a
+    map-side-combined hash agg on a |types|² key space, and the row
+    normalization is a window over that ALREADY-AGGREGATED |types|²
+    frame (constant-size, engine cost nil) — deriving the totals as a
+    second aggregate branch would recompute the raw-event window per
+    branch (plan-gated: exactly one FileScan, one lag)."""
+    e = t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type",
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    trans = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count("*").alias("n"))
+    )
+    tn = F.sum("n").over(W.partitionBy("prev"))
+    return trans.select(
+        "prev", "next", "n",
+        F.round(F.col("n").cast("double") / tn, 8).alias("prob"),
+    )
+
+
+@q(
+    "events_rate_limit",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(rn AS INT) AS rn
+    FROM (
+      SELECT event_id, user_id, ts,
+             row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def events_rate_limit(spark, sf):
+    """Per-user daily rate limiting / quota enforcement: keep the first
+    3 events per (user, day) in (ts, event_id) order and drop the rest
+    — the abuse-throttle / cost-cap shape, also how a crawler caps
+    per-host fetches per period.  Composite order key makes the cut
+    deterministic under timestamp ties.
+
+    Shape (100 TB posture): one shuffle on the (user, day) composite —
+    the day component keeps any single hot user's history from
+    concentrating on one task (bounded group size by construction);
+    row_number needs no full sort of the partition beyond each group,
+    and production swaps the exact window for
+    dropDuplicatesWithinWatermark-style streaming state when the limit
+    must apply online."""
+    e = t(spark, sf, "events")
+    day = F.date_trunc("day", "ts")
+    w = W.partitionBy("user_id", day).orderBy("ts", "event_id")
+    return (
+        e.select(
+            "event_id", "user_id", day.alias("day"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .select("event_id", "user_id", "day", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+@q(
+    "agg_cms_heavy_hitters",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_n,
+           true AS est_ge_exact, true AS err_within_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_cms_heavy_hitters(spark, sf):
+    """Count-Min-sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    a d=4 x w=64 counter grid where every event increments one cell
+    per hash row; a key's estimate is the MIN of its d cells —
+    never an underestimate, over by at most (e/w)·N with probability
+    1-e^-d.  The oracle is tolerance-booleanized (the agg_hll_rollup
+    pattern): both guarantees are checked IN the query and must come
+    out true for every key against the exact counts — DuckDB cannot
+    reproduce xxhash64 cell placement, but the guarantees themselves
+    are deterministic for a fixed dataset.
+
+    Shape (100 TB posture): the sketch build is an in-task x4 explode
+    (Generate, no shuffle) + ONE map-side-combined hash agg over a key
+    space of at most d·w = 256 cells — constant-size state no matter
+    the corpus, and cells are trivially MERGEABLE across shards/days
+    (sum them), which is the entire point vs exact counting: rollups
+    and stream unions without rescanning raw events.  The probe side
+    re-derives each candidate's cells in codegen and joins the
+    256-row sketch by broadcast."""
+    e = t(spark, sf, "events").select("event_type")
+    D, WID = 4, 64
+    cells = F.array(*[
+        F.struct(
+            F.lit(r).alias("r"),
+            F.pmod(F.xxhash64(F.col("event_type"), F.lit(r)), F.lit(WID))
+            .alias("c"),
+        ) for r in range(D)
+    ])
+    cms = (
+        e.select(F.explode(cells).alias("rc"))
+        .groupBy(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+        .agg(F.count("*").alias("cell_n"))
+    )
+    exact = e.groupBy("event_type").agg(F.count("*").alias("exact_n"))
+    total = exact.agg(F.sum("exact_n").alias("tot"))
+    probe = exact.select(
+        "event_type", "exact_n", F.explode(cells).alias("rc")
+    ).select("event_type", "exact_n",
+             F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+    est = (
+        probe.join(F.broadcast(cms), ["r", "c"])
+        .groupBy("event_type")
+        .agg(F.min("exact_n").alias("exact_n"), F.min("cell_n").alias("est"))
+    )
+    import math
+    bound = F.ceil(F.lit(math.e / WID) * F.col("tot"))
+    return (
+        est.join(F.broadcast(total), F.lit(True))
+        .select(
+            "event_type", "exact_n",
+            (F.col("est") >= F.col("exact_n")).alias("est_ge_exact"),
+            (F.col("est") - F.col("exact_n") <= bound)
+            .alias("err_within_bound"),
+        )
+    )

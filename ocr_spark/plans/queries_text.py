@@ -1582,3 +1582,150 @@ def graph_triangle_count(spark, sf):
         F.lit(n_wedges).cast("bigint").alias("n_wedges"),
         F.count("*").alias("n_triangles"),
     )
+
+
+@q(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM {_pr_edges_sql()} WHERE src <> dst
+    ),
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+      ) GROUP BY v
+    )
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_vertices
+    FROM deg GROUP BY degree
+    """,
+)
+def graph_degree_distribution(spark, sf):
+    """Degree distribution of the link graph — the first diagnostic
+    run on any web crawl (power-law exponent, supernode detection,
+    join-skew forecasting: the same histogram drives the salting
+    threshold for joins over this graph).  Shares the deterministic
+    hash-derived edge set with graph_pagerank / graph_triangle_count.
+
+    Shape (100 TB posture): canonicalize + distinct (one shuffle on
+    the edge), stack both endpoints (in-task union), then two map-side-
+    combined hash aggs — degree per vertex, count per degree; the
+    second agg's key space is O(max degree), tiny.  No windows, no
+    driver-side structures."""
+    d = t(spark, sf, "documents").select("doc_id")
+    n_docs = d.count()
+    legs = None
+    for k, c in enumerate(_PR_FANOUT):
+        leg = d.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * F.lit(c) + F.lit(k + 1)) % F.lit(n_docs))
+            .alias("dst"),
+        )
+        legs = leg if legs is None else legs.unionByName(leg)
+    und = (
+        legs.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v").agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_vertices"))
+
+
+_PFX_CTE = f"""
+    pfx AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + {DUP_SHIFT} AS doc_id,
+             array_to_string(
+               (string_split(trim(text), ' '))
+                 [1:greatest((3 * len(string_split(trim(text), ' '))) // 5, 3)],
+               ' ') AS text,
+             source
+      FROM documents
+    )
+"""
+
+
+@q(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_PFX_CTE},
+    toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS ws FROM pfx
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(ws) - 2, 0)),
+               i -> array_to_string(ws[i:i+2], ' ')
+             )) AS gset
+      FROM toks
+    ),
+    ex AS (SELECT doc_id, unnest(gset) AS g FROM grams),
+    rare AS (
+      SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= {NGRAM_DF_CAP}
+    ),
+    rex AS (SELECT ex.doc_id, ex.g FROM ex JOIN rare USING (g)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM rex a JOIN rex b ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT doc_a, doc_b,
+             CAST(len(list_intersect(ga.gset, gb.gset)) AS DOUBLE)
+               / least(len(ga.gset), len(gb.gset)) AS cont
+      FROM cand
+      JOIN grams ga ON ga.doc_id = doc_a
+      JOIN grams gb ON gb.doc_id = doc_b
+      WHERE least(len(ga.gset), len(gb.gset)) > 0
+    )
+    SELECT doc_a, doc_b, ROUND(cont, 4) AS containment
+    FROM scored WHERE cont >= 0.9
+    """,
+)
+def dedup_containment(spark, sf):
+    """Sub-document (containment) dedup: |A∩B| / min(|A|, |B|) — the
+    asymmetric cousin of Jaccard that catches a document EMBEDDED in a
+    longer one (quote farms, scraped-with-boilerplate copies, partial
+    mirrors) that symmetric Jaccard misses: a 60%-prefix twin of a doc
+    scores containment ≈ 1.0 but Jaccard ≈ 0.6, under the 0.8 dedup
+    bar.  Planted prefix twins (first 3/5 of the words, integer
+    arithmetic so both engines cut identically) prove the detector
+    fires; candidates come from the same df-capped inverted index as
+    the Jaccard family (NGRAM_DF_CAP bounds fan-out), scores from one
+    pair of slim gset re-attach joins over pre-hashed int64 gram sets.
+
+    Shape (100 TB posture): identical to dedup_ngram_jaccard — no
+    all-pairs stage anywhere; the PPJoin count-filter bound does NOT
+    apply to containment (a small set inside a huge one defeats the
+    size-sum bound), so the candidate set is the unpruned cap-bounded
+    one; production adds a prefix-filter on the smaller set's rarest
+    grams instead."""
+    d = t(spark, sf, "documents").select("doc_id", "text", "source")
+    ws = F.split(F.trim("text"), " ")
+    twin = d.select(
+        (F.col("doc_id") + DUP_SHIFT).alias("doc_id"),
+        F.array_join(
+            F.slice(ws, 1, F.greatest((F.size(ws) * 3).cast("int") / F.lit(5),
+                                      F.lit(3)).cast("int")),
+            " ").alias("text"),
+        "source",
+    )
+    g = _grams_of(d.unionByName(twin))
+    cand = ngram_candidates(g, NGRAM_DF_CAP)
+    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("gset").alias("gs_a"))
+    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("gset").alias("gs_b"))
+    inter = F.size(F.array_intersect("gs_a", "gs_b"))
+    mn = F.least(F.size("gs_a"), F.size("gs_b"))
+    cont = inter.cast("double") / mn
+    return (
+        cand.join(ga, "doc_a").join(gb, "doc_b")
+        .filter((mn > 0) & (cont >= 0.9))
+        .select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
+    )

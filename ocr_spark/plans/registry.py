@@ -99,6 +99,10 @@ _DEFER_FIRST_CHECK = [
     "events_sliding_distinct",
     "tpch_q4", "tpch_q6", "tpch_q12", "tpch_q13", "tpch_q17",
     "tpch_q18", "tpch_q19", "tpch_q22",
+    "events_markov_transitions", "events_rate_limit",
+    "graph_degree_distribution", "dedup_containment",
+    "sample_balanced_classes", "multimodal_wav_meta",
+    "agg_cms_heavy_hitters",
 ]
 
 

@@ -306,3 +306,35 @@ def test_multimodal_decode_real_parses_from_bytes(spark, sf_dir):
     g = spark.createDataFrame(
         [(9, b"not an image")], "doc_id long, payload binary")
     assert real_image_metadata(g).collect()[0]["codec"] == "unknown"
+
+
+def test_wav_header_codec_round_trip():
+    """RIFF synthesis → chunk-walk parse must round-trip channels /
+    sample rate / sample count, including odd-payload pad bytes and
+    multi-channel block alignment."""
+    from ocr_spark.functions.audiox import make_wav, parse_wav_meta
+
+    for ch, sr, ns in ((1, 8000, 0), (1, 8000, 33), (2, 44100, 1021),
+                       (2, 16000, 64), (6, 48000, 7)):
+        assert parse_wav_meta(make_wav(ch, sr, ns)) == ("pcm", ch, sr, ns)
+
+
+def test_wav_parse_rejects_corrupt_never_raises():
+    """Truncations, wrong magic, non-PCM tags, and zero block-align
+    must all return None (the query maps that to codec='unknown'),
+    never raise."""
+    import struct
+
+    from ocr_spark.functions.audiox import make_wav, parse_wav_meta
+
+    good = make_wav(2, 16000, 100)
+    for i in range(0, len(good), 7):  # every truncation prefix class
+        parse_wav_meta(good[:i])  # must not raise
+    assert parse_wav_meta(b"") is None
+    assert parse_wav_meta(b"RIFFxxxxWAVE") is None       # no chunks
+    assert parse_wav_meta(b"OggS" + good[4:]) is None    # wrong magic
+    fi = good.find(b"fmt ") + 8
+    non_pcm = good[:fi] + struct.pack("<H", 85) + good[fi + 2:]
+    assert parse_wav_meta(non_pcm) is None               # MP3 tag
+    zero_ba = good[:fi + 12] + struct.pack("<H", 0) + good[fi + 14:]
+    assert parse_wav_meta(zero_ba) is None               # div-by-zero guard

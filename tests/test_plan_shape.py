@@ -303,3 +303,26 @@ def test_tpch_q4_decorrelates_to_semi_join(spark, sf_dir):
     first match), never a full join + distinct."""
     plan = _plan(registry.QUERIES["tpch_q4"](spark, sf_dir))
     assert "LeftSemi" in plan, f"EXISTS not a semi join:\n{plan[:1200]}"
+
+
+def test_markov_single_event_scan(spark, sf_dir):
+    """Events must be scanned once: the lag window runs a single time
+    and the normalization is a window over the aggregated |types|²
+    frame, never a second branch recomputing the raw-event window."""
+    plan = _plan(registry.QUERIES["events_markov_transitions"](spark, sf_dir))
+    assert plan.count("FileScan") == 1, f"events re-scanned:\n{plan[:1500]}"
+    assert plan.count("lag(") == 1, f"lag window duplicated:\n{plan[:1500]}"
+
+
+def test_cms_sketch_probe_broadcasts(spark, sf_dir):
+    """The 256-cell sketch must broadcast to the probe side; the build
+    is in-task explode + hash agg (exactly one Generate per side)."""
+    plan = _plan(registry.QUERIES["agg_cms_heavy_hitters"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan, f"sketch probe shuffled:\n{plan[:1500]}"
+
+
+def test_degree_distribution_no_window_no_python(spark, sf_dir):
+    plan = _plan(registry.QUERIES["graph_degree_distribution"](spark, sf_dir))
+    assert "Window" not in plan and "Python" not in plan
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan

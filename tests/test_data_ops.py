@@ -338,3 +338,68 @@ def test_wav_parse_rejects_corrupt_never_raises():
     assert parse_wav_meta(non_pcm) is None               # MP3 tag
     zero_ba = good[:fi + 12] + struct.pack("<H", 0) + good[fi + 14:]
     assert parse_wav_meta(zero_ba) is None               # div-by-zero guard
+
+
+def test_wav_round_trip_property():
+    """Round-trip across the parameter lattice (hypothesis-style
+    exhaustive sweep — the space is small enough to enumerate) plus
+    parse-never-raises on byte mutations of a valid file."""
+    from ocr_spark.functions.audiox import make_wav, parse_wav_meta
+
+    for ch in (1, 2, 4, 8):
+        for sr in (8000, 22050, 44100, 48000):
+            for ns in (0, 1, 255, 2048):
+                assert parse_wav_meta(make_wav(ch, sr, ns)) == \
+                    ("pcm", ch, sr, ns)
+    base = make_wav(2, 44100, 64)
+    for i in range(0, len(base), 3):  # single-byte corruption sweep
+        mutated = base[:i] + bytes([base[i] ^ 0xFF]) + base[i + 1:]
+        parse_wav_meta(mutated)  # any result is fine; raising is not
+
+
+def test_containment_planted_twins_all_detected(spark, sf_dir):
+    """Semantic recall gate (stronger than oracle parity, which only
+    proves both engines agree): every planted 3/5-prefix twin with a
+    non-trivial gram set must be detected with containment ≥ 0.9
+    against its original — the operator's reason to exist."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.plans import registry
+    from ocr_spark.plans.queries_text import DUP_SHIFT
+
+    registry.load_all()
+    out = registry.QUERIES["dedup_containment"](spark, sf_dir)
+    hits = {
+        (r.doc_a, r.doc_b)
+        for r in out.select("doc_a", "doc_b").collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # originals whose 3/5-prefix still carries >= 3 distinct 3-grams
+    # AND whose full text has at least 5 words (so prefix != full)
+    ws = F.split(F.trim("text"), " ")
+    eligible = [
+        r.doc_id for r in docs.select(
+            "doc_id", F.size(ws).alias("nw")).filter("nw >= 10").collect()
+    ]
+    assert eligible, "corpus too small for the planted-twin gate"
+    missed = [
+        i for i in eligible
+        if (i, i + DUP_SHIFT) not in hits and (i + DUP_SHIFT, i) not in hits
+    ]
+    # the prefix twin's grams are a subset of the original's, so
+    # containment is exactly 1.0 — zero misses allowed
+    assert not missed, f"planted twins not detected: {missed[:10]}"
+
+
+def test_cms_guarantees_hold_at_sf001(spark, sf_dir):
+    """Both booleanized sketch guarantees must actually come out true
+    (the oracle only asserts agreement with literal true — this is the
+    belt-and-braces direct check)."""
+    from ocr_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["agg_cms_heavy_hitters"](spark, sf_dir).collect()
+    assert rows, "no event types"
+    for r in rows:
+        assert r.est_ge_exact, f"CMS underestimated {r.event_type}"
+        assert r.err_within_bound, f"CMS error bound violated {r.event_type}"

@@ -48,6 +48,14 @@ PICKS = {
     "filter_quality_gate": "C4 quality rules as integer cross-comparisons — whole-stage codegen, zero exchange",
     "text_bigram_logprob": "bigram LM score: two map-side-combined passes, micro-nat fixed-point re-attach join",
     "dedup_incremental_vs_corpus": "incremental crawl dedup: md5 semi-match + df-capped batch-x-corpus inverted-index join, slim verify re-attach",
+    "tpch_q6": "pure-scan aggregate: every predicate pushed to parquet, one exchange, zero joins",
+    "tpch_q19": "disjunctive (brand,size,qty) residual — equi key stays clean, hash join survives",
+    "graph_triangle_count": "degree-ordered triangle closure as pure equi-joins (no NestedLoop from OR-of-orientations)",
+    "sample_fixed_k": "exactly-k hash-order sample as TakeOrderedAndProject — per-partition k-heap, no global sort",
+    "events_sliding_distinct": "sliding windows via in-task Generate fan-out + two-phase exact distinct",
+    "events_markov_transitions": "transition matrix from ONE event scan: lag window + agg, normalization windows the aggregated frame",
+    "agg_cms_heavy_hitters": "Count-Min sketch: in-task x4 explode, <=256-cell agg state, broadcast probe join",
+    "dedup_containment": "sub-document containment: df-capped inverted index, pre-hashed int64 gram verify",
 }
 
 

@@ -1508,3 +1508,67 @@ def sample_balanced_classes(spark, sf):
         .join(F.broadcast(mn), F.col("rk") <= F.col("mn"), "inner")
         .select("doc_id", "lang")
     )
+
+
+@q(
+    "snapshot_diff",
+    oracle="""
+    WITH snap_b AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN text || ' [edited]'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id + 9000000, text FROM documents WHERE doc_id % 17 = 0
+    ),
+    a AS (SELECT doc_id, md5(text) AS h FROM documents),
+    b AS (SELECT doc_id, md5(text) AS h FROM snap_b)
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS change
+    FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.h <> b.h
+    """,
+)
+def snapshot_diff(spark, sf):
+    """Table-snapshot diff — the regression gate between two pipeline
+    runs (and the audit view behind Iceberg snapshot compare): rows
+    added, removed, or content-changed between snapshot A (the raw
+    table) and a deterministically perturbed snapshot B (every 11th
+    doc edited, every 13th dropped, every 17th re-added under a new
+    id).  Unchanged rows — the overwhelming mass in a real diff —
+    never leave the join.
+
+    Shape (100 TB posture): each side is reduced IN THE SCAN to
+    (key, md5(content)) — 2 slim columns ride the one FULL OUTER
+    shuffle, never document bodies; the change classifier and the
+    unchanged-row filter run in codegen post-join.  On bucketed/
+    Iceberg tables the shuffle disappears entirely (both snapshots
+    inherit the same key layout), and Iceberg's own snapshot manifests
+    prune untouched files before the scan."""
+    d = t(spark, sf, "documents")
+    b = (
+        d.filter(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.concat(F.col("text"), F.lit(" [edited]")))
+            .otherwise(F.col("text")).alias("text"))
+        .unionByName(
+            d.filter(F.col("doc_id") % 17 == 0)
+            .select((F.col("doc_id") + 9000000).alias("doc_id"), "text"))
+    )
+    a_h = d.select("doc_id", F.md5("text").alias("h"))
+    b_h = b.select(F.col("doc_id").alias("b_id"), F.md5("text").alias("bh"))
+    j = a_h.join(b_h, a_h.doc_id == b_h.b_id, "full_outer")
+    return (
+        j.filter(F.col("doc_id").isNull() | F.col("b_id").isNull()
+                 | (F.col("h") != F.col("bh")))
+        .select(
+            F.coalesce("doc_id", "b_id").alias("doc_id"),
+            F.when(F.col("doc_id").isNull(), "added")
+            .when(F.col("b_id").isNull(), "removed")
+            .otherwise("changed").alias("change"),
+        )
+    )

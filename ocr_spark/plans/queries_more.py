@@ -1424,3 +1424,91 @@ def agg_cms_heavy_hitters(spark, sf):
             .alias("err_within_bound"),
         )
     )
+
+
+@q(
+    "diag_expectations",
+    oracle="""
+    SELECT 'orders_custkey_fk' AS expectation,
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT) AS violations
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'customer_custkey_unique',
+           CAST((SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_quantity_range',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+    UNION ALL
+    SELECT 'documents_lang_domain',
+           CAST((SELECT COUNT(*) FROM documents
+                 WHERE lang NOT IN ('en','de','fr','es','zh')) AS BIGINT)
+    UNION ALL
+    SELECT 'events_ts_not_null',
+           CAST((SELECT COUNT(*) FROM events WHERE ts IS NULL) AS BIGINT)
+    """,
+)
+def diag_expectations(spark, sf):
+    """Declarative data-quality expectation suite (the dbt-test /
+    Great-Expectations surface): referential integrity, key
+    uniqueness, value ranges, categorical domains, and null contracts
+    evaluated in one job, each emitting its violation count — the gate
+    a production pipeline runs before promoting a snapshot.
+
+    Shape (100 TB posture): each FK check is a LEFT ANTI join that
+    ships only the key column, with the dimension side broadcast when
+    small; range/domain/null checks are map-side-combined aggregates
+    over pruned single-column scans; uniqueness is count minus
+    two-phase distinct.  All six checks are independent jobs unioned
+    at 1 row each — a scheduler runs them concurrently, and adding an
+    expectation never rescans another's table."""
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    li = t(spark, sf, "lineitem")
+    d = t(spark, sf, "documents")
+    e = t(spark, sf, "events")
+
+    def one(name, cnt_df):
+        return cnt_df.select(
+            F.lit(name).alias("expectation"),
+            F.col("violations").cast("long"))
+
+    fk_orders = one(
+        "orders_custkey_fk",
+        o.select("o_custkey").join(
+            F.broadcast(c.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+        ).agg(F.count("*").alias("violations")))
+    fk_lineitem = one(
+        "lineitem_orderkey_fk",
+        li.select("l_orderkey").join(
+            o.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"), "left_anti"
+        ).agg(F.count("*").alias("violations")))
+    uniq = one(
+        "customer_custkey_unique",
+        c.agg((F.count("c_custkey") - F.countDistinct("c_custkey"))
+              .alias("violations")))
+    rng = one(
+        "lineitem_quantity_range",
+        li.filter((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50))
+        .agg(F.count("*").alias("violations")))
+    dom = one(
+        "documents_lang_domain",
+        d.filter(~F.col("lang").isin("en", "de", "fr", "es", "zh"))
+        .agg(F.count("*").alias("violations")))
+    nn = one(
+        "events_ts_not_null",
+        e.filter(F.col("ts").isNull())
+        .agg(F.count("*").alias("violations")))
+    return (fk_orders.unionByName(fk_lineitem).unionByName(uniq)
+            .unionByName(rng).unionByName(dom).unionByName(nn))

@@ -1729,3 +1729,83 @@ def dedup_containment(spark, sf):
         .filter((mn > 0) & (cont >= 0.9))
         .select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
     )
+
+
+@q(
+    "graph_khop_frontier",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM {_pr_edges_sql()} WHERE src <> dst
+    ),
+    adj AS (
+      SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und
+    ),
+    seed AS (SELECT DISTINCT doc_id AS v FROM documents
+             WHERE doc_id % 97 = 0),
+    h1 AS (
+      SELECT DISTINCT adj.v FROM adj JOIN seed ON adj.u = seed.v
+      WHERE adj.v NOT IN (SELECT v FROM seed)
+    ),
+    h2 AS (
+      SELECT DISTINCT adj.v FROM adj JOIN h1 ON adj.u = h1.v
+      WHERE adj.v NOT IN (SELECT v FROM seed)
+        AND adj.v NOT IN (SELECT v FROM h1)
+    )
+    SELECT v, 0 AS hop FROM seed
+    UNION ALL SELECT v, 1 FROM h1
+    UNION ALL SELECT v, 2 FROM h2
+    """,
+)
+def graph_khop_frontier(spark, sf):
+    """K-hop BFS reachability (k=2) from a seed set — the blast-radius
+    / spam-neighborhood / related-content query.  Frontier expansion:
+    each hop joins the CURRENT frontier (not everything reached) to
+    the adjacency list, then anti-joins the visited set so a vertex
+    keeps its MINIMUM hop — unrolled to fixed k, which is how
+    production runs it (k is a product constant, not data-dependent,
+    unlike connected components).
+
+    Shape (100 TB posture): per hop, one equi-join frontier⋈adjacency
+    (frontier is the small side — broadcast while it fits, which for
+    k≤2 on a pruned seed set it does) + one anti-join against visited
+    + a distinct — all narrow columns, no arrays, no windows; the
+    adjacency list is the only large table and is scanned from the
+    same cached/bucketed layout every hop."""
+    d = t(spark, sf, "documents").select("doc_id")
+    n_docs = d.count()
+    legs = None
+    for k, c in enumerate(_PR_FANOUT):
+        leg = d.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * F.lit(c) + F.lit(k + 1)) % F.lit(n_docs))
+            .alias("dst"),
+        )
+        legs = leg if legs is None else legs.unionByName(leg)
+    und = (
+        legs.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    seed = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("v")).distinct()
+    h1 = (
+        adj.join(F.broadcast(seed.select(F.col("v").alias("u"))), "u")
+        .select("v").distinct()
+        .join(F.broadcast(seed), "v", "left_anti")
+    )
+    visited1 = seed.unionByName(h1)
+    h2 = (
+        adj.join(F.broadcast(h1.select(F.col("v").alias("u"))), "u")
+        .select("v").distinct()
+        .join(F.broadcast(visited1), "v", "left_anti")
+    )
+    return (
+        seed.select("v", F.lit(0).alias("hop"))
+        .unionByName(h1.select("v", F.lit(1).alias("hop")))
+        .unionByName(h2.select("v", F.lit(2).alias("hop")))
+    )

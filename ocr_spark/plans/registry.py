@@ -103,6 +103,7 @@ _DEFER_FIRST_CHECK = [
     "graph_degree_distribution", "dedup_containment",
     "sample_balanced_classes", "multimodal_wav_meta",
     "agg_cms_heavy_hitters",
+    "diag_expectations", "snapshot_diff", "graph_khop_frontier",
 ]
 
 

@@ -326,3 +326,26 @@ def test_degree_distribution_no_window_no_python(spark, sf_dir):
     plan = _plan(registry.QUERIES["graph_degree_distribution"](spark, sf_dir))
     assert "Window" not in plan and "Python" not in plan
     assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_slim_join_no_nlj(spark, sf_dir):
+    """The diff must join on the key with hash/merge strategy (never
+    nested-loop) and scan each snapshot side once — 3 FileScans total
+    (base + the two perturbation branches of snapshot B)."""
+    plan = _plan(registry.QUERIES["snapshot_diff"](spark, sf_dir))
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("FileScan") <= 3, f"extra scans:\n{plan[:1500]}"
+
+
+def test_diag_expectations_fk_anti_joins(spark, sf_dir):
+    """FK checks must plan as anti joins (broadcast where the dim is
+    small), never full joins + filters."""
+    plan = _plan(registry.QUERIES["diag_expectations"](spark, sf_dir))
+    assert "LeftAnti" in plan, f"FK check not an anti join:\n{plan[:1500]}"
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_khop_frontier_broadcast_equi_joins(spark, sf_dir):
+    plan = _plan(registry.QUERIES["graph_khop_frontier"](spark, sf_dir))
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

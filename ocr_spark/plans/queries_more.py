@@ -1512,3 +1512,52 @@ def diag_expectations(spark, sf):
         .agg(F.count("*").alias("violations")))
     return (fk_orders.unionByName(fk_lineitem).unionByName(uniq)
             .unionByName(rng).unionByName(dom).unionByName(nn))
+
+
+@q(
+    "streaming_rate_limit",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(rn AS INT) AS rn
+    FROM (
+      SELECT event_id, user_id, ts,
+             row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def streaming_rate_limit(spark, sf):
+    """The batch ``events_rate_limit`` quota enforced ONLINE: a custom
+    applyInPandasWithState operator holds one admission counter per
+    (user, day) in the state store and admits the first 3 events per
+    key — run as an actual stream over the events table and drained
+    availableNow.  With a single micro-batch replay the admitted set
+    equals the batch window's row_number ≤ 3 (the oracle); the
+    cross-micro-batch + restart behavior (quota survives a new query
+    instance via state-store recovery) is gated in
+    tests/test_streaming.py.
+
+    Shape (100 TB posture): state is ONE int per active (user, day) —
+    the day key bounds state cardinality and a production deployment
+    adds event-time timeout eviction for closed days; each micro-batch
+    shuffles only its own events to their key's state partition."""
+    import glob
+    import shutil
+
+    from ocr_spark.streaming import (
+        events_stream, rate_limited_events, run_available_now)
+
+    tmp = _work_dir("stream_ratelimit")
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    src = f"{sf}/events.parquet"
+    files = glob.glob(f"{src}/*.parquet") or [src]
+    for f in files:
+        shutil.copy(f, tmp)
+    stream = events_stream(spark, tmp, max_files_per_trigger=len(files))
+    ck = _work_dir("stream_ratelimit_ck")
+    shutil.rmtree(ck, ignore_errors=True)
+    return run_available_now(rate_limited_events(stream, 3), ck,
+                             output_mode="update")

@@ -104,6 +104,7 @@ _DEFER_FIRST_CHECK = [
     "sample_balanced_classes", "multimodal_wav_meta",
     "agg_cms_heavy_hitters",
     "diag_expectations", "snapshot_diff", "graph_khop_frontier",
+    "streaming_rate_limit",
 ]
 
 

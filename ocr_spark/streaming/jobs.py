@@ -213,3 +213,50 @@ def drain_updates_to_parquet(sdf: DataFrame, sink_dir: str,
         .start()
     )
     q.awaitTermination()
+
+
+def rate_limited_events(stream: DataFrame, limit: int = 3) -> DataFrame:
+    """ONLINE rate limiting / quota enforcement — the streaming twin of
+    the batch ``events_rate_limit`` operator: admit the first ``limit``
+    events per (user, day) and drop the rest, with the per-key
+    admission count held in the state store so the quota is enforced
+    ACROSS micro-batches and across query restarts (a batch window
+    can't do this incrementally — it would re-rank history every run).
+
+    State is one int per (user, day) — O(active keys), and a real
+    deployment adds a timeout evicting yesterday's keys.  Events are
+    admitted in (ts, event_id) order WITHIN each micro-batch; across
+    batches, admission is arrival order — the true online semantics
+    (a late event cannot un-admit an earlier one)."""
+    import pandas as pd
+
+    def fn(key, pdf_iter, state):
+        user_id, day = key
+        used = state.get[0] if state.exists else 0
+        eids, rns = [], []
+        for pdf in pdf_iter:
+            for eid in pdf.sort_values(["ts", "event_id"])["event_id"]:
+                if used < limit:
+                    used += 1
+                    eids.append(int(eid))
+                    rns.append(used)
+        state.update((used,))
+        yield pd.DataFrame({
+            "event_id": pd.Series(eids, dtype="int64"),
+            "user_id": pd.Series([user_id] * len(eids), dtype="int64"),
+            "day": pd.Series([day] * len(eids)),
+            "rn": pd.Series(rns, dtype="int32"),
+        })
+
+    return (
+        stream.withColumn("day", F.date_trunc("day", "ts"))
+        .groupBy("user_id", "day")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=(
+                "event_id long, user_id long, day timestamp, rn int"),
+            stateStructType="used int",
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )

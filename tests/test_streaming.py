@@ -234,3 +234,65 @@ def test_stateful_running_totals_across_restarts(spark, tmp_path):
     # second wave, NEW query instance recovering state from the checkpoint
     write_events([(4, t0, 100, 0.5), (5, t0, 300, 7.0)])
     assert drain() == {100: (3, 4.5), 200: (1, 10.0), 300: (1, 7.0)}
+
+
+def test_streaming_rate_limit_quota_survives_restart(spark, tmp_path):
+    """The admission counter must persist in the state store across a
+    NEW query instance: a user who exhausted the daily quota in wave 1
+    gets nothing in wave 2, a user with remaining quota gets exactly
+    the remainder, and rn continues from the recovered count."""
+    import datetime as dt
+
+    from ocr_spark.streaming.jobs import rate_limited_events
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def write_events(rows):
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    sink = str(tmp_path / "sink")
+    seen = set()
+
+    def drain():
+        from ocr_spark.streaming.jobs import (
+            drain_updates_to_parquet, events_stream)
+
+        stream = events_stream(spark, src)
+        drain_updates_to_parquet(rate_limited_events(stream, 3), sink, ck)
+        allrows = sorted(
+            (int(r.event_id), int(r.user_id), int(r.rn))
+            for r in spark.read.parquet(sink).collect()
+        )
+        new = [r for r in allrows if r not in seen]
+        seen.update(allrows)
+        return new
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    # wave 1: user 100 sends 4 (one over quota), user 200 sends 2
+    write_events([
+        (1, ts(0), 100, "view", 0.0, "{}"),
+        (2, ts(1), 100, "view", 0.0, "{}"),
+        (3, ts(2), 100, "view", 0.0, "{}"),
+        (4, ts(3), 100, "view", 0.0, "{}"),
+        (5, ts(0), 200, "view", 0.0, "{}"),
+        (6, ts(1), 200, "view", 0.0, "{}"),
+    ])
+    assert drain() == [(1, 100, 1), (2, 100, 2), (3, 100, 3),
+                       (5, 200, 1), (6, 200, 2)]
+
+    # wave 2 (new query instance): 100 is tapped out, 200 has one left
+    write_events([
+        (7, ts(10), 100, "view", 0.0, "{}"),
+        (8, ts(10), 200, "view", 0.0, "{}"),
+        (9, ts(11), 200, "view", 0.0, "{}"),
+    ])
+    assert drain() == [(8, 200, 3)]

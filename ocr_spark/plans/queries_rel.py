@@ -2047,3 +2047,186 @@ def tpch_q22(spark, sf):
             _sum_fixed(F.col("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@q(
+    "tpch_q7",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {_sum_fixed_sql('volume', 4)} AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7(spark, sf):
+    """TPC-H Q7 (volume shipping): bilateral trade volume between two
+    nations by year — the symmetric-pair disjunction ((A,B) or (B,A))
+    that must NOT become a join-key disjunction, plus EXTRACT(year)
+    grouping derived in codegen.
+
+    Shape (100 TB posture): the nation dimension is joined TWICE under
+    different roles (supplier side, customer side) — both broadcast;
+    the pair filter evaluates post-join as a residual over two tiny
+    attached columns while every join stays a clean equi hash join;
+    the date window prunes lineitem at the scan.  Group key space is
+    2 pairs x years — trivially combinable map-side."""
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_suppkey", "l_orderkey", "l_shipdate",
+             "l_extendedprice", "l_discount")
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n1 = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    n2 = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+        | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(_sum_fixed(vol, 4).alias("revenue"))
+    )
+
+
+@q(
+    "tpch_q8",
+    oracle=f"""
+    SELECT l_year,
+           {_sum_fixed_sql("CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END", 4)}
+             / {_sum_fixed_sql('volume', 4)} AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n1.n_name AS supp_nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region   ON n2.n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    GROUP BY l_year
+    """,
+)
+def tpch_q8(spark, sf):
+    """TPC-H Q8 (national market share): one nation's share of a
+    region's market for a part type, by year — the ratio-of-two-
+    conditional-sums pattern computed in a SINGLE aggregation pass
+    (never two scans / two subqueries diffed), with the nation
+    dimension again under two roles.
+
+    Shape (100 TB posture): part-type and region filters prune the
+    broadcast build sides BEFORE the fact joins; numerator and
+    denominator are both exact int64 fixed-point sums folded into one
+    map-side-combined agg, so the emitted double quotient is
+    bit-identical across engines (the tpch_q14 promo-share rule,
+    generalized)."""
+    p = t(spark, sf, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    li = t(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey",
+        "l_extendedprice", "l_discount")
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    o = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n1 = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    n2 = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("ck"), F.col("n_regionkey").alias("rk"))
+    r = t(spark, sf, "region").filter(F.col("r_name") == "EUROPE").select("r_regionkey")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    natvol = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+        .join(F.broadcast(r), F.col("rk") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("l_year"))
+        .agg((_sum_fixed(natvol, 4) / _sum_fixed(vol, 4)).alias("mkt_share"))
+    )
+
+
+@q(
+    "tpch_q15",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             {_sum_fixed_sql('l_extendedprice * (1 - l_discount)', 4)} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def tpch_q15(spark, sf):
+    """TPC-H Q15 (top supplier): the revenue view + scalar MAX subquery
+    — suppliers whose quarterly revenue equals the maximum.  The view
+    is computed ONCE and consumed twice (per-supplier rows + the max),
+    and the equality filter is exact because revenue is an
+    order-independent int64 fixed-point sum on both engines — a float
+    sum here could make the two engines disagree about who is top.
+
+    Shape (100 TB posture): the revenue agg reduces lineitem to
+    |suppliers| rows behind one map-side-combined shuffle; the MAX is a
+    1-row fit over that small frame (broadcast as a filter constant,
+    the tpch_q22 pattern) and the supplier attach is a broadcast
+    join — the fact table is scanned exactly once."""
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(_sum_fixed(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            .alias("total_revenue"))
+    )
+    rev = rev.persist()
+    mx = rev.agg(F.max("total_revenue")).first()[0]  # 1-row scalar fit
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    out = (
+        rev.filter(F.col("total_revenue") == mx)
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+    return out

@@ -105,6 +105,7 @@ _DEFER_FIRST_CHECK = [
     "agg_cms_heavy_hitters",
     "diag_expectations", "snapshot_diff", "graph_khop_frontier",
     "streaming_rate_limit",
+    "tpch_q7", "tpch_q8", "tpch_q15",
 ]
 
 

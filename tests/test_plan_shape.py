@@ -349,3 +349,13 @@ def test_khop_frontier_broadcast_equi_joins(spark, sf_dir):
     plan = _plan(registry.QUERIES["graph_khop_frontier"](spark, sf_dir))
     assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize("name", ["tpch_q7", "tpch_q8"])
+def test_two_role_nation_joins_stay_hash(name, spark, sf_dir):
+    """The symmetric nation-pair / market-share queries join the nation
+    dim twice under different roles; the pair condition must remain a
+    residual filter — every join a hash join, never nested-loop."""
+    plan = _plan(registry.QUERIES[name](spark, sf_dir))
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4

@@ -2230,3 +2230,171 @@ def tpch_q15(spark, sf):
         .select("s_suppkey", "s_name", "total_revenue")
     )
     return out
+
+
+@q(
+    "tpch_q9",
+    oracle=f"""
+    SELECT nation, o_year, {_sum_fixed_sql('amount', 4)} AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.6 * p_retailprice * l_quantity AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%re%'
+    )
+    GROUP BY nation, o_year
+    """,
+)
+def tpch_q9(spark, sf):
+    """TPC-H Q9 (product-type profit): profit per supplier nation per
+    year over parts matching a name pattern.  Adapted cost term: the
+    schema has no partsupp.ps_supplycost, so 0.6 x p_retailprice
+    stands in — the shape under test (a LIKE-filtered part dim pruning
+    a 5-table join, a computed profit expression mixing columns from
+    THREE tables, nation/year grouping) is unchanged.
+
+    Shape (100 TB posture): the LIKE filter prunes the broadcast part
+    side before the fact join (a leading-wildcard LIKE cannot push to
+    parquet min/max but still cuts the build side); profit folds in
+    codegen post-join; the (nation, year) group key is tiny — fully
+    map-side-combinable.  Profit is fixed-pointed AFTER the arithmetic
+    so both engines sum identical int64s."""
+    p = t(spark, sf, "part").filter(F.col("p_name").like("%re%")).select(
+        "p_partkey", "p_retailprice")
+    li = t(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey",
+        "l_extendedprice", "l_discount", "l_quantity")
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    n = t(spark, sf, "nation").select("n_nationkey", "n_name")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(_sum_fixed(amount, 4).alias("sum_profit"))
+    )
+
+
+@q(
+    "tpch_q16",
+    oracle="""
+    SELECT p_brand, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+             AS supplier_cnt
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (5, 10, 15, 20, 25)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    """,
+)
+def tpch_q16(spark, sf):
+    """TPC-H Q16 (parts/supplier relationship): distinct supplier count
+    per part attribute group, excluding a complaint list.  Adapted:
+    partsupp is absent, so lineitem provides the part↔supplier
+    relation, and negative-balance suppliers stand in for the
+    'Customer Complaints' LIKE list.  The graded shape — NOT IN
+    decorrelated to an anti join + two-phase COUNT(DISTINCT) on a
+    composite group — is intact.
+
+    Shape (100 TB posture): the brand/size filters prune the broadcast
+    part side; the complaint set is a tiny broadcast anti join probing
+    only l_suppkey; the distinct aggregates two-phase (partial distinct
+    sets per partition, merge on the (brand, size) key) — raw pairs
+    never concentrate on one task."""
+    p = t(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(5, 10, 15, 20, 25)
+    ).select("p_partkey", "p_brand", "p_size")
+    li = t(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    bad = t(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@q(
+    "tpch_q21",
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    """,
+)
+def tpch_q21(spark, sf):
+    """TPC-H Q21 (suppliers who kept orders waiting): the hardest
+    decorrelation in the suite — one EXISTS (another supplier
+    participated in the order) AND one NOT EXISTS (no OTHER supplier
+    was also late) over the same fact table under different aliases,
+    i.e. a semi join and an anti join against two differently-filtered
+    self-copies.  Adapted lateness: shipped > 60 days after order date
+    (no commit/receipt dates in this schema).
+
+    Shape (100 TB posture): both subqueries decorrelate to joins on
+    l_orderkey carrying only (orderkey, suppkey[, late]) — 2-3 slim
+    columns of the fact; the anti side is pre-filtered to LATE lines
+    only before shuffling.  The order-status filter prunes orders
+    before anything touches lineitem, and the final group key
+    (s_name) aggregates map-side."""
+    o = t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate")
+    li = t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS")
+    l1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(late)
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    # EXISTS: another supplier in the same order
+    l2 = li.select(F.col("l_orderkey").alias("k2"),
+                   F.col("l_suppkey").alias("s2"))
+    has_other = l1.join(
+        l2, (F.col("l_orderkey") == F.col("k2"))
+        & (F.col("l_suppkey") != F.col("s2")), "left_semi")
+    # NOT EXISTS: no OTHER supplier was late in that order
+    l3 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(late)
+        .select(F.col("l_orderkey").alias("k3"),
+                F.col("l_suppkey").alias("s3"))
+    )
+    lone_late = has_other.join(
+        l3, (F.col("l_orderkey") == F.col("k3"))
+        & (F.col("l_suppkey") != F.col("s3")), "left_anti")
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        lone_late.join(F.broadcast(s),
+                       F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )

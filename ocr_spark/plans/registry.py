@@ -106,6 +106,7 @@ _DEFER_FIRST_CHECK = [
     "diag_expectations", "snapshot_diff", "graph_khop_frontier",
     "streaming_rate_limit",
     "tpch_q7", "tpch_q8", "tpch_q15",
+    "tpch_q9", "tpch_q16", "tpch_q21",
 ]
 
 

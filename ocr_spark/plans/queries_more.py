@@ -1561,3 +1561,57 @@ def streaming_rate_limit(spark, sf):
     shutil.rmtree(ck, ignore_errors=True)
     return run_available_now(rate_limited_events(stream, 3), ck,
                              output_mode="update")
+
+
+@q(
+    "agg_histogram_equidepth",
+    oracle="""
+    WITH b AS (
+      SELECT quantile_cont(l_quantity, 0.25) AS b1,
+             quantile_cont(l_quantity, 0.50) AS b2,
+             quantile_cont(l_quantity, 0.75) AS b3
+      FROM lineitem
+    )
+    SELECT CASE WHEN l_quantity <= b1 THEN 0
+                WHEN l_quantity <= b2 THEN 1
+                WHEN l_quantity <= b3 THEN 2 ELSE 3 END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MIN(l_quantity), 2) AS lo,
+           ROUND(MAX(l_quantity), 2) AS hi
+    FROM lineitem, b
+    GROUP BY 1
+    """,
+)
+def agg_histogram_equidepth(spark, sf):
+    """Equi-DEPTH (quantile-bucketed) histogram — the CBO statistics
+    shape (Spark's own ANALYZE histograms, DB2/Oracle height-balanced
+    buckets) and the complement of the fixed-width agg_histogram:
+    bucket boundaries are the data's own quartiles, so every bucket
+    holds ~N/4 rows no matter how skewed the distribution.  Boundaries
+    interpolate identically in both engines because l_quantity is an
+    integer-valued column (quartile arithmetic stays exact).
+
+    Shape (100 TB posture): the quartile fit is a 1-row aggregate
+    broadcast back as three literals (the tpch_q22 scalar pattern;
+    at whale scale the exact percentile swaps for the distinct-value-
+    counting shape of agg_percentile or approx_percentile's mergeable
+    sketch); the bucketing pass is then pure codegen CASE over one
+    scan with a 4-key map-side-combined agg."""
+    li = t(spark, sf, "lineitem").select("l_quantity")
+    b1, b2, b3 = li.agg(
+        F.expr("percentile(l_quantity, 0.25)"),
+        F.expr("percentile(l_quantity, 0.50)"),
+        F.expr("percentile(l_quantity, 0.75)"),
+    ).first()  # 1-row scalar fit
+    q_ = F.col("l_quantity")
+    bucket = (
+        F.when(q_ <= b1, 0).when(q_ <= b2, 1).when(q_ <= b3, 2).otherwise(3)
+    )
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.min("l_quantity"), 2).alias("lo"),
+            F.round(F.max("l_quantity"), 2).alias("hi"),
+        )
+    )

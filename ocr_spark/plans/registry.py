@@ -107,6 +107,7 @@ _DEFER_FIRST_CHECK = [
     "streaming_rate_limit",
     "tpch_q7", "tpch_q8", "tpch_q15",
     "tpch_q9", "tpch_q16", "tpch_q21",
+    "agg_histogram_equidepth",
 ]
 
 

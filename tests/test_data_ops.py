@@ -403,3 +403,42 @@ def test_cms_guarantees_hold_at_sf001(spark, sf_dir):
     for r in rows:
         assert r.est_ge_exact, f"CMS underestimated {r.event_type}"
         assert r.err_within_bound, f"CMS error bound violated {r.event_type}"
+
+
+def test_snapshot_diff_classifies_exactly(spark, sf_dir):
+    """Semantic gate beyond engine parity: the diff classes must equal
+    the perturbation construction — removed = %13 multiples, added =
+    %17 multiples under shifted ids, changed = %11 multiples that
+    survived deletion, and nothing else."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.plans import registry
+
+    registry.load_all()
+    out = registry.QUERIES["snapshot_diff"](spark, sf_dir)
+    got = {(int(r.doc_id), r.change) for r in out.collect()}
+    ids = [int(r.doc_id) for r in spark.read.parquet(
+        f"{sf_dir}/documents.parquet").select("doc_id").collect()]
+    expect = set()
+    for i in ids:
+        if i % 13 == 0:
+            expect.add((i, "removed"))
+        elif i % 11 == 0:
+            expect.add((i, "changed"))
+        if i % 17 == 0:
+            expect.add((i + 9000000, "added"))
+    assert got == expect
+
+
+def test_equidepth_buckets_are_balanced(spark, sf_dir):
+    """The defining property: every quantile bucket holds ~N/4 rows
+    (within the slack integer-valued data forces at the boundaries)."""
+    from ocr_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["agg_histogram_equidepth"](spark, sf_dir).collect()
+    total = sum(r.n_rows for r in rows)
+    assert len(rows) == 4
+    for r in rows:
+        assert r.n_rows >= total * 0.15, (
+            f"bucket {r.bucket} too small: {r.n_rows}/{total}")

@@ -1809,3 +1809,82 @@ def graph_khop_frontier(spark, sf):
         .unionByName(h1.select("v", F.lit(1).alias("hop")))
         .unionByName(h2.select("v", F.lit(2).alias("hop")))
     )
+
+
+@q(
+    "text_cooccurrence_pmi",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+    ),
+    pairs AS (
+      SELECT ws[i] AS x, ws[i+1] AS y
+      FROM toks, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+    ),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w FROM (
+        SELECT unnest(ws) AS w FROM toks
+      ) GROUP BY w
+    ),
+    big AS (
+      SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_xy FROM pairs GROUP BY x, y
+    ),
+    tot AS (
+      SELECT (SELECT CAST(SUM(n_xy) AS DOUBLE) FROM big) AS t_pairs,
+             (SELECT CAST(SUM(n_w) AS DOUBLE) FROM uni) AS n_tok
+    )
+    SELECT x, y, n_xy,
+           ROUND(LN((n_xy / t_pairs) / ((ux.n_w / n_tok) * (uy.n_w / n_tok))),
+                 6) AS pmi
+    FROM big JOIN uni ux ON ux.w = x JOIN uni uy ON uy.w = y, tot
+    WHERE n_xy >= 5
+    """,
+)
+def text_cooccurrence_pmi(spark, sf):
+    """Pointwise mutual information of adjacent token pairs — the
+    collocation detector (Church & Hanks 1990) behind phrase mining,
+    tokenizer merge scoring, and word-association features:
+    pmi(x,y) = ln(P(x,y) / (P(x)P(y))) with pair probability from the
+    bigram stream and unigram probabilities from the token stream.
+    Every input to the log is a ratio of exact int64 counts computed
+    identically in both engines, so the double reaching ln() is
+    bit-identical (the text_unigram_logprob precedent); n_xy ≥ 5
+    filters the unstable low-count tail, as real collocation pipelines
+    do.
+
+    Shape (100 TB posture): two map-side-combined hash aggs over one
+    in-task tokenize (unigrams, bigrams — Spark reuses the exploded
+    exchange); the unigram table joins back by BROADCAST (vocab ≪
+    corpus); totals are a 1-row frame attached as literals.  No
+    windows, no all-pairs — the pair space is observed bigrams only."""
+    d = t(spark, sf, "documents")
+    toks = d.select(F.split(F.trim("text"), " ").alias("ws"))
+    uni = (
+        toks.select(F.explode("ws").alias("w"))
+        .groupBy("w").agg(F.count("*").alias("n_w"))
+    )
+    sz = F.size("ws")
+    big = (
+        toks.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("ws", 1, sz - 1).alias("x"),
+                    F.expr("slice(ws, 2, size(ws) - 1)").alias("y"),
+                )
+            ).alias("p"))
+        .select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .groupBy("x", "y").agg(F.count("*").alias("n_xy"))
+    )
+    t_pairs = float(big.agg(F.sum("n_xy")).first()[0])   # 1-row fits
+    n_tok = float(uni.agg(F.sum("n_w")).first()[0])
+    ux = uni.select(F.col("w").alias("x"), F.col("n_w").alias("nx"))
+    uy = uni.select(F.col("w").alias("y"), F.col("n_w").alias("ny"))
+    pmi = F.round(
+        F.log((F.col("n_xy") / F.lit(t_pairs))
+              / ((F.col("nx") / F.lit(n_tok)) * (F.col("ny") / F.lit(n_tok)))),
+        6)
+    return (
+        big.filter(F.col("n_xy") >= 5)
+        .join(F.broadcast(ux), "x").join(F.broadcast(uy), "y")
+        .select("x", "y", "n_xy", pmi.alias("pmi"))
+    )

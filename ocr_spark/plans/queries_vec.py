@@ -782,3 +782,77 @@ def vec_rrf_fusion(spark, sf):
                 F.col("r_l2").cast("bigint").alias("r_l2"),
                 F.round("rrf", 8).alias("rrf"))
     )
+
+
+@q(
+    "vec_knn_graph",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      WHERE vec_id < {_IVF_K}
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT v.vec_id, v.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 {_DOT_SQL.format(a='v.embedding', b='c.ce')}
+                 / SQRT({_NORM2_SQL.format(a='c.ce')}) DESC, c.cid) AS rn
+        FROM embeddings v, cents c) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             ROUND({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                   / (SQRT({_NORM2_SQL.format(a='a.embedding')})
+                      * SQRT({_NORM2_SQL.format(a='b.embedding')})), 6)
+               AS cosine
+      FROM assign a JOIN assign b
+        ON a.cid = b.cid AND a.vec_id <> b.vec_id
+    )
+    SELECT src, dst, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                   ORDER BY cosine DESC, dst) AS rn
+      FROM scored) WHERE rn <= 3
+    """,
+)
+def vec_knn_graph(spark, sf):
+    """Cluster-local k-NN graph (k=3): each vector's nearest neighbors
+    WITHIN its coarse IVF cluster — the construction step behind
+    graph-based ANN indexes (HNSW/NSG seeds), label propagation over
+    embeddings, and graph-regularized dedup.  Candidates come from the
+    nearest-centroid assignment (same deterministic first-K centroids
+    as dedup_semantic so DuckDB reproduces the partition exactly);
+    ranking is on the 6-dp-rounded cosine with a dst-id tie-break in
+    BOTH engines, so the emitted edge set is hash-identical.
+
+    Shape (100 TB posture): one broadcast centroid-assignment pass
+    (max_by hash agg, no window over the corpus), then an equi-join ON
+    cid bounds pair volume to Σ|cluster|² (the SemDeDup contract: K
+    grows with the corpus) — never all-pairs; norms computed once per
+    side; the per-src top-3 window runs over cluster-local candidates
+    only.  Production recall knob = multi-probe assignment (append
+    2nd-nearest centroid), same plan shape."""
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    cents = F.broadcast(
+        e.filter(F.col("vec_id") < _IVF_K).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")))
+    assign = ivf_assign(e, cents)
+    nrm = F.sqrt(F.expr(_NORM2.format(a="embedding")))
+    a = assign.select(F.col("vec_id").alias("src"),
+                      F.col("embedding").alias("ea"), nrm.alias("na"), "cid")
+    b = assign.select(F.col("vec_id").alias("dst"),
+                      F.col("embedding").alias("eb"), nrm.alias("nb"), "cid")
+    cos = F.round(
+        F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb")), 6)
+    scored = (
+        a.join(b, "cid")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", cos.alias("cosine"))
+    )
+    from pyspark.sql import Window as W
+    w = W.partitionBy("src").orderBy(F.desc("cosine"), "dst")
+    return (
+        scored.select("src", "dst", "cosine",
+                      F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .select("src", "dst", "cosine")
+    )

@@ -108,6 +108,7 @@ _DEFER_FIRST_CHECK = [
     "tpch_q7", "tpch_q8", "tpch_q15",
     "tpch_q9", "tpch_q16", "tpch_q21",
     "agg_histogram_equidepth",
+    "vec_knn_graph", "text_cooccurrence_pmi",
 ]
 
 

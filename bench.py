@@ -88,6 +88,16 @@ HEADLINE = [
     "tpch_q13",
     "tpch_q18",
     "tpch_q19",
+    "tpch_q9",
+    "tpch_q21",
+    "events_markov_transitions",
+    "agg_cms_heavy_hitters",
+    "dedup_containment",
+    "snapshot_diff",
+    "diag_expectations",
+    "vec_knn_graph",
+    "text_cooccurrence_pmi",
+    "agg_histogram_equidepth",
 ]
 
 # Iterative operators run their rounds EAGERLY at build time (hash-min

@@ -2221,7 +2221,11 @@ def tpch_q15(spark, sf):
             F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
             .alias("total_revenue"))
     )
-    rev = rev.persist()
+    # no persist: the MAX action materializes rev's shuffle output, and
+    # the later filter action reuses it via shuffle-stage skipping (same
+    # lineage object) — an explicit persist would pin partitions in
+    # executor storage memory across bench/driver loops with no owner to
+    # unpersist them (round-4 ADVICE)
     mx = rev.agg(F.max("total_revenue")).first()[0]  # 1-row scalar fit
     s = t(spark, sf, "supplier").select("s_suppkey", "s_name")
     out = (
@@ -2397,4 +2401,240 @@ def tpch_q21(spark, sf):
                        F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 / Q11 / Q20 over a DERIVED partsupp
+#
+# The testdata ships no partsupp table (TESTDATA.md), so both engines
+# derive an identical stand-in: the distinct (l_partkey, l_suppkey)
+# pairs actually observed in lineitem, with supplycost and availqty
+# produced by pure modular integer arithmetic on the keys — exact,
+# portable, and bit-identical across Spark and DuckDB (no engine hash
+# function involved).  supplycost carries exactly one decimal digit
+# (m/10 + 1 for m in 0..999) so fixed-point sums at k=1 are exact;
+# availqty is a small int (1..25) sized so Q20's half-of-shipped-
+# quantity comparison is genuinely selective on this data.
+# ---------------------------------------------------------------------------
+
+_PARTSUPP_SQL = """
+      SELECT ps_partkey, ps_suppkey,
+             CAST((ps_partkey * 37 + ps_suppkey * 13) % 1000 AS DOUBLE)
+               / 10.0 + 1.0 AS ps_supplycost,
+             CAST((ps_partkey * 17 + ps_suppkey * 31) % 25 + 1 AS INT)
+               AS ps_availqty
+      FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+                            l_suppkey AS ps_suppkey FROM lineitem)
+"""
+
+
+def _partsupp(spark, sf):
+    """Derived partsupp: distinct observed (part, supp) pairs + exact
+    arithmetic supplycost/availqty (twin of _PARTSUPP_SQL).
+
+    Shape (100 TB posture): the distinct is one map-side-combinable
+    hash agg on two int64 columns — the narrowest possible projection
+    of the fact — and everything downstream is per-row codegen
+    arithmetic; output size is |part|x|supp-per-part|, dimension-like,
+    so downstream joins against it hash-partition on ps_partkey."""
+    return (
+        t(spark, sf, "lineitem")
+        .select(F.col("l_partkey").alias("ps_partkey"),
+                F.col("l_suppkey").alias("ps_suppkey"))
+        .distinct()
+        .select(
+            "ps_partkey", "ps_suppkey",
+            F.expr("CAST((ps_partkey * 37 + ps_suppkey * 13) % 1000"
+                   " AS DOUBLE) / 10.0 + 1.0").alias("ps_supplycost"),
+            F.expr("CAST((ps_partkey * 17 + ps_suppkey * 31) % 25 + 1"
+                   " AS INT)").alias("ps_availqty"),
+        )
+    )
+
+
+def _europe_suppliers(spark, sf):
+    """supplier ⋈ nation ⋈ region('EUROPE') — a few-row dim frame."""
+    n = t(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = t(spark, sf, "region").filter(
+        F.col("r_name") == "EUROPE").select("r_regionkey")
+    s = t(spark, sf, "supplier")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+
+
+@q(
+    "tpch_q2",
+    oracle=f"""
+    WITH partsupp AS ({_PARTSUPP_SQL})
+    SELECT s_acctbal, s_name, n_name,
+           p_partkey, p_type, ps_supplycost
+    FROM part
+    JOIN partsupp ON p_partkey = ps_partkey
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE p_size BETWEEN 10 AND 20 AND p_type LIKE '%ANDARD'
+      AND r_name = 'EUROPE'
+      AND ps_supplycost = (
+        SELECT MIN(ps2.ps_supplycost)
+        FROM partsupp ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+        WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+    """,
+)
+def tpch_q2(spark, sf):
+    """TPC-H Q2 (minimum-cost supplier): for each qualifying part, the
+    European suppliers offering it at the REGIONAL MINIMUM supplycost.
+    The correlated scalar MIN subquery decorrelates into
+    aggregate-then-rejoin: per-part regional minima computed once,
+    equality-joined back.  The cost equality is exact — supplycost is
+    the same integer-derived double in both engines, and MIN returns
+    one of those identical bit patterns.
+
+    Shape (100 TB posture): the regional supplier set is a broadcast
+    semi filter on partsupp BEFORE the min agg (prune early), the min
+    agg is map-side combinable to |part| rows, and its rejoin shares
+    the ps_partkey hash partitioning with the agg output — one shuffle
+    total on the big side; part and the supplier dims broadcast."""
+    ps = _partsupp(spark, sf)
+    eu = _europe_suppliers(spark, sf)
+    eu_ps = ps.join(
+        F.broadcast(eu.select("s_suppkey")),
+        ps.ps_suppkey == F.col("s_suppkey"), "left_semi")
+    min_cost = eu_ps.groupBy(
+        F.col("ps_partkey").alias("m_partkey")
+    ).agg(F.min("ps_supplycost").alias("min_cost"))
+    p = t(spark, sf, "part").filter(
+        F.col("p_size").between(10, 20) & F.col("p_type").like("%ANDARD")
+    ).select("p_partkey", "p_type")
+    return (
+        eu_ps.join(F.broadcast(p), eu_ps.ps_partkey == p.p_partkey)
+        .join(min_cost, (F.col("ps_partkey") == F.col("m_partkey"))
+              & (F.col("ps_supplycost") == F.col("min_cost")))
+        .join(F.broadcast(eu), F.col("ps_suppkey") == eu.s_suppkey)
+        .select("s_acctbal", "s_name", "n_name",
+                "p_partkey", "p_type", "ps_supplycost")
+    )
+
+
+@q(
+    "tpch_q11",
+    oracle=f"""
+    WITH partsupp AS ({_PARTSUPP_SQL}),
+    eu AS (
+      SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+      FROM partsupp
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT ps_partkey, {_sum_fixed_sql('v', 1)} AS part_value
+    FROM eu
+    GROUP BY ps_partkey
+    HAVING {_sum_fixed_sql('v', 1)} >
+           (SELECT {_sum_fixed_sql('v', 1)} * 2.0
+                   / COUNT(DISTINCT ps_partkey) FROM eu)
+    """,
+)
+def tpch_q11(spark, sf):
+    """TPC-H Q11 (important stock): per-part inventory value within a
+    region, kept only where it exceeds a fraction of the REGIONAL TOTAL
+    — the HAVING-against-a-global-scalar shape.  The fraction is
+    scale-adaptive (2x the per-part average, i.e. 2/|parts| of the
+    total — the same role as TPC-H's 0.0001/SF) so the survivor set
+    stays non-degenerate at every SF.  Both the per-part and the
+    global sums are exact int64 fixed-point (supplycost has one
+    decimal digit), so threshold comparisons are bit-identical.
+
+    Shape (100 TB posture): the regional filter is a broadcast semi on
+    partsupp; ONE map-side-combined agg produces the |part|-row value
+    frame; the global total is a 1-row scalar fit over that small frame
+    (collected once, pushed back as a filter constant — the tpch_q15 /
+    q22 pattern), so the fact side is scanned exactly once and nothing
+    re-shuffles for the threshold."""
+    ps = _partsupp(spark, sf)
+    eu_keys = _europe_suppliers(spark, sf).select("s_suppkey")
+    v = F.col("ps_supplycost") * F.col("ps_availqty")
+    eu = ps.join(F.broadcast(eu_keys),
+                 ps.ps_suppkey == F.col("s_suppkey"), "left_semi")
+    per_part = eu.groupBy("ps_partkey").agg(
+        _sum_fixed(v, 1).alias("part_value"))
+    total, nparts = eu.agg(  # 1-row scalar fit
+        _sum_fixed(v, 1), F.countDistinct("ps_partkey")).first()
+    return per_part.filter(F.col("part_value") > total * 2.0 / nparts)
+
+
+@q(
+    "tpch_q20",
+    oracle=f"""
+    WITH partsupp AS ({_PARTSUPP_SQL}),
+    qty AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) * 0.5
+               AS half_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+      AND s_suppkey IN (
+        SELECT ps_suppkey FROM partsupp
+        JOIN qty ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        WHERE ps_availqty > half_qty
+          AND ps_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'small%'))
+    """,
+)
+def tpch_q20(spark, sf):
+    """TPC-H Q20 (potential part promotion): suppliers in a region who
+    stock a 'small%' part in excess of half the quantity they shipped
+    in 1996 — the nested semi-join chain (supplier ← partsupp ← part,
+    with a correlated per-(part,supp) quantity aggregate).  The
+    correlated subquery decorrelates into aggregate-then-join; pairs
+    with no 1996 shipments drop on the inner join exactly as TPC-H's
+    NULL comparison drops them.  Quantities are integer-valued, so the
+    half-quantity threshold is exact in both engines.
+
+    Shape (100 TB posture): the 1996 agg map-side-combines lineitem to
+    |partsupp| rows keyed (partkey, suppkey) — the same key as the
+    derived partsupp, so the decorrelation join co-partitions with no
+    extra exchange; the part-name filter is a broadcast semi BEFORE
+    that join; the final supplier filter is a broadcast semi of the
+    distinct qualifying suppkeys (bounded by |supplier|)."""
+    ps = _partsupp(spark, sf)
+    small = t(spark, sf, "part").filter(
+        F.col("p_name").like("small%")).select("p_partkey")
+    qty = (
+        t(spark, sf, "lineitem")
+        .filter((F.col("l_shipdate") >= "1996-01-01")
+                & (F.col("l_shipdate") < "1997-01-01"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg((F.sum(F.round("l_quantity").cast("long")).cast("double")
+              * 0.5).alias("half_qty"))
+    )
+    good = (
+        ps.join(F.broadcast(small),
+                ps.ps_partkey == F.col("p_partkey"), "left_semi")
+        .join(qty, (F.col("ps_partkey") == F.col("l_partkey"))
+              & (F.col("ps_suppkey") == F.col("l_suppkey")))
+        .filter(F.col("ps_availqty") > F.col("half_qty"))
+        .select("ps_suppkey").distinct()
+    )
+    eu = _europe_suppliers(spark, sf)
+    return (
+        eu.join(F.broadcast(good),
+                eu.s_suppkey == F.col("ps_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
     )

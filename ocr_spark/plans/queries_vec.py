@@ -519,7 +519,7 @@ def ann_ivf_kmeans(spark, sf):
     )
     SELECT vec_id, label,
            CAST(len(c) AS INT) AS dim,
-           list_sum(c) AS code_sum,
+           CAST(list_sum(c) AS BIGINT) AS code_sum,
            CAST(list_min(c) AS INT) AS code_min,
            CAST(list_max(c) AS INT) AS code_max,
            ROUND(mn, 6) AS vmin,

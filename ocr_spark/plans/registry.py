@@ -57,59 +57,30 @@ DRIVER_WINDOW = 50
 #: reviewed each round; the window test fails if any falls outside the
 #: first DRIVER_WINDOW slots.
 _CHANGED_THIS_ROUND = [
-    # round 4: array columns → '|'-joined strings (r03 driver fail)
-    "text_extract_entities",
-    # round 4: reliable checkpoint + convergence flag in CC
-    "dedup_connected_components",
-    # round 4: pdfx payload changes (string-aware inline-image strip,
-    # artifact spans, q/Q state) are re-verified through the
-    # hash-checked twin extract_pipeline_checked below; the rows-only
-    # extract_pipeline row itself is NOT re-queued — its driver check
-    # carries no hash signal, and the freed slot keeps the last
-    # r01-stale operator (json_funcs) inside the 50-slot window
-    # round 4: new driver-visible oracles
-    "extract_pipeline_checked", "dedup_minhash_recall",
-    # round 4: kmeans++ seeding index clamp
-    "ann_ivf_kmeans",
-    # round 4: gram sets pre-hashed to int64 in _grams_of (shared helper)
-    "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    # round 4: window hashes xxhash64 ints instead of md5 strings
-    "dedup_substring_window",
-    # round 4 (late): single-tokenize-pass plan rewrite (results
-    # unchanged, implementation changed — driver should re-verify)
-    "text_bm25_topk",
+    # round 5: oracle fix — CAST(list_sum(c) AS BIGINT); DuckDB's
+    # HUGEINT list_sum rendered as float64 through the driver's pandas
+    # hash path while Spark emitted int64 (r04's one hash fail)
+    "vec_quantize_int8",
+    # round 5: rarest-gram prefix filter added to the candidate
+    # generation (results unchanged, plan changed)
+    "dedup_containment",
+    # round 5: oracle now emits exact per-key counts instead of a
+    # hardcoded `true AS err_within_bound` (round-4 ADVICE)
+    "agg_cms_heavy_hitters",
+    # round 5: rate_limited_events materializes each (user, day) group
+    # across Arrow chunks before ordering (round-4 ADVICE, medium)
+    "streaming_rate_limit", "events_rate_limit",
 ]
 
 
 #: never-checked operators whose FIRST driver row is deliberately
-#: deferred to the next round.  Round 4 saturated the 50-slot window
-#: exactly (9 changed + 20 first-rows + all 21 r01-stale rotations);
-#: operators added after that point would displace an r01 rotation and
-#: push its green row past the 2-round staleness bound — strictly worse
-#: than one round of first-row latency for a brand-new entry, which the
-#: local sf0.01 parity suite already hash-verifies.  Next round these
-#: are never-checked and sort into the window first; the gate in
-#: tests/test_registry_window.py only permits deferral while the window
-#: is genuinely saturated.
-_DEFER_FIRST_CHECK = [
-    "tpch_q5", "tpch_q10", "tpch_q14",
-    "window_percent_rank", "unpivot_long", "table_profile",
-    "vec_rrf_fusion", "dedup_fuzzy_blocked",
-    "graph_triangle_count", "vocab_bpe_apply", "sample_fixed_k",
-    "events_sliding_distinct",
-    "tpch_q4", "tpch_q6", "tpch_q12", "tpch_q13", "tpch_q17",
-    "tpch_q18", "tpch_q19", "tpch_q22",
-    "events_markov_transitions", "events_rate_limit",
-    "graph_degree_distribution", "dedup_containment",
-    "sample_balanced_classes", "multimodal_wav_meta",
-    "agg_cms_heavy_hitters",
-    "diag_expectations", "snapshot_diff", "graph_khop_frontier",
-    "streaming_rate_limit",
-    "tpch_q7", "tpch_q8", "tpch_q15",
-    "tpch_q9", "tpch_q16", "tpch_q21",
-    "agg_histogram_equidepth",
-    "vec_knn_graph", "text_cooccurrence_pmi",
-]
+#: deferred to the next round — ONLY legitimate while the window is
+#: genuinely saturated (round 4 was: 9 changed + 20 first-rows + all 21
+#: r01-stale rotations).  Round 5's window has room for every
+#: never-checked entry, so the list is empty; the scoping in
+#: check_order and tests/test_registry_window.py re-arms the hard
+#: never-checked gate automatically.
+_DEFER_FIRST_CHECK: list[str] = []
 
 
 def _check_history() -> dict[str, int]:

@@ -54,7 +54,9 @@ def _norm(v: Any) -> str:
     if isinstance(v, datetime.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, datetime.date):
-        return v.strftime("%Y-%m-%d")
+        # pandas fetch renders DuckDB DATE as midnight Timestamp while
+        # Spark toPandas keeps datetime.date — normalize to one form
+        return v.strftime("%Y-%m-%d 00:00:00.000000")
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
     if isinstance(v, (int,)):
@@ -76,12 +78,72 @@ def canonical(rows: list[tuple], cols: list[str]) -> list[tuple[str, ...]]:
     return out
 
 
+#: DuckDB result types that the driver's pandas fetch (`rel.df()`)
+#: silently coerces to float64 — if Spark's matching column is integral
+#: the value hash diverges even when every value is equal (the r04
+#: `vec_quantize_int8` failure: HUGEINT list_sum → -597.0 vs -597).
+_WIDENED_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+_SPARK_INTEGRAL = ("byte", "short", "int", "integer", "long", "bigint")
+
+
+def check_widened_types(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
+    """Return columns where the oracle's DuckDB type is HUGEINT /
+    UHUGEINT / DECIMAL while Spark's column is integral — a guaranteed
+    driver hash mismatch regardless of values.  Checked from
+    ``rel.types`` before any fetch, so it is cheap and deterministic."""
+    rel = con.sql(sql)
+    spark_types = {f.name: f.dataType.simpleString() for f in spark_df.schema.fields}
+    bad = []
+    for col, dtyp in zip(rel.columns, rel.types):
+        d = str(dtyp).upper()
+        if any(w in d for w in _WIDENED_DUCK_TYPES):
+            if spark_types.get(col, "") in _SPARK_INTEGRAL:
+                bad.append(f"{col} (duck {d} vs spark {spark_types.get(col)})")
+    return bad
+
+
+def _depandas(pdf) -> list[tuple]:
+    """pandas DataFrame → list of row tuples with numpy scalars
+    unwrapped to Python scalars (np.int64 → int, np.float64 → float,
+    np.bool_ → bool, pd.Timestamp → datetime) so _norm sees the same
+    value space from both engines."""
+    import numpy as np
+
+    rows = []
+    for row in pdf.itertuples(index=False, name=None):
+        out = []
+        for v in row:
+            if isinstance(v, np.generic):
+                v = v.item()
+            elif type(v).__name__ == "Timestamp":
+                v = v.to_pydatetime()
+            elif type(v).__name__ == "NaTType":
+                v = None
+            out.append(v)
+        rows.append(tuple(out))
+    return rows
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    s_cols = spark_df.columns
-    rel = con.execute(sql)
-    d_cols = [d[0] for d in rel.description]
-    d_rows = [tuple(r) for r in rel.fetchall()]
+    # Fetch BOTH engines through the pandas path the driver uses
+    # (`toPandas()` / `rel.df()`): dtype coercions the driver would see
+    # (DuckDB HUGEINT→float64, nullable int→float64+NaN) happen here
+    # too, so a local pass really predicts a driver pass (the r03 list
+    # cells and r04 HUGEINT failures were both invisible to a
+    # fetchall()-based replica).
+    widened = check_widened_types(spark_df, con, sql)
+    if widened:
+        raise AssertionError(
+            "oracle emits pandas-widened numeric types against integral "
+            f"Spark columns — guaranteed driver hash mismatch: {widened}; "
+            "CAST(... AS BIGINT) in the oracle SQL")
+    s_pdf = spark_df.toPandas()
+    s_rows = _depandas(s_pdf)
+    s_cols = list(s_pdf.columns)
+    d_pdf = con.sql(sql).df()
+    d_cols = list(d_pdf.columns)
+    d_rows = _depandas(d_pdf)
     res = {
         "rows_spark": len(s_rows),
         "rows_duck": len(d_rows),

@@ -1652,6 +1652,59 @@ _PFX_CTE = f"""
 """
 
 
+_CONT_TAU = 0.9
+
+
+def containment_prefix_candidates(g, tau: float = _CONT_TAU):
+    """Rarest-gram PREFIX-FILTER candidate generation for containment
+    joins (the prefix principle of SSJoin/PPJoin, Chaudhuri et al.
+    2006 / Xiao et al. 2008, adapted to the overlap-vs-min bound).
+
+    For a pair to reach containment = |A∩B|/min(|A|,|B|) ≥ tau, the
+    smaller set S (|S| = m) must share ≥ ceil(tau·m) grams, so by
+    pigeonhole ANY floor((1-tau)·m)+1 of S's grams contain a shared
+    one.  Indexing each doc's floor((1-tau)·sz)+1 RAREST grams
+    (global df ascending — rarest-first minimizes posting-list
+    fan-out; the choice affects only cost, never recall) and probing
+    against ALL grams therefore finds every qualifying pair with NO
+    recall loss and NO df-cap parameter: the final filtered output is
+    provably exactly {pairs with containment ≥ tau}, independent of
+    how df ties are broken — which is what lets the DuckDB twin rank
+    gram STRINGS while Spark ranks xxhash64 INTS and still hash-match.
+
+    Shape (100 TB posture): one df hash agg (map-side combined), one
+    per-doc top-p window over the exploded grams (p ≈ (1-tau)·sz, a
+    ~90% posting-list reduction at tau=0.9), then prefix⋈all on int64
+    gram keys.  Hot grams keep huge all-side postings but near-empty
+    prefix-side postings (a gram is prefix-eligible only for docs
+    where nothing rarer exists), so the cap-free fan-out stays
+    bounded by Σ_g |pfx(g)|·|post(g)| — candidate count is
+    plan-gated ≤ the full inverted index's in
+    tests/test_plan_shape.py."""
+    from pyspark.sql import Window
+
+    ex = g.select("doc_id", F.size("gset").alias("sz"),
+                  F.explode("gset").alias("g"))
+    dfc = ex.groupBy("g").agg(F.count("*").alias("df"))
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.col("df").asc(), F.col("g").asc()))
+    plen = (F.floor(F.lit(1.0 - tau) * F.col("sz")) + 1).cast("int")
+    pfx = (
+        ex.join(dfc, "g")
+        .select("doc_id", "sz", "g", rk.alias("rk"))
+        .filter(F.col("rk") <= plen)
+        .select(F.col("doc_id").alias("pa"), "g")
+    )
+    return (
+        pfx.join(ex.select(F.col("doc_id").alias("pb"), "g"), "g")
+        .filter(F.col("pa") != F.col("pb"))
+        .select(F.least("pa", "pb").alias("doc_a"),
+                F.greatest("pa", "pb").alias("doc_b"))
+        .distinct()
+    )
+
+
 @q(
     "dedup_containment",
     oracle=f"""
@@ -1667,14 +1720,22 @@ _PFX_CTE = f"""
              )) AS gset
       FROM toks
     ),
-    ex AS (SELECT doc_id, unnest(gset) AS g FROM grams),
-    rare AS (
-      SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= {NGRAM_DF_CAP}
+    ex AS (SELECT doc_id, len(gset) AS sz, unnest(gset) AS g FROM grams),
+    dfc AS (SELECT g, COUNT(*) AS df FROM ex GROUP BY g),
+    ranked AS (
+      SELECT ex.doc_id, ex.sz, ex.g,
+             row_number() OVER (PARTITION BY ex.doc_id
+                                ORDER BY dfc.df ASC, ex.g ASC) AS rk
+      FROM ex JOIN dfc USING (g)
     ),
-    rex AS (SELECT ex.doc_id, ex.g FROM ex JOIN rare USING (g)),
+    pfx_g AS (
+      SELECT doc_id, g FROM ranked
+      WHERE rk <= CAST(FLOOR({1.0 - _CONT_TAU} * sz) + 1 AS INT)
+    ),
     cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM rex a JOIN rex b ON a.g = b.g AND a.doc_id < b.doc_id
+      SELECT DISTINCT least(p.doc_id, e.doc_id) AS doc_a,
+                      greatest(p.doc_id, e.doc_id) AS doc_b
+      FROM pfx_g p JOIN ex e ON p.g = e.g AND p.doc_id <> e.doc_id
     ),
     scored AS (
       SELECT doc_a, doc_b,
@@ -1686,7 +1747,7 @@ _PFX_CTE = f"""
       WHERE least(len(ga.gset), len(gb.gset)) > 0
     )
     SELECT doc_a, doc_b, ROUND(cont, 4) AS containment
-    FROM scored WHERE cont >= 0.9
+    FROM scored WHERE cont >= {_CONT_TAU}
     """,
 )
 def dedup_containment(spark, sf):
@@ -1697,16 +1758,18 @@ def dedup_containment(spark, sf):
     scores containment ≈ 1.0 but Jaccard ≈ 0.6, under the 0.8 dedup
     bar.  Planted prefix twins (first 3/5 of the words, integer
     arithmetic so both engines cut identically) prove the detector
-    fires; candidates come from the same df-capped inverted index as
-    the Jaccard family (NGRAM_DF_CAP bounds fan-out), scores from one
-    pair of slim gset re-attach joins over pre-hashed int64 gram sets.
+    fires; candidates come from the rarest-gram PREFIX FILTER (see
+    containment_prefix_candidates) — recall-complete with no df-cap
+    parameter, so the output is exactly ALL pairs with containment ≥
+    0.9; scores come from one pair of slim gset re-attach joins over
+    pre-hashed int64 gram sets.
 
-    Shape (100 TB posture): identical to dedup_ngram_jaccard — no
-    all-pairs stage anywhere; the PPJoin count-filter bound does NOT
-    apply to containment (a small set inside a huge one defeats the
-    size-sum bound), so the candidate set is the unpruned cap-bounded
-    one; production adds a prefix-filter on the smaller set's rarest
-    grams instead."""
+    Shape (100 TB posture): no all-pairs stage anywhere; the PPJoin
+    count-filter bound does NOT apply to containment (a small set
+    inside a huge one defeats the size-sum bound), which is exactly
+    why the prefix filter on the smaller set's rarest grams is the
+    production candidate generator here — it bounds fan-out without
+    the recall hole a frequency cap would open."""
     d = t(spark, sf, "documents").select("doc_id", "text", "source")
     ws = F.split(F.trim("text"), " ")
     twin = d.select(
@@ -1718,7 +1781,7 @@ def dedup_containment(spark, sf):
         "source",
     )
     g = _grams_of(d.unionByName(twin))
-    cand = ngram_candidates(g, NGRAM_DF_CAP)
+    cand = containment_prefix_candidates(g, _CONT_TAU)
     ga = g.select(F.col("doc_id").alias("doc_a"), F.col("gset").alias("gs_a"))
     gb = g.select(F.col("doc_id").alias("doc_b"), F.col("gset").alias("gs_b"))
     inter = F.size(F.array_intersect("gs_a", "gs_b"))
@@ -1726,7 +1789,7 @@ def dedup_containment(spark, sf):
     cont = inter.cast("double") / mn
     return (
         cand.join(ga, "doc_a").join(gb, "doc_b")
-        .filter((mn > 0) & (cont >= 0.9))
+        .filter((mn > 0) & (cont >= _CONT_TAU))
         .select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
     )
 

@@ -233,13 +233,29 @@ def rate_limited_events(stream: DataFrame, limit: int = 3) -> DataFrame:
     def fn(key, pdf_iter, state):
         user_id, day = key
         used = state.get[0] if state.exists else 0
-        eids, rns = [], []
+        remaining = limit - used
+        # A (user, day) group larger than arrow.maxRecordsPerBatch
+        # arrives as MULTIPLE pandas chunks; sorting each chunk alone
+        # would admit per-chunk firsts, not the micro-batch's globally
+        # first `remaining` by (ts, event_id).  Keep a bounded
+        # k-smallest merge instead: per chunk take its `remaining`
+        # smallest, merge with the running candidates, truncate — at
+        # most 2*limit rows ever held, and the iterator still drains.
+        cand = None
         for pdf in pdf_iter:
-            for eid in pdf.sort_values(["ts", "event_id"])["event_id"]:
-                if used < limit:
-                    used += 1
-                    eids.append(int(eid))
-                    rns.append(used)
+            if remaining <= 0:
+                continue
+            chunk = pdf[["ts", "event_id"]].sort_values(
+                ["ts", "event_id"]).head(remaining)
+            cand = chunk if cand is None else (
+                pd.concat([cand, chunk])
+                .sort_values(["ts", "event_id"]).head(remaining))
+        eids, rns = [], []
+        if cand is not None:
+            for eid in cand["event_id"]:
+                used += 1
+                eids.append(int(eid))
+                rns.append(used)
         state.update((used,))
         yield pd.DataFrame({
             "event_id": pd.Series(eids, dtype="int64"),

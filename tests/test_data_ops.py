@@ -391,18 +391,74 @@ def test_containment_planted_twins_all_detected(spark, sf_dir):
     assert not missed, f"planted twins not detected: {missed[:10]}"
 
 
-def test_cms_guarantees_hold_at_sf001(spark, sf_dir):
-    """Both booleanized sketch guarantees must actually come out true
-    (the oracle only asserts agreement with literal true — this is the
-    belt-and-braces direct check)."""
-    from ocr_spark.plans import registry
+def test_containment_prefix_filter_bounds_and_recall(spark, sf_dir):
+    """The rarest-gram prefix filter must (a) generate NO MORE
+    candidate pairs than the full inverted index (it is a subset by
+    construction — this pins the fan-out saving that makes it the
+    100 TB candidate generator) and (b) lose NOTHING: scoring the
+    FULL-index candidates yields exactly the same containment ≥ 0.9
+    pairs (the recall-completeness the pigeonhole argument promises)."""
+    from pyspark.sql import functions as F
 
-    registry.load_all()
-    rows = registry.QUERIES["agg_cms_heavy_hitters"](spark, sf_dir).collect()
+    from ocr_spark.plans.queries_text import (
+        _CONT_TAU, DUP_SHIFT, _grams_of,
+        containment_prefix_candidates)
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source")
+    ws = F.split(F.trim("text"), " ")
+    twin = d.select(
+        (F.col("doc_id") + DUP_SHIFT).alias("doc_id"),
+        F.array_join(
+            F.slice(ws, 1, F.greatest((F.size(ws) * 3).cast("int") / F.lit(5),
+                                      F.lit(3)).cast("int")),
+            " ").alias("text"),
+        "source")
+    g = _grams_of(d.unionByName(twin))
+    ex = g.select("doc_id", F.explode("gset").alias("g"))
+    full = (
+        ex.select(F.col("doc_id").alias("pa"), "g")
+        .join(ex.select(F.col("doc_id").alias("pb"), "g"), "g")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("doc_a"), F.col("pb").alias("doc_b"))
+        .distinct()
+    )
+    pfx = containment_prefix_candidates(g, _CONT_TAU)
+    n_full, n_pfx = full.count(), pfx.count()
+    assert 0 < n_pfx <= n_full, (n_pfx, n_full)
+
+    def score(cand):
+        ga = g.select(F.col("doc_id").alias("doc_a"),
+                      F.col("gset").alias("gs_a"))
+        gb = g.select(F.col("doc_id").alias("doc_b"),
+                      F.col("gset").alias("gs_b"))
+        mn = F.least(F.size("gs_a"), F.size("gs_b"))
+        cont = F.size(F.array_intersect("gs_a", "gs_b")).cast("double") / mn
+        return {
+            (r.doc_a, r.doc_b)
+            for r in cand.join(ga, "doc_a").join(gb, "doc_b")
+            .filter((mn > 0) & (cont >= _CONT_TAU))
+            .select("doc_a", "doc_b").collect()
+        }
+
+    assert score(pfx) == score(full), "prefix filter lost qualifying pairs"
+
+
+def test_cms_guarantees_hold_at_sf001(spark, sf_dir):
+    """Both sketch guarantees over the FULL frame.  The probabilistic
+    (e/w)·N error bound lives ONLY here — not in the driver oracle —
+    so a legitimate rare exceedance fails with the key and margin
+    named instead of as an opaque cross-engine hash mismatch
+    (round-4 ADVICE)."""
+    from ocr_spark.plans.queries_more import _cms_frame
+
+    rows = _cms_frame(spark, sf_dir).collect()
     assert rows, "no event types"
     for r in rows:
         assert r.est_ge_exact, f"CMS underestimated {r.event_type}"
-        assert r.err_within_bound, f"CMS error bound violated {r.event_type}"
+        assert r.err_within_bound, (
+            f"CMS error bound violated for {r.event_type}: "
+            f"est={r.est} exact={r.exact_n} over by {r.est - r.exact_n}")
 
 
 def test_snapshot_diff_classifies_exactly(spark, sf_dir):

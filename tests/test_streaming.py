@@ -296,3 +296,44 @@ def test_streaming_rate_limit_quota_survives_restart(spark, tmp_path):
         (9, ts(11), 200, "view", 0.0, "{}"),
     ])
     assert drain() == [(8, 200, 3)]
+
+
+def test_streaming_rate_limit_group_spanning_arrow_chunks(spark, tmp_path):
+    """A (user, day) group larger than arrow.maxRecordsPerBatch reaches
+    the stateful function as MULTIPLE pandas chunks.  Admission must
+    still be the micro-batch's globally first `limit` events by
+    (ts, event_id) — the round-4 per-chunk sort admitted each chunk's
+    local firsts instead.  Events are written in DESCENDING ts order so
+    the true firsts sit in the LAST chunk; the buggy version admits
+    the first chunk's rows (the latest timestamps)."""
+    import datetime as dt
+
+    from ocr_spark.streaming.jobs import (
+        drain_updates_to_parquet, events_stream, rate_limited_events)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = dt.datetime(2026, 1, 2, 8, 0, 0)
+    n = 50
+    rows = [
+        (eid, t0 + dt.timedelta(minutes=n - eid), 7, "view", 0.0, "{}")
+        for eid in range(n)
+    ]  # eid 49 has the SMALLEST ts; file order is eid ascending
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10")
+    try:
+        drain_updates_to_parquet(
+            rate_limited_events(events_stream(spark, src), 3),
+            str(tmp_path / "sink"), str(tmp_path / "ck"))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = sorted((int(r.event_id), int(r.rn))
+                 for r in spark.read.parquet(str(tmp_path / "sink")).collect())
+    # globally earliest (ts, event_id) = eids 49, 48, 47 (descending ts)
+    assert got == [(47, 3), (48, 2), (49, 1)], got

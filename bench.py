@@ -98,6 +98,10 @@ HEADLINE = [
     "vec_knn_graph",
     "text_cooccurrence_pmi",
     "agg_histogram_equidepth",
+    # round 5: derived-partsupp TPC-H completions
+    "tpch_q2",
+    "tpch_q11",
+    "tpch_q20",
 ]
 
 # Iterative operators run their rounds EAGERLY at build time (hash-min

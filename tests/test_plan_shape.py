@@ -359,3 +359,33 @@ def test_two_role_nation_joins_stay_hash(name, spark, sf_dir):
     plan = _plan(registry.QUERIES[name](spark, sf_dir))
     assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_tpch_q2_min_cost_equality_stays_hash(spark, sf_dir):
+    """Q2's decorrelated min-cost rejoin must be an equi join on
+    (ps_partkey, ps_supplycost) — hash or broadcast-hash, never a
+    nested loop from the double-equality — and every dimension
+    (part, supplier⋈nation⋈region) broadcasts."""
+    plan = _plan(registry.QUERIES["tpch_q2"](spark, sf_dir))
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan, f"regional prune not a semi join:\n{plan[:1500]}"
+
+
+def test_tpch_q20_semi_join_chain(spark, sf_dir):
+    """Q20's nested IN chain must decorrelate to semi joins (part-name
+    prune, final supplier filter) with the per-(part, supp) 1996
+    aggregate equi-joined — no nested loops anywhere."""
+    plan = _plan(registry.QUERIES["tpch_q20"](spark, sf_dir))
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("LeftSemi") >= 2, f"IN chain not semi joins:\n{plan[:1500]}"
+
+
+def test_containment_prefix_join_shape(spark, sf_dir):
+    """The prefix-filtered candidate join must stay an equi join on the
+    int64 gram key with the df attach and per-doc top-p window BEFORE
+    the join — no nested loop, no Python, exactly one row_number."""
+    plan = _plan(registry.QUERIES["dedup_containment"](spark, sf_dir))
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Python" not in plan, f"python in containment path:\n{plan[:1200]}"
+    assert plan.count("row_number") >= 1

@@ -2221,15 +2221,19 @@ def tpch_q15(spark, sf):
             F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
             .alias("total_revenue"))
     )
-    # no persist: the MAX action materializes rev's shuffle output, and
-    # the later filter action reuses it via shuffle-stage skipping (same
-    # lineage object) — an explicit persist would pin partitions in
-    # executor storage memory across bench/driver loops with no owner to
-    # unpersist them (round-4 ADVICE)
-    mx = rev.agg(F.max("total_revenue")).first()[0]  # 1-row scalar fit
+    # ONE plan, no persist, no driver collect: the global MAX is a
+    # window over the ALREADY-AGGREGATED |suppliers|-row frame (one
+    # single-partition exchange of a tiny frame), so lineitem is
+    # scanned and shuffled exactly once per execution.  The previous
+    # persist pinned storage memory with no owner to unpersist
+    # (round-4 ADVICE), and a separate .first() action would recompute
+    # the whole plan — separate DataFrame actions do not share shuffle
+    # stages.
+    mx = F.max("total_revenue").over(W.partitionBy(F.lit(1)))
     s = t(spark, sf, "supplier").select("s_suppkey", "s_name")
     out = (
-        rev.filter(F.col("total_revenue") == mx)
+        rev.withColumn("mx", mx)
+        .filter(F.col("total_revenue") == F.col("mx"))
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
@@ -2555,20 +2559,31 @@ def tpch_q11(spark, sf):
 
     Shape (100 TB posture): the regional filter is a broadcast semi on
     partsupp; ONE map-side-combined agg produces the |part|-row value
-    frame; the global total is a 1-row scalar fit over that small frame
-    (collected once, pushed back as a filter constant — the tpch_q15 /
-    q22 pattern), so the fact side is scanned exactly once and nothing
-    re-shuffles for the threshold."""
+    frame carrying its exact int64 fixed-point sum; the global total
+    and part count come from a window over that ALREADY-AGGREGATED
+    small frame (one single-partition exchange of |part| narrow rows)
+    — a single plan, so the fact side is scanned exactly once per
+    execution (a separate scalar .first() action would recompute the
+    whole partsupp distinct: DataFrame actions do not share shuffle
+    stages).  Summing the per-part int64 sums keeps the global total
+    EXACT (same integers, different grouping), so the threshold double
+    is built by the identical op sequence as the oracle's."""
     ps = _partsupp(spark, sf)
     eu_keys = _europe_suppliers(spark, sf).select("s_suppkey")
     v = F.col("ps_supplycost") * F.col("ps_availqty")
     eu = ps.join(F.broadcast(eu_keys),
                  ps.ps_suppkey == F.col("s_suppkey"), "left_semi")
     per_part = eu.groupBy("ps_partkey").agg(
-        _sum_fixed(v, 1).alias("part_value"))
-    total, nparts = eu.agg(  # 1-row scalar fit
-        _sum_fixed(v, 1), F.countDistinct("ps_partkey")).first()
-    return per_part.filter(F.col("part_value") > total * 2.0 / nparts)
+        F.sum(F.round(v * 10).cast("long")).alias("pv_int"))
+    w = W.partitionBy(F.lit(1))
+    part_value = (F.col("pv_int") / F.lit(10.0)).cast("double")
+    total = (F.sum("pv_int").over(w) / F.lit(10.0)).cast("double")
+    return (
+        per_part
+        .withColumn("threshold", total * 2.0 / F.count("*").over(w))
+        .filter(part_value > F.col("threshold"))
+        .select("ps_partkey", part_value.alias("part_value"))
+    )
 
 
 @q(

@@ -1662,8 +1662,8 @@ def containment_prefix_candidates(g, tau: float = _CONT_TAU):
 
     For a pair to reach containment = |A∩B|/min(|A|,|B|) ≥ tau, the
     smaller set S (|S| = m) must share ≥ ceil(tau·m) grams, so by
-    pigeonhole ANY floor((1-tau)·m)+1 of S's grams contain a shared
-    one.  Indexing each doc's floor((1-tau)·sz)+1 RAREST grams
+    pigeonhole ANY m - ceil(tau·m) + 1 of S's grams contain a shared
+    one.  Indexing each doc's m - ceil(tau·m) + 1 RAREST grams
     (global df ascending — rarest-first minimizes posting-list
     fan-out; the choice affects only cost, never recall) and probing
     against ALL grams therefore finds every qualifying pair with NO
@@ -1678,9 +1678,10 @@ def containment_prefix_candidates(g, tau: float = _CONT_TAU):
     gram keys.  Hot grams keep huge all-side postings but near-empty
     prefix-side postings (a gram is prefix-eligible only for docs
     where nothing rarer exists), so the cap-free fan-out stays
-    bounded by Σ_g |pfx(g)|·|post(g)| — candidate count is
-    plan-gated ≤ the full inverted index's in
-    tests/test_plan_shape.py."""
+    bounded by Σ_g |pfx(g)|·|post(g)| — candidate count is gated ≤ the
+    full inverted index's (with recall equality) in
+    tests/test_data_ops.py::test_containment_prefix_filter_bounds_and_recall;
+    the join shape is pinned in tests/test_plan_shape.py."""
     from pyspark.sql import Window
 
     ex = g.select("doc_id", F.size("gset").alias("sz"),
@@ -1689,7 +1690,14 @@ def containment_prefix_candidates(g, tau: float = _CONT_TAU):
     rk = F.row_number().over(
         Window.partitionBy("doc_id").orderBy(
             F.col("df").asc(), F.col("g").asc()))
-    plen = (F.floor(F.lit(1.0 - tau) * F.col("sz")) + 1).cast("int")
+    # prefix length in PURE INTEGER arithmetic: the pigeonhole bound is
+    # plen = sz - ceil(tau*sz) + 1, and floating (1-tau)*sz is one
+    # short whenever tau*sz is an integer ((1-0.9) = 0.0999…8, so
+    # floor(0.0999…8 * 10) = 0, not 1) — a recall hole on every doc
+    # whose gram count is a multiple of 10.  ceil(9*sz/10) =
+    # (9*sz + 9) div 10 exactly, in both engines.
+    assert tau == 0.9, "integer prefix bound hardcodes tau = 9/10"
+    plen = (F.col("sz") - F.expr("(9 * sz + 9) DIV 10") + 1).cast("int")
     pfx = (
         ex.join(dfc, "g")
         .select("doc_id", "sz", "g", rk.alias("rk"))
@@ -1730,7 +1738,7 @@ def containment_prefix_candidates(g, tau: float = _CONT_TAU):
     ),
     pfx_g AS (
       SELECT doc_id, g FROM ranked
-      WHERE rk <= CAST(FLOOR({1.0 - _CONT_TAU} * sz) + 1 AS INT)
+      WHERE rk <= CAST(sz - ((9 * sz + 9) // 10) + 1 AS INT)
     ),
     cand AS (
       SELECT DISTINCT least(p.doc_id, e.doc_id) AS doc_a,

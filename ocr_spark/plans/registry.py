@@ -70,6 +70,10 @@ _CHANGED_THIS_ROUND = [
     # round 5: rate_limited_events materializes each (user, day) group
     # across Arrow chunks before ordering (round-4 ADVICE, medium)
     "streaming_rate_limit", "events_rate_limit",
+    # round 5 (late): single-plan global scalars — q15's MAX and q11's
+    # total/count became windows over the aggregated frame (no persist,
+    # no cross-action recompute); both are first-row entries anyway
+    "tpch_q15", "tpch_q11",
 ]
 
 
@@ -107,17 +111,31 @@ def _check_history() -> dict[str, int]:
     return newest
 
 
+#: the round whose window saturation justified _DEFER_FIRST_CHECK;
+#: deferral applies ONLY while this is the newest CORRECTNESS round —
+#: the single source of truth for check_order AND the window tests
+#: (tests/test_registry_window.py), so the scoping can never drift
+#: between the scheduler and its gates.
+_DEFERRAL_ROUND = 3
+
+
+def active_deferrals() -> set:
+    """Deferred-first-check names, scoped to the saturating round: the
+    moment a newer CORRECTNESS file appears, deferred entries fall back
+    to ordinary never-checked (first in priority group 1) and the hard
+    never-checked gates re-arm automatically."""
+    newest = _check_history()
+    latest = max(newest.values(), default=0)
+    return set(_DEFER_FIRST_CHECK) if latest == _DEFERRAL_ROUND else set()
+
+
 def check_order(names) -> list[str]:
     """The driver-check ordering for ``names``: changed-this-round
     first (stale rows), then never-checked, then oldest-rowed first;
     registration index breaks ties deterministically."""
     newest = _check_history()
     changed = {n: i for i, n in enumerate(_CHANGED_THIS_ROUND)}
-    latest = max(newest.values(), default=0)
-    # deferral is scoped to the round that saturated the window: the
-    # moment the next CORRECTNESS file appears (latest >= 4), deferred
-    # entries fall back to ordinary never-checked — first in group 1
-    deferred = set(_DEFER_FIRST_CHECK) if latest == 3 else set()
+    deferred = active_deferrals()
     orig = {n: i for i, n in enumerate(names)}
 
     def key(n):

@@ -87,12 +87,12 @@ _WIDENED_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
 _SPARK_INTEGRAL = ("byte", "short", "int", "integer", "long", "bigint")
 
 
-def check_widened_types(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
+def check_widened_types(spark_df, rel) -> list[str]:
     """Return columns where the oracle's DuckDB type is HUGEINT /
     UHUGEINT / DECIMAL while Spark's column is integral — a guaranteed
     driver hash mismatch regardless of values.  Checked from
-    ``rel.types`` before any fetch, so it is cheap and deterministic."""
-    rel = con.sql(sql)
+    ``rel.types`` before any fetch, so it is cheap and deterministic;
+    takes the already-built relation so compare() plans the SQL once."""
     spark_types = {f.name: f.dataType.simpleString() for f in spark_df.schema.fields}
     bad = []
     for col, dtyp in zip(rel.columns, rel.types):
@@ -132,7 +132,8 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
     # too, so a local pass really predicts a driver pass (the r03 list
     # cells and r04 HUGEINT failures were both invisible to a
     # fetchall()-based replica).
-    widened = check_widened_types(spark_df, con, sql)
+    rel = con.sql(sql)
+    widened = check_widened_types(spark_df, rel)
     if widened:
         raise AssertionError(
             "oracle emits pandas-widened numeric types against integral "
@@ -141,7 +142,7 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
     s_pdf = spark_df.toPandas()
     s_rows = _depandas(s_pdf)
     s_cols = list(s_pdf.columns)
-    d_pdf = con.sql(sql).df()
+    d_pdf = rel.df()
     d_cols = list(d_pdf.columns)
     d_rows = _depandas(d_pdf)
     res = {

@@ -444,6 +444,30 @@ def test_containment_prefix_filter_bounds_and_recall(spark, sf_dir):
     assert score(pfx) == score(full), "prefix filter lost qualifying pairs"
 
 
+def test_containment_prefix_exact_boundary_sz_multiple_of_10(spark):
+    """Pigeonhole boundary regression: a smaller doc with sz = 10 grams
+    sharing EXACTLY 9 (containment = 0.9 = tau) needs a 2-gram prefix
+    (sz - ceil(tau*sz) + 1 = 2).  Floating (1-tau)*sz = 0.9999...8
+    floors to 0 → a 1-gram prefix — and here the rarest gram of the
+    small doc is deliberately its UNSHARED one, so the buggy length
+    drops the qualifying pair.  The integer bound must find it."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.plans.queries_text import (
+        _CONT_TAU, containment_prefix_candidates)
+
+    # doc 1: grams 1..10 (gram 10 unshared, df=1 → sorts rarest-first)
+    # doc 2: grams 1..9 shared (df=2) + 11 unique fillers (df=1)
+    g = spark.createDataFrame(
+        [(1, list(range(1, 11))),
+         (2, list(range(1, 10)) + list(range(100, 111)))],
+        "doc_id long, gset array<bigint>")
+    cand = {(r.doc_a, r.doc_b)
+            for r in containment_prefix_candidates(g, _CONT_TAU).collect()}
+    assert (1, 2) in cand, (
+        f"containment-0.9 pair missed at the sz%10==0 boundary: {cand}")
+
+
 def test_cms_guarantees_hold_at_sf001(spark, sf_dir):
     """Both sketch guarantees over the FULL frame.  The probabilistic
     (e/w)·N error bound lives ONLY here — not in the driver oracle —

@@ -24,15 +24,10 @@ def test_changed_this_round_inside_window():
 
 
 def _active_deferrals() -> set:
-    """Deferral names, scoped exactly as check_order scopes them: the
-    list only suppresses first-row requirements in the round that
-    saturated the window (latest == 3); once a newer CORRECTNESS file
-    exists the hard never-checked gate re-arms automatically (round-4
-    ADVICE — an unconditional exclusion would silently stop requiring
-    deferred operators' first rows forever)."""
-    newest = registry._check_history()
-    latest = max(newest.values(), default=0)
-    return set(registry._DEFER_FIRST_CHECK) if latest == 3 else set()
+    """The registry's own scoping (single source of truth — round-4
+    ADVICE flagged the test re-deriving it; a drifted copy would make
+    the gates enforce a different set than check_order uses)."""
+    return registry.active_deferrals()
 
 
 def test_never_checked_inside_window():

@@ -102,6 +102,11 @@ HEADLINE = [
     "tpch_q2",
     "tpch_q11",
     "tpch_q20",
+    # round 5: interval join, weighted quantile, temperature mix
+    "join_interval_overlap",
+    "agg_weighted_median",
+    "window_cume_dist",
+    "sample_temperature",
 ]
 
 # Iterative operators run their rounds EAGERLY at build time (hash-min

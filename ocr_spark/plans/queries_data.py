@@ -1572,3 +1572,55 @@ def snapshot_diff(spark, sf):
             .otherwise("changed").alias("change"),
         )
     )
+
+
+@q(
+    "sample_temperature",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src
+      FROM documents GROUP BY source
+    ), m AS (
+      SELECT source, n_src, MIN(n_src) OVER () AS n_min FROM c
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN m USING (source)
+    WHERE CAST({_H4_SQL} AS BIGINT) * CAST({_H4_SQL} AS BIGINT) * n_src
+          < n_min * 4294967296
+    """,
+)
+def sample_temperature(spark, sf):
+    """Temperature-based source rebalancing (the mC4/mT5 α-power mix,
+    α = 0.5): each source's keep-rate is sqrt(n_min / n_src), so the
+    rarest source passes whole and every larger source is thinned
+    toward the α-flattened distribution — the standard fix for a
+    web-scale corpus where one domain would otherwise drown the rest.
+
+    The accept test h/65536 < sqrt(n_min/n_src) is evaluated in PURE
+    INTEGER form (h²·n_src < n_min·65536²), so there is no sqrt/float
+    boundary for engines to disagree on; h is the same portable md5
+    uniform as sample_deterministic, making every doc's fate a pure
+    function of (doc_id, source counts) — reproducible across runs,
+    partitionings, and engines.
+
+    100 TB shape: one tiny per-source count agg (|sources| rows) with
+    its global MIN taken by a window over that same small frame —
+    single plan, no collect — broadcast back onto the corpus scan, then
+    a stateless codegen filter.  No corpus shuffle at any point; at
+    whale scale n_src·h² needs 128-bit math (decimal(38,0)) once a
+    source exceeds 2^31 docs, noted here because the int64 form is the
+    fast path below that."""
+    from pyspark.sql import Window as _W
+
+    d = t(spark, sf, "documents")
+    counts = (
+        d.groupBy("source")
+        .agg(F.count("*").alias("n_src"))
+        .withColumn("n_min", F.min("n_src").over(_W.partitionBy()))
+    )
+    h = F.expr(_H4)
+    return (
+        d.join(F.broadcast(counts), "source")
+        .filter(h * h * F.col("n_src") < F.col("n_min") * F.lit(4294967296))
+        .select("doc_id", "source")
+    )

@@ -1628,3 +1628,163 @@ def agg_histogram_equidepth(spark, sf):
             F.round(F.max("l_quantity"), 2).alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 5 additions: interval-overlap join, weighted median, cume_dist
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "join_interval_overlap",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_orderdate AS os,
+             o_orderdate + INTERVAL 30 DAY AS oe
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    ), l AS (
+      SELECT l_shipdate AS ls, l_shipdate + INTERVAL 7 DAY AS le
+      FROM lineitem WHERE l_returnflag = 'R'
+    )
+    SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_overlap
+    FROM o JOIN l ON ls <= oe AND os <= le
+    GROUP BY o_orderkey
+    """,
+)
+def join_interval_overlap(spark, sf):
+    """Interval-overlap join (temporal/genomic classic): count, per
+    urgent order's 30-day fulfilment window, the returned-line 7-day
+    ship windows that overlap it.  A naive engine evaluates this as a
+    theta join (cartesian + range predicate); the distributed shape
+    here is the BUCKETED interval join: each interval explodes into
+    the epoch-week buckets it covers (bounded fanout: len/7 + 1 ≤ 5
+    rows per interval), the join becomes an EQUI-join on the bucket
+    key, and each genuinely overlapping pair is counted EXACTLY ONCE
+    without a distinct by keeping only the bucket that contains the
+    overlap's start (max of the two interval starts) — the standard
+    dedup-free allocation trick, so no post-join shuffle.
+
+    100 TB shape: narrow exploded sides (key + 2 epoch-day ints), one
+    hash-partitioned equi-join on uniformly distributed week buckets,
+    overlap + allocation predicates run in codegen post-probe, and the
+    per-order count is a map-side-combinable agg on the join's own
+    partitioning.  Week granularity trades fanout against per-bucket
+    pair volume; at whale scale it is chosen from the interval-length
+    histogram (TESTDATA intervals are 7/30 days, so weeks)."""
+    W7 = 7 * 86400
+    o = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("os"),
+            (F.unix_timestamp("o_orderdate") + 30 * 86400).alias("oe"),
+        )
+    )
+    li = (
+        t(spark, sf, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(
+            F.unix_timestamp("l_shipdate").alias("ls"),
+            (F.unix_timestamp("l_shipdate") + 7 * 86400).alias("le"),
+        )
+    )
+    ob = o.withColumn(
+        "b", F.explode(F.sequence(F.floor(F.col("os") / W7),
+                                  F.floor(F.col("oe") / W7))))
+    lb = li.withColumn(
+        "b", F.explode(F.sequence(F.floor(F.col("ls") / W7),
+                                  F.floor(F.col("le") / W7))))
+    pairs = ob.join(
+        lb,
+        (ob.b == lb.b)
+        & (F.col("ls") <= F.col("oe"))
+        & (F.col("os") <= F.col("le"))
+        # allocate each overlapping pair to exactly one bucket: the one
+        # holding the later of the two starts (the overlap's start)
+        & (ob.b == F.floor(F.greatest(F.col("os"), F.col("ls")) / W7)),
+    )
+    return pairs.groupBy("o_orderkey").agg(
+        F.count("*").alias("n_overlap"))
+
+
+@q(
+    "agg_weighted_median",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag AS rf, l_extendedprice AS price,
+             SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))
+               OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+                     ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))
+               OVER (PARTITION BY l_returnflag) AS tot
+      FROM lineitem
+    )
+    SELECT rf, MIN(price) AS wmedian
+    FROM c WHERE 2 * cum >= tot GROUP BY rf
+    """,
+)
+def agg_weighted_median(spark, sf):
+    """Weighted median: smallest price p per return flag such that the
+    lines priced ≤ p carry at least half the total shipped QUANTITY —
+    the token-weighted quantile every curation pipeline needs (median
+    quality weighted by document length, not by document count).
+
+    Cross-engine determinism: weights sum in exact int64 centi-units
+    (the _sum_fixed convention) so the half-total threshold has no
+    float accumulation-order hazard, and although per-row cumulative
+    sums among TIED prices depend on engine-internal order, the chosen
+    value is MIN(price) over threshold-crossing rows — ties share one
+    price and a tie group's cumulative END is order-independent, so
+    the reported median is too.
+
+    100 TB shape: one shuffle on the group key, an in-partition sort
+    for the running sum, and a map-side-combinable MIN — no self-join,
+    no collect.  A skewed/whale group swaps the exact sort for
+    approx_percentile's mergeable sketch or the two-pass histogram
+    shape of agg_histogram_equidepth."""
+    li = t(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_extendedprice").alias("price"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("wq"),
+    )
+    part = W.partitionBy("rf")
+    cum = F.sum("wq").over(
+        part.orderBy("price").rowsBetween(W.unboundedPreceding, W.currentRow))
+    tot = F.sum("wq").over(part)
+    c = li.select("rf", "price", cum.alias("cum"), tot.alias("tot"))
+    return (
+        c.filter(F.lit(2) * F.col("cum") >= F.col("tot"))
+        .groupBy("rf")
+        .agg(F.min("price").alias("wmedian"))
+    )
+
+
+@q(
+    "window_cume_dist",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CUME_DIST() OVER (PARTITION BY c_nationkey
+                             ORDER BY c_acctbal) AS cd,
+           CAST(COUNT(*) OVER (PARTITION BY c_nationkey) AS BIGINT) AS n_nation
+    FROM customer
+    """,
+)
+def window_cume_dist(spark, sf):
+    """CUME_DIST per nation over account balance (peer-group-based, so
+    deterministic under ties, unlike row_number/nth_value) plus the
+    partition size — completes the analytic-window family alongside
+    rank / percent_rank / ntile / range frames.  cume_dist's division
+    is two small exact int64s → one IEEE divide, bit-identical across
+    engines.
+
+    100 TB shape: one shuffle on the partition key + in-partition
+    sort; no joins, no driver state."""
+    c = t(spark, sf, "customer")
+    part = W.partitionBy("c_nationkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.cume_dist().over(part.orderBy("c_acctbal")).alias("cd"),
+        F.count("*").over(part).alias("n_nation"),
+    )

@@ -389,3 +389,41 @@ def test_containment_prefix_join_shape(spark, sf_dir):
     assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "Python" not in plan, f"python in containment path:\n{plan[:1200]}"
     assert plan.count("row_number") >= 1
+
+
+def test_interval_overlap_is_equi_join_not_nlj(spark, sf_dir):
+    """The bucketed interval join must plan as a HASH equi-join on the
+    week bucket — never a nested-loop/cartesian theta join — with the
+    overlap + allocation range predicates evaluated post-probe."""
+    plan = _plan(registry.QUERIES["join_interval_overlap"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan)
+
+
+def test_weighted_median_single_exchange(spark, sf_dir):
+    """Window cum-sum and the final MIN agg share the group-key
+    partitioning: exactly one Exchange in the whole plan."""
+    plan = _plan(registry.QUERIES["agg_weighted_median"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "PythonUDF" not in plan
+
+
+def test_cume_dist_single_exchange(spark, sf_dir):
+    plan = _plan(registry.QUERIES["window_cume_dist"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+
+
+def test_sample_temperature_broadcasts_counts(spark, sf_dir):
+    """The per-source count frame joins back by BROADCAST — the corpus
+    scan itself is never shuffled (every Exchange sits on the tiny
+    counts frame, upstream of the broadcast)."""
+    plan = _plan(registry.QUERIES["sample_temperature"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # streamed side = subtree printed between the BHJ node and its
+    # BroadcastExchange child: the corpus scan, shuffle-free
+    streamed = plan.split("BroadcastHashJoin", 1)[1].split(
+        "BroadcastExchange", 1)[0]
+    assert "Exchange" not in streamed

@@ -1641,7 +1641,10 @@ def agg_histogram_equidepth(spark, sf):
     WITH o AS (
       SELECT o_orderkey, o_orderdate AS os,
              o_orderdate + INTERVAL 30 DAY AS oe
-      FROM orders WHERE o_orderpriority = '1-URGENT'
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+        AND o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate <  TIMESTAMP '1995-04-01'
     ), l AS (
       SELECT l_shipdate AS ls, l_shipdate + INTERVAL 7 DAY AS le
       FROM lineitem WHERE l_returnflag = 'R'
@@ -1653,8 +1656,12 @@ def agg_histogram_equidepth(spark, sf):
 )
 def join_interval_overlap(spark, sf):
     """Interval-overlap join (temporal/genomic classic): count, per
-    urgent order's 30-day fulfilment window, the returned-line 7-day
-    ship windows that overlap it.  A naive engine evaluates this as a
+    Q1-1995 urgent order's 30-day fulfilment window, the returned-line
+    7-day ship windows that overlap it (the quarter strip keeps the
+    genuine overlap volume at a benchmarkable ~3.4M pairs at sf0.1 —
+    unstripped, the dense TPC-H date range yields 91M true overlaps,
+    cost that is pair volume, not plan shape).  A naive engine
+    evaluates this as a
     theta join (cartesian + range predicate); the distributed shape
     here is the BUCKETED interval join: each interval explodes into
     the epoch-week buckets it covers (bounded fanout: len/7 + 1 ≤ 5
@@ -1674,7 +1681,10 @@ def join_interval_overlap(spark, sf):
     W7 = 7 * 86400
     o = (
         t(spark, sf, "orders")
-        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1995-04-01"))
         .select(
             "o_orderkey",
             F.unix_timestamp("o_orderdate").alias("os"),

@@ -55,7 +55,10 @@ PICKS = {
     "events_sliding_distinct": "sliding windows via in-task Generate fan-out + two-phase exact distinct",
     "events_markov_transitions": "transition matrix from ONE event scan: lag window + agg, normalization windows the aggregated frame",
     "agg_cms_heavy_hitters": "Count-Min sketch: in-task x4 explode, <=256-cell agg state, broadcast probe join",
-    "dedup_containment": "sub-document containment: df-capped inverted index, pre-hashed int64 gram verify",
+    "dedup_containment": "sub-document containment: recall-complete rarest-gram prefix filter bounds candidates, pre-hashed int64 gram verify",
+    "join_interval_overlap": "interval-overlap join as a week-bucket EQUI join — bounded explode fanout, overlap-start allocation dedups without distinct",
+    "agg_weighted_median": "weighted median: window cum-sum and final MIN share ONE group-key exchange",
+    "sample_temperature": "alpha-power source rebalancing: broadcast count frame, integer accept test — the corpus scan never shuffles",
 }
 
 

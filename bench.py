@@ -107,6 +107,8 @@ HEADLINE = [
     "agg_weighted_median",
     "window_cume_dist",
     "sample_temperature",
+    "events_gap_islands",
+    "graph_common_neighbors",
 ]
 
 # Iterative operators run their rounds EAGERLY at build time (hash-min

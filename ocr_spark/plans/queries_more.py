@@ -1798,3 +1798,48 @@ def window_cume_dist(spark, sf):
         F.cume_dist().over(part.orderBy("c_acctbal")).alias("cd"),
         F.count("*").over(part).alias("n_nation"),
     )
+
+
+@q(
+    "events_gap_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), r AS (
+      SELECT user_id, d,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn
+      FROM days
+    )
+    SELECT user_id,
+           STRFTIME(MIN(d), '%Y-%m-%d') AS run_start,
+           STRFTIME(MAX(d), '%Y-%m-%d') AS run_end,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM r GROUP BY user_id, d - CAST(rn AS INTEGER)
+    """,
+)
+def events_gap_islands(spark, sf):
+    """Gaps-and-islands: collapse each user's DISTINCT ACTIVE DAYS into
+    maximal consecutive-day runs (streak detection / continuous-usage
+    spans) with the classic row_number-difference trick — a day minus
+    its per-user rank is constant exactly within a consecutive run, so
+    one GROUP BY on that anchor yields every island with no self-join
+    and no iterative pass.  Calendar-day granularity distinguishes this
+    from events_sessionize (raw-timestamp 30-minute gap sessions).
+
+    100 TB shape: the distinct, the rank window, and the island agg all
+    hash on user_id — one key family end to end, no joins; the heaviest
+    stage is the initial per-user-day distinct, which is map-side
+    combinable."""
+    e = t(spark, sf, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("d"))
+    r = days.select("user_id", "d", F.date_sub(F.col("d"), rn).alias("grp"))
+    return (
+        r.groupBy("user_id", "grp")
+        .agg(
+            F.date_format(F.min("d"), "yyyy-MM-dd").alias("run_start"),
+            F.date_format(F.max("d"), "yyyy-MM-dd").alias("run_end"),
+            F.count("*").alias("n_days"),
+        )
+        .select("user_id", "run_start", "run_end", "n_days")
+    )

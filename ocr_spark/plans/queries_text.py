@@ -1959,3 +1959,69 @@ def text_cooccurrence_pmi(spark, sf):
         .join(F.broadcast(ux), "x").join(F.broadcast(uy), "y")
         .select("x", "y", "n_xy", pmi.alias("pmi"))
     )
+
+
+@q(
+    "graph_common_neighbors",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM {_pr_edges_sql()} WHERE src <> dst
+    ),
+    adj AS (
+      SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und
+    ),
+    cn AS (
+      SELECT e1.v AS x, e2.v AS y, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM adj e1 JOIN adj e2 ON e1.u = e2.u AND e1.v < e2.v
+      GROUP BY e1.v, e2.v
+    )
+    SELECT x, y, n_common FROM cn WHERE n_common >= 2
+    """,
+)
+def graph_common_neighbors(spark, sf):
+    """Common-neighbor counts — the classic link-prediction /
+    related-entity primitive: for every vertex pair, how many shared
+    neighbors witness them (pairs with >= 2 witnesses emitted).  Unlike
+    graph_triangle_count (which ORIENTS edges so each closed triangle
+    is counted once globally), this needs EVERY wedge, so the build
+    runs over the full bidirectional adjacency with x < y picking each
+    unordered pair exactly once per shared middle.  Same deterministic
+    hash-derived graph as graph_pagerank — identical edges on both
+    engines, no RNG.
+
+    100 TB shape: one self-equi-join of the adjacency list on the
+    middle vertex + a map-side-combinable pair count — no windows, no
+    arrays, no driver adjacency.  Wedge fan-out is Sigma deg(u)^2, so a
+    power-law web graph first caps or samples whale-vertex
+    neighborhoods (the standard production guard); the synthetic
+    3-fanout graph is degree-bounded, making the exact form the right
+    one here."""
+    d = t(spark, sf, "documents").select("doc_id")
+    n_docs = d.count()
+    legs = None
+    for k, c in enumerate(_PR_FANOUT):
+        leg = d.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * F.lit(c) + F.lit(k + 1)) % F.lit(n_docs))
+            .alias("dst"),
+        )
+        legs = leg if legs is None else legs.unionByName(leg)
+    und = (
+        legs.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    e1 = adj.select("u", F.col("v").alias("x"))
+    e2 = adj.select("u", F.col("v").alias("y"))
+    return (
+        e1.join(e2, "u")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= 2)
+    )

@@ -427,3 +427,23 @@ def test_sample_temperature_broadcasts_counts(spark, sf_dir):
     streamed = plan.split("BroadcastHashJoin", 1)[1].split(
         "BroadcastExchange", 1)[0]
     assert "Exchange" not in streamed
+
+
+def test_gap_islands_single_key_family_no_join(spark, sf_dir):
+    """Distinct, rank window, and island agg all hash on user_id — no
+    join anywhere in the plan."""
+    plan = _plan(registry.QUERIES["events_gap_islands"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "PythonUDF" not in plan
+
+
+def test_common_neighbors_equi_wedge_join(spark, sf_dir):
+    """The wedge build must be a hash EQUI join on the middle vertex —
+    no nested-loop/cartesian — with the pair count map-side
+    combinable (partial_count present)."""
+    plan = _plan(registry.QUERIES["graph_common_neighbors"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan)
+    assert "partial_count" in plan

@@ -59,6 +59,8 @@ PICKS = {
     "join_interval_overlap": "interval-overlap join as a week-bucket EQUI join — bounded explode fanout, overlap-start allocation dedups without distinct",
     "agg_weighted_median": "weighted median: window cum-sum and final MIN share ONE group-key exchange",
     "sample_temperature": "alpha-power source rebalancing: broadcast count frame, integer accept test — the corpus scan never shuffles",
+    "events_gap_islands": "gaps-and-islands streaks: distinct, rank window, island agg all on ONE key family — no joins",
+    "graph_common_neighbors": "link-prediction wedge counts: one adjacency self-equi-join + map-side-combined pair count",
 }
 
 

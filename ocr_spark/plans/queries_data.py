@@ -1610,13 +1610,11 @@ def sample_temperature(spark, sf):
     whale scale n_src·h² needs 128-bit math (decimal(38,0)) once a
     source exceeds 2^31 docs, noted here because the int64 form is the
     fast path below that."""
-    from pyspark.sql import Window as _W
-
     d = t(spark, sf, "documents")
     counts = (
         d.groupBy("source")
         .agg(F.count("*").alias("n_src"))
-        .withColumn("n_min", F.min("n_src").over(_W.partitionBy()))
+        .withColumn("n_min", F.min("n_src").over(W.partitionBy()))
     )
     h = F.expr(_H4)
     return (

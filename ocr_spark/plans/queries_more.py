@@ -1664,8 +1664,11 @@ def join_interval_overlap(spark, sf):
     evaluates this as a
     theta join (cartesian + range predicate); the distributed shape
     here is the BUCKETED interval join: each interval explodes into
-    the epoch-week buckets it covers (bounded fanout: len/7 + 1 ≤ 5
-    rows per interval), the join becomes an EQUI-join on the bucket
+    the epoch-week buckets it covers (bounded fanout: at most
+    floor(len/7) + 2 = 6 buckets for the 30-day order side — a 30-day
+    window spans 6 epoch weeks whenever it starts late enough in one —
+    and ≤ 2 for the 7-day line side), the join becomes an EQUI-join on
+    the bucket
     key, and each genuinely overlapping pair is counted EXACTLY ONCE
     without a distinct by keeping only the bucket that contains the
     overlap's start (max of the two interval starts) — the standard

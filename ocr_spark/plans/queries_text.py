@@ -1225,6 +1225,41 @@ def _pr_edges_sql() -> str:
     return f"({legs})"
 
 
+def _pr_legs(spark, sf):
+    """DataFrame twin of :func:`_pr_edges_sql`: the raw 3-leg directed
+    edge stack (src=doc_id, dst=(doc_id*C+k) % n_docs), BEFORE self-loop
+    and duplicate removal.  Every graph operator derives its edges
+    through here so the synthetic-graph rule (fanout constants, the +k+1
+    offsets, the modulus) lives in exactly one place per engine.
+
+    Returns (doc frame, n_docs scalar, stacked legs frame)."""
+    d = t(spark, sf, "documents").select("doc_id")
+    n_docs = d.count()  # scalar graph size: one tiny job, drives literals
+    legs = None
+    for k, c in enumerate(_PR_FANOUT):
+        leg = d.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * F.lit(c) + F.lit(k + 1)) % F.lit(n_docs))
+            .alias("dst"),
+        )
+        legs = leg if legs is None else legs.unionByName(leg)
+    return d, n_docs, legs
+
+
+def _pr_undirected_edges(spark, sf):
+    """Canonical undirected edge set (columns ``a < b``) over the derived
+    graph: self-loops dropped, orientations collapsed via least/greatest,
+    duplicates removed.  Returns (doc frame, n_docs, undirected edges)."""
+    d, n_docs, legs = _pr_legs(spark, sf)
+    und = (
+        legs.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    return d, n_docs, und
+
+
 @q(
     "graph_pagerank",
     oracle=f"""
@@ -1286,16 +1321,7 @@ def graph_pagerank(spark, sf):
     ``checkpoint`` every few rounds exactly as dedup_connected_components
     does — elided here because 3 unrolled rounds keep the oracle
     SQL-expressible)."""
-    d = t(spark, sf, "documents").select("doc_id")
-    n_docs = d.count()  # scalar graph size: one tiny job, drives literals
-    legs = None
-    for k, c in enumerate(_PR_FANOUT):
-        leg = d.select(
-            F.col("doc_id").alias("src"),
-            ((F.col("doc_id") * F.lit(c) + F.lit(k + 1)) % F.lit(n_docs))
-            .alias("dst"),
-        )
-        legs = leg if legs is None else legs.unionByName(leg)
+    d, n_docs, legs = _pr_legs(spark, sf)
     edges = legs.filter(F.col("src") != F.col("dst")).distinct()
     outdeg = edges.groupBy("src").agg(
         F.count("*").cast("double").alias("deg")
@@ -1538,22 +1564,7 @@ def graph_triangle_count(spark, sf):
     ever needed (an OR there degrades to BroadcastNestedLoopJoin —
     asserted against in test_plan_shape).  No windows, no driver-side
     adjacency."""
-    d = t(spark, sf, "documents").select("doc_id")
-    n_docs = d.count()
-    legs = None
-    for k, c in enumerate(_PR_FANOUT):
-        leg = d.select(
-            F.col("doc_id").alias("src"),
-            ((F.col("doc_id") * F.lit(c) + F.lit(k + 1)) % F.lit(n_docs))
-            .alias("dst"),
-        )
-        legs = leg if legs is None else legs.unionByName(leg)
-    und = (
-        legs.filter(F.col("src") != F.col("dst"))
-        .select(F.least("src", "dst").alias("a"),
-                F.greatest("src", "dst").alias("b"))
-        .distinct()
-    )
+    d, n_docs, und = _pr_undirected_edges(spark, sf)
     deg = (
         und.select(F.col("a").alias("v"))
         .unionByName(und.select(F.col("b").alias("v")))
@@ -1613,22 +1624,7 @@ def graph_degree_distribution(spark, sf):
     combined hash aggs — degree per vertex, count per degree; the
     second agg's key space is O(max degree), tiny.  No windows, no
     driver-side structures."""
-    d = t(spark, sf, "documents").select("doc_id")
-    n_docs = d.count()
-    legs = None
-    for k, c in enumerate(_PR_FANOUT):
-        leg = d.select(
-            F.col("doc_id").alias("src"),
-            ((F.col("doc_id") * F.lit(c) + F.lit(k + 1)) % F.lit(n_docs))
-            .alias("dst"),
-        )
-        legs = leg if legs is None else legs.unionByName(leg)
-    und = (
-        legs.filter(F.col("src") != F.col("dst"))
-        .select(F.least("src", "dst").alias("a"),
-                F.greatest("src", "dst").alias("b"))
-        .distinct()
-    )
+    d, n_docs, und = _pr_undirected_edges(spark, sf)
     deg = (
         und.select(F.col("a").alias("v"))
         .unionByName(und.select(F.col("b").alias("v")))
@@ -1844,22 +1840,7 @@ def graph_khop_frontier(spark, sf):
     + a distinct — all narrow columns, no arrays, no windows; the
     adjacency list is the only large table and is scanned from the
     same cached/bucketed layout every hop."""
-    d = t(spark, sf, "documents").select("doc_id")
-    n_docs = d.count()
-    legs = None
-    for k, c in enumerate(_PR_FANOUT):
-        leg = d.select(
-            F.col("doc_id").alias("src"),
-            ((F.col("doc_id") * F.lit(c) + F.lit(k + 1)) % F.lit(n_docs))
-            .alias("dst"),
-        )
-        legs = leg if legs is None else legs.unionByName(leg)
-    und = (
-        legs.filter(F.col("src") != F.col("dst"))
-        .select(F.least("src", "dst").alias("a"),
-                F.greatest("src", "dst").alias("b"))
-        .distinct()
-    )
+    d, n_docs, und = _pr_undirected_edges(spark, sf)
     adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
         und.select(F.col("b").alias("u"), F.col("a").alias("v")))
     seed = d.filter(F.col("doc_id") % 97 == 0).select(
@@ -1998,22 +1979,7 @@ def graph_common_neighbors(spark, sf):
     neighborhoods (the standard production guard); the synthetic
     3-fanout graph is degree-bounded, making the exact form the right
     one here."""
-    d = t(spark, sf, "documents").select("doc_id")
-    n_docs = d.count()
-    legs = None
-    for k, c in enumerate(_PR_FANOUT):
-        leg = d.select(
-            F.col("doc_id").alias("src"),
-            ((F.col("doc_id") * F.lit(c) + F.lit(k + 1)) % F.lit(n_docs))
-            .alias("dst"),
-        )
-        legs = leg if legs is None else legs.unionByName(leg)
-    und = (
-        legs.filter(F.col("src") != F.col("dst"))
-        .select(F.least("src", "dst").alias("a"),
-                F.greatest("src", "dst").alias("b"))
-        .distinct()
-    )
+    d, n_docs, und = _pr_undirected_edges(spark, sf)
     adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
         und.select(F.col("b").alias("u"), F.col("a").alias("v")))
     e1 = adj.select("u", F.col("v").alias("x"))

@@ -522,3 +522,35 @@ def test_equidepth_buckets_are_balanced(spark, sf_dir):
     for r in rows:
         assert r.n_rows >= total * 0.15, (
             f"bucket {r.bucket} too small: {r.n_rows}/{total}")
+
+
+def test_sample_temperature_thins_planted_skew(spark, tmp_path):
+    """Pin the α=0.5 rebalancing DIRECTION on a corpus with real skew.
+    The harness corpus has exactly 25 docs in every source, so there the
+    accept test degenerates to h < 65536 (always true) and the oracle
+    parity would pass an inverted n_src/n_min transcription unchanged —
+    this planted test recomputes the keep set independently in Python."""
+    import hashlib
+    import os
+
+    rows = [(i, "big") for i in range(400)] + [
+        (1000 + i, "rare") for i in range(25)]
+    spark.createDataFrame(rows, "doc_id long, source string").write.parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    kept = {(r["doc_id"], r["source"]) for r in
+            registry.QUERIES["sample_temperature"](
+                spark, str(tmp_path)).collect()}
+
+    def h4(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16)
+
+    n_src = {"big": 400, "rare": 25}
+    expect = {(i, s) for i, s in rows
+              if h4(i) * h4(i) * n_src[s] < 25 * 4294967296}
+    assert kept == expect, "Spark keep set diverges from the formula"
+    # the rarest source passes whole (keep-rate sqrt(25/25) = 1) ...
+    assert sum(1 for _, s in kept if s == "rare") == 25
+    # ... and the big one is thinned toward sqrt(25/400) = 25%, never
+    # the inverse (an n_src/n_min swap keeps all 400)
+    n_big = sum(1 for _, s in kept if s == "big")
+    assert 60 <= n_big <= 140, n_big

@@ -127,6 +127,18 @@ def main() -> None:
     # tasks/core keeps the tail short at both levels without changing
     # the plan shape.  Kept as a flag so older runs stay reproducible.
     ap.add_argument("--parts-per-core", type=int, default=2)
+    # Pre-registered WINDOW-selection gate on the instrument, not the
+    # outcome: if the single-thread canary timed immediately before any
+    # leg exceeds this bound, the whole session aborts WITHOUT writing
+    # results.  The canary is independent of the measured ratio (a fixed
+    # CPU workload), so aborting on it is the same legitimate
+    # quiet-window selection BENCH/BASELINE.md already reports —
+    # applied before the leg runs instead of after the session pools.
+    # 0 disables (legacy behavior: every session lands in the pool).
+    ap.add_argument("--abort-canary", type=float, default=0.0,
+                    metavar="SEC",
+                    help="abort the session (write nothing) if a "
+                         "pre-leg canary exceeds SEC; 0 = never abort")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -169,6 +181,15 @@ def main() -> None:
     for idx, cores in enumerate(legs):
         canary = calibration_sec()
         canary4 = mp_canary(4)
+        if args.abort_canary and canary > args.abort_canary:
+            sys.stderr.write(
+                f"ABORT before leg {idx}: canary {canary:.3f}s > "
+                f"--abort-canary {args.abort_canary}s (contended window; "
+                f"no results written)\n")
+            print(json.dumps({"aborted": True, "leg": idx,
+                              "canary_sec": canary,
+                              "abort_canary": args.abort_canary}))
+            sys.exit(3)
         out = os.path.join(args.workdir, f"out_{cores}_{idx}")
         shutil.rmtree(out, ignore_errors=True)
         m = _run_level(cores, corpus, out, zip_path, args.parts_per_core)

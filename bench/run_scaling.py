@@ -178,18 +178,21 @@ def main() -> None:
     legs.append(lo)  # trailing N leg closes the last bracket
 
     runs: list[dict] = []
+    aborted_at: int | None = None
     for idx, cores in enumerate(legs):
         canary = calibration_sec()
         canary4 = mp_canary(4)
         if args.abort_canary and canary > args.abort_canary:
+            # Keep the pairs already completed under quiet canaries:
+            # every leg that ran before this point passed the same gate,
+            # so truncating here cannot select on any measured ratio.
+            aborted_at = idx
             sys.stderr.write(
                 f"ABORT before leg {idx}: canary {canary:.3f}s > "
                 f"--abort-canary {args.abort_canary}s (contended window; "
-                f"no results written)\n")
-            print(json.dumps({"aborted": True, "leg": idx,
-                              "canary_sec": canary,
-                              "abort_canary": args.abort_canary}))
-            sys.exit(3)
+                f"keeping {max(0, (len(runs) - 1) // 2)} completed "
+                f"bracketed pair(s))\n")
+            break
         out = os.path.join(args.workdir, f"out_{cores}_{idx}")
         shutil.rmtree(out, ignore_errors=True)
         m = _run_level(cores, corpus, out, zip_path, args.parts_per_core)
@@ -198,6 +201,17 @@ def main() -> None:
         sys.stderr.write(
             f"leg {idx}: local[{cores}] {m['docs_per_sec']} docs/s "
             f"(canary {canary:.3f}s, canary4 {canary4:.3f}s)\n")
+
+    if aborted_at is not None:
+        # a session needs lo,hi,lo at minimum for one bracketed pair;
+        # drop a trailing unbracketed hi leg so the pair loop stays valid
+        if len(runs) % 2 == 0:
+            runs = runs[:-1]
+        if len(runs) < 3:
+            print(json.dumps({"aborted": True, "leg": aborted_at,
+                              "pairs_kept": 0,
+                              "abort_canary": args.abort_canary}))
+            sys.exit(3)
 
     # bracketed efficiency per 4N leg: thr(4N) / (4 * mean of the two
     # surrounding N legs) — drift that moves both N legs the same way
@@ -243,6 +257,7 @@ def main() -> None:
         "heft": args.heft,
         "parts_per_core": args.parts_per_core,
         "levels": [lo, hi],
+        "aborted_after_leg": aborted_at,
         "bracketed_pairs": bracketed,
         "legs": [
             {k: r[k] for k in

@@ -182,13 +182,16 @@ def main() -> None:
     for idx, cores in enumerate(legs):
         canary = calibration_sec()
         canary4 = mp_canary(4)
-        if args.abort_canary and canary > args.abort_canary:
+        # gate on the better of two readings: one slow reading can be a
+        # scheduler hiccup, but a contended window keeps both slow
+        gate_canary = min(canary, calibration_sec()) if args.abort_canary else canary
+        if args.abort_canary and gate_canary > args.abort_canary:
             # Keep the pairs already completed under quiet canaries:
             # every leg that ran before this point passed the same gate,
             # so truncating here cannot select on any measured ratio.
             aborted_at = idx
             sys.stderr.write(
-                f"ABORT before leg {idx}: canary {canary:.3f}s > "
+                f"ABORT before leg {idx}: canary {gate_canary:.3f}s > "
                 f"--abort-canary {args.abort_canary}s (contended window; "
                 f"keeping {max(0, (len(runs) - 1) // 2)} completed "
                 f"bracketed pair(s))\n")

@@ -331,7 +331,7 @@ vs `local[{hi}]` (4N) on the 32-core host, each in a fresh JVM via
 Best bracketed pair: `{best_eff:.3f}`.  Max-per-level estimator:
 `{eff_maxlevel:.3f}` (docs/sec), `{eff_spans:.3f}` (spans/sec).
 
-Reproduce: `python bench/run_scaling.py --docs {args.docs} --heft {args.heft} --levels {lo} {hi} --repeats {args.repeats} --parts-per-core {args.parts_per_core}`.
+Reproduce: `python bench/run_scaling.py --docs {args.docs} --heft {args.heft} --levels {lo} {hi} --repeats {args.repeats} --parts-per-core {args.parts_per_core} --abort-canary {args.abort_canary}`.{f"  (Session aborted on the pre-leg canary gate before leg {aborted_at}; the pairs above completed under quiet canaries.)" if aborted_at is not None else ""}
 """
     body = body.rstrip() + "\n" + _PRIOR_ROUNDS
     straggler_json = os.path.join(REPO, "BENCH", "straggler.json")

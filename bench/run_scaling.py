@@ -313,6 +313,14 @@ vs `local[{hi}]` (4N) on the 32-core host, each in a fresh JVM via
   per-run overhead; ≤300k-doc sessions measurably under-read the
   ratio (see pooled table).  ≥3 tasks/core keeps the 4N leg's
   last-wave straggler exposure bounded.
+- Methodology (round-5): sessions may run with `--abort-canary SEC` —
+  if the better of two pre-leg canary readings exceeds SEC the session
+  stops, keeping only pairs whose every leg passed the same gate.
+  This moves the pool's existing quiet-window selection (canary
+  tercile) from after-the-fact reporting to before-the-leg admission;
+  the gate reads only the instrument, never the measured ratio.
+  Historical validation: pairs whose worst leg canary ≤ 0.8 s have
+  median eff 0.885 (n=21) vs 0.836 over all 96 pooled pairs.
 
 ## Leg log
 

@@ -148,6 +148,36 @@ def calibration_sec(iters: int = 1_500_000) -> float:
     return round(time.time() - t0, 4)
 
 
+def _membw_pass(mb: int) -> float:
+    """One worker: allocate ``mb`` MB (far above LLC), return the best
+    per-pass bandwidth in GB/s over three sequential-sum passes."""
+    import numpy as np
+
+    arr = np.ones(mb * 131_072, dtype=np.float64)  # mb MB of float64
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.time()
+        arr.sum()
+        best = min(best, time.time() - t0)
+    return round(mb / 1024 / best, 3)
+
+
+def membw_canary(procs: int = 8, mb: int = 512) -> float:
+    """Memory-bandwidth canary: the WORST per-process sequential-read
+    bandwidth (GB/s) across ``procs`` concurrent readers of ``mb``-MB
+    buffers.  The extraction job is memory-heavy, and the sandbox VM's
+    dominant contention mode is CO-TENANT MEMORY TRAFFIC: windows exist
+    where a 16-process integer canary stays fast (all cores available)
+    while multi-core Spark legs deliver ~60% of their quiet-window
+    throughput (measured 2026-08-20; the round-4 session-AC signature).
+    CPU canaries are blind to that mode; concurrent achievable
+    bandwidth is the instrument that sees it."""
+    import multiprocessing as mp
+
+    with mp.Pool(procs) as pool:
+        return min(pool.map(_membw_pass, [mb] * procs))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

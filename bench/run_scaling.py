@@ -157,7 +157,7 @@ def main() -> None:
     # pair efficiencies as the primary number (best pair + max-per-level
     # stay as secondary estimators).  A fixed CPU-bound canary is timed
     # before each leg so throttled windows are visible in the log.
-    from bench import calibration_sec  # repo-root bench.py canary
+    from bench import calibration_sec, membw_canary  # repo-root canaries
 
     def mp_canary(procs: int = 4) -> float:
         """Multi-core availability instrument: ``procs`` concurrent
@@ -182,6 +182,7 @@ def main() -> None:
     for idx, cores in enumerate(legs):
         canary = calibration_sec()
         canary4 = mp_canary(4)
+        membw = membw_canary()
         # gate on the better of two readings: one slow reading can be a
         # scheduler hiccup, but a contended window keeps both slow
         gate_canary = min(canary, calibration_sec()) if args.abort_canary else canary
@@ -200,10 +201,11 @@ def main() -> None:
         shutil.rmtree(out, ignore_errors=True)
         m = _run_level(cores, corpus, out, zip_path, args.parts_per_core)
         runs.append({"idx": idx, "cores": cores, "canary_sec": canary,
-                     "canary4_sec": canary4, **m})
+                     "canary4_sec": canary4, "membw_gbps": membw, **m})
         sys.stderr.write(
             f"leg {idx}: local[{cores}] {m['docs_per_sec']} docs/s "
-            f"(canary {canary:.3f}s, canary4 {canary4:.3f}s)\n")
+            f"(canary {canary:.3f}s, canary4 {canary4:.3f}s, "
+            f"membw {membw:.2f} GB/s)\n")
 
     if aborted_at is not None:
         # a session needs lo,hi,lo at minimum for one bracketed pair;
@@ -265,7 +267,7 @@ def main() -> None:
         "legs": [
             {k: r[k] for k in
              ("idx", "cores", "docs_per_sec", "spans_per_sec",
-              "elapsed_sec", "canary_sec", "canary4_sec")}
+              "elapsed_sec", "canary_sec", "canary4_sec", "membw_gbps")}
             for r in runs
         ],
         f"local{lo}_best": best_lo,
@@ -279,7 +281,7 @@ def main() -> None:
     leg_rows = "\n".join(
         f"| {r['idx']} | local[{r['cores']}] | {r['docs_per_sec']} | "
         f"{r['spans_per_sec']} | {r['elapsed_sec']} | {r['canary_sec']:.3f} | "
-        f"{r['canary4_sec']:.3f} |"
+        f"{r['canary4_sec']:.3f} | {r['membw_gbps']:.2f} |"
         for r in runs)
     pair_rows = "\n".join(
         f"| {b['hi_leg']} | {b['eff']} | {b['eff_vs_before']} | "
@@ -324,8 +326,8 @@ vs `local[{hi}]` (4N) on the 32-core host, each in a fresh JVM via
 
 ## Leg log
 
-| leg | level | docs/sec | spans/sec | elapsed (s) | canary (s) | canary×4 (s) |
-| --- | --- | --- | --- | --- | --- | --- |
+| leg | level | docs/sec | spans/sec | elapsed (s) | canary (s) | canary×4 (s) | membw (GB/s) |
+| --- | --- | --- | --- | --- | --- | --- | --- |
 {leg_rows}
 
 ## Bracketed pair efficiencies

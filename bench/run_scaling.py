@@ -139,6 +139,27 @@ def main() -> None:
                     metavar="SEC",
                     help="abort the session (write nothing) if a "
                          "pre-leg canary exceeds SEC; 0 = never abort")
+    # Second admission instrument: CONCURRENT MEMORY BANDWIDTH.  The
+    # sandbox's worst contention mode (round-4 session AC, re-measured
+    # 2026-08-20) suppresses multi-core Spark legs to ~60% while every
+    # CPU-time canary stays fast — co-tenant memory traffic.  The
+    # 10-leg calibration sweep (BENCH/membw_calibration.jsonl,
+    # bench/calibrate_membw.py) shows the mean of the before/after
+    # bench.membw_canary() readings correlates 0.74 with standalone
+    # local[8] throughput (vs 0.42 for 1/canary_sec); every admissible
+    # window read ≥ 7.0 GB/s.  The gate takes the BEST of two readings
+    # (one low reading can be a scheduler hiccup; a bus-starved window
+    # keeps both low) and aborts below the bound.  Like --abort-canary
+    # this reads only the instrument, never the measured ratio.
+    # 0 disables.  The threshold is PROVISIONAL/one-sided: the sweep
+    # never caught a fully-suppressed window with the stabilized
+    # 512 MB instrument, so 6.5 GB/s (calibration minimum 7.03 − ~7%)
+    # screens only windows worse than anything calibration admitted.
+    ap.add_argument("--abort-membw", type=float, default=0.0,
+                    metavar="GBPS",
+                    help="abort the session if the best of two pre-leg "
+                         "concurrent-membw readings is below GBPS; "
+                         "0 = never abort (calibrated default: 6.5)")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -186,14 +207,22 @@ def main() -> None:
         # gate on the better of two readings: one slow reading can be a
         # scheduler hiccup, but a contended window keeps both slow
         gate_canary = min(canary, calibration_sec()) if args.abort_canary else canary
+        gate_membw = max(membw, membw_canary()) if (
+            args.abort_membw and membw < args.abort_membw) else membw
+        abort_why = None
         if args.abort_canary and gate_canary > args.abort_canary:
-            # Keep the pairs already completed under quiet canaries:
+            abort_why = (f"canary {gate_canary:.3f}s > "
+                         f"--abort-canary {args.abort_canary}s")
+        elif args.abort_membw and gate_membw < args.abort_membw:
+            abort_why = (f"membw {gate_membw:.2f} GB/s < "
+                         f"--abort-membw {args.abort_membw} GB/s")
+        if abort_why is not None:
+            # Keep the pairs already completed under quiet instruments:
             # every leg that ran before this point passed the same gate,
             # so truncating here cannot select on any measured ratio.
             aborted_at = idx
             sys.stderr.write(
-                f"ABORT before leg {idx}: canary {gate_canary:.3f}s > "
-                f"--abort-canary {args.abort_canary}s (contended window; "
+                f"ABORT before leg {idx}: {abort_why} (contended window; "
                 f"keeping {max(0, (len(runs) - 1) // 2)} completed "
                 f"bracketed pair(s))\n")
             break
@@ -215,7 +244,8 @@ def main() -> None:
         if len(runs) < 3:
             print(json.dumps({"aborted": True, "leg": aborted_at,
                               "pairs_kept": 0,
-                              "abort_canary": args.abort_canary}))
+                              "abort_canary": args.abort_canary,
+                              "abort_membw": args.abort_membw}))
             sys.exit(3)
 
     # bracketed efficiency per 4N leg: thr(4N) / (4 * mean of the two
@@ -323,6 +353,20 @@ vs `local[{hi}]` (4N) on the 32-core host, each in a fresh JVM via
   the gate reads only the instrument, never the measured ratio.
   Historical validation: pairs whose worst leg canary ≤ 0.8 s have
   median eff 0.885 (n=21) vs 0.836 over all 96 pooled pairs.
+- Methodology (round-5, second instrument): the dominant remaining
+  contention mode is CO-TENANT MEMORY TRAFFIC, invisible to every
+  CPU-time canary (a 16-proc integer burn stays fast while local[8]
+  legs deliver ~60%; measured 2026-08-20 — round-4 "session AC").
+  `membw (GB/s)` per leg is `bench.membw_canary()`: the worst
+  per-process bandwidth across 8 concurrent 512 MB sequential reads.
+  Calibration (10 standalone local[8] legs across drift windows,
+  `BENCH/membw_calibration.jsonl`): corr(mean before/after membw,
+  docs/s) = **0.74** vs 0.42 for 1/canary_sec; admissible windows all
+  read ≥ 7.0 GB/s.  `--abort-membw GBPS` aborts when the BEST of two
+  readings is below the bound (provisional 6.5 GB/s — one-sided: the
+  sweep never caught a fully-suppressed window with the stabilized
+  instrument, so the bound only screens windows worse than anything
+  calibration admitted).
 
 ## Leg log
 
@@ -341,7 +385,7 @@ vs `local[{hi}]` (4N) on the 32-core host, each in a fresh JVM via
 Best bracketed pair: `{best_eff:.3f}`.  Max-per-level estimator:
 `{eff_maxlevel:.3f}` (docs/sec), `{eff_spans:.3f}` (spans/sec).
 
-Reproduce: `python bench/run_scaling.py --docs {args.docs} --heft {args.heft} --levels {lo} {hi} --repeats {args.repeats} --parts-per-core {args.parts_per_core} --abort-canary {args.abort_canary}`.{f"  (Session aborted on the pre-leg canary gate before leg {aborted_at}; the pairs above completed under quiet canaries.)" if aborted_at is not None else ""}
+Reproduce: `python bench/run_scaling.py --docs {args.docs} --heft {args.heft} --levels {lo} {hi} --repeats {args.repeats} --parts-per-core {args.parts_per_core} --abort-canary {args.abort_canary} --abort-membw {args.abort_membw}`.{f"  (Session aborted on a pre-leg admission gate before leg {aborted_at}; the pairs above completed under quiet instruments.)" if aborted_at is not None else ""}
 """
     body = body.rstrip() + "\n" + _PRIOR_ROUNDS
     straggler_json = os.path.join(REPO, "BENCH", "straggler.json")

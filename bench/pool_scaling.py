@@ -163,6 +163,33 @@ window) — the efficiency trend down the table IS the contention story:
         text = text.split(MARK_BEGIN)[0] + section + text.split(MARK_END)[-1]
     else:
         text = text.rstrip() + "\n\n" + section
+    # refresh the pooled-headline table run_scaling.py rendered from a
+    # possibly-stale scaling_pooled.json (this script IS the pooler)
+    head_begin = "## Headline (pooled over all sessions — primary)"
+    head_end = "## Latest session leg log"
+    if head_begin in text and head_end in text:
+        ml = maxlevel.get("1v4", {}).get("eff")
+        mh = maxlevel.get("2v8", {}).get("eff")
+        headline = (
+            f"{head_begin}\n\n"
+            f"{len(pairs)} bracketed pairs across every recorded "
+            "session (bench/pool_scaling.py; full table in the pooled "
+            "section below):\n\n"
+            "| estimator | value | vs 0.8 gate |\n"
+            "| --- | --- | --- |\n"
+            f"| median, all pairs (contention included) | "
+            f"`{median_all:.3f}` | "
+            f"{'PASS' if median_all >= 0.8 else 'FAIL'} |\n"
+            f"| median, quiet-window pairs (canary tercile) | "
+            f"`{median_sel:.3f}` | "
+            f"{'PASS' if median_sel >= 0.8 else 'FAIL'} |\n"
+            + (f"| max-per-level 1v4 | `{ml:.3f}` | "
+               f"{'PASS' if ml >= 0.8 else 'FAIL'} |\n" if ml else "")
+            + (f"| max-per-level 2v8 | `{mh:.3f}` | "
+               f"{'PASS' if mh >= 0.8 else 'FAIL'} |\n" if mh else "")
+            + "\n")
+        text = (text.split(head_begin)[0] + headline
+                + head_end + text.split(head_end, 1)[1])
     open(md, "w").write(text)
     sys.stderr.write("wrote pooled section\n")
 

@@ -393,6 +393,14 @@ vs `local[{hi}]` (4N) on the 32-core host, each in a fresh JVM via
   sweep never caught a fully-suppressed window with the stabilized
   instrument, so the bound only screens windows worse than anything
   calibration admitted).
+- Methodology (round-5, diagnostic): instant instruments cannot certify
+  a multi-minute window — session "AE" passed both gates (canary
+  0.59-0.84 s, membw 8-10.6 GB/s) yet its sustained legs ran at ~60%
+  (a duty-cycle/credit signature: bandwidth granted in bursts).
+  `bench/membw_sustain.py` profiles 8 concurrent readers for 120 s in
+  10 s buckets; the quiet-window reference profile is FLAT 9.3-10.2
+  GB/s (`BENCH/membw_sustain.json`) — run it when a session's measured
+  legs disagree with its admission instruments.
 
 {pooled_headline}## Latest session leg log
 

@@ -280,7 +280,7 @@ def main() -> None:
 
     calib_end = calibration_sec()
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    payload = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
@@ -298,8 +298,49 @@ def main() -> None:
         "extract_steady_docs_per_sec": steady.get("docs_per_sec"),
         "extract_steady_spans_per_sec": steady.get("spans_per_sec"),
         "extract_steady_n_docs": steady.get("docs"),
-    }))
+    }
+    # The per-round recorder keeps only the LAST 2000 chars of stdout
+    # and parses the final JSON line from that window; with 95+ timed
+    # queries the full line outgrew it in round 4 (BENCH_r04.json has
+    # parsed=None — the line's head was cut off).  So: persist the full
+    # payload to BENCH/bench_full.json, print it once for logs, then
+    # end stdout with a compact line that always fits — same top-level
+    # metrics, queries trimmed to the slowest entries that keep the
+    # line under budget (they dominate `value` anyway), plus a pointer
+    # to the full map.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH", "bench_full.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(payload, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: stdout full line still carries it
+    print(json.dumps(payload))
+    print(compact_line(payload))
     spark.stop()
+
+
+def compact_line(payload: dict, budget: int = 1800) -> str:
+    """The final stdout line: ``payload`` with the per-query map trimmed
+    to the slowest entries that keep the serialized line under
+    ``budget`` chars (< the recorder's 2000-char stdout tail), so the
+    driver's tail-parse always sees one complete JSON line.  The full
+    map lives in BENCH/bench_full.json and the preceding full-payload
+    line."""
+    compact = {k: v for k, v in payload.items()
+               if k not in ("queries", "calibration_sec_start",
+                            "calibration_sec_end")}
+    timings = payload.get("queries", {})
+    compact["queries_total"] = len(timings)
+    compact["queries_full"] = "BENCH/bench_full.json"
+    compact["queries"] = {}
+    for name, sec in sorted(timings.items(), key=lambda kv: (-kv[1], kv[0])):
+        compact["queries"][name] = sec
+        if len(json.dumps(compact, separators=(",", ":"))) > budget:
+            del compact["queries"][name]
+            break
+    compact["queries_elided"] = len(timings) - len(compact["queries"])
+    return json.dumps(compact, separators=(",", ":"))
 
 
 if __name__ == "__main__":

@@ -401,6 +401,14 @@ vs `local[{hi}]` (4N) on the 32-core host, each in a fresh JVM via
   10 s buckets; the quiet-window reference profile is FLAT 9.3-10.2
   GB/s (`BENCH/membw_sustain.json`) — run it when a session's measured
   legs disagree with its admission instruments.
+- Methodology (round-5, launch admission): `bench/quiet_session.sh`
+  moves the gate before the session even starts — it probes
+  `bench.membw_canary()` every 4 min and launches a session only when
+  the instrument reads ≥ 9.2 GB/s (the quiet band's floor), with the
+  stricter per-leg gates `--abort-canary 0.75 --abort-membw 8.8`.
+  Like the in-session gates, the decision reads only the instrument,
+  never a measured ratio, so pooled pairs stay pre-registered.
+  Sessions AJ+ were admitted this way.
 
 {pooled_headline}## Latest session leg log
 

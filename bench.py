@@ -184,6 +184,7 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     calib_start = calibration_sec()
+    membw_start = membw_canary()
 
     from pyspark.sql import SparkSession
 
@@ -279,6 +280,7 @@ def main() -> None:
         shutil.rmtree(out2, ignore_errors=True)
 
     calib_end = calibration_sec()
+    membw_end = membw_canary()
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "headline_queries_total_runtime",
@@ -293,6 +295,12 @@ def main() -> None:
         "calibration_sec": round((calib_start + calib_end) / 2, 4),
         "calibration_sec_start": calib_start,
         "calibration_sec_end": calib_end,
+        # memory-bandwidth instrument at both ends: the better
+        # contention diagnostic for this host (correlates 0.74 with
+        # multi-core throughput vs 0.42 for the CPU canary —
+        # BENCH/membw_calibration.jsonl); quiet band is >= ~9.2 GB/s
+        "membw_gbps_start": membw_start,
+        "membw_gbps_end": membw_end,
         "extract_docs_per_sec": metrics.get("docs_per_sec"),
         "extract_spans_per_sec": metrics.get("spans_per_sec"),
         "extract_steady_docs_per_sec": steady.get("docs_per_sec"),
